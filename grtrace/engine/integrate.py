@@ -1,0 +1,177 @@
+"""Batched geodesic integration as a single XLA array program.
+
+TPU-native counterpart of the reference's CUDA kernels
+`fantasy_integrate_batch_ord2[_full]` (reference:
+simulation/cuda_geodesic.py:579-625) and the `CUDASchwarzschildIntegrator`
+wrapper (cuda_geodesic.py:629-653).  Instead of one CUDA thread per ray with a
+`break`, the whole (N,) ray batch advances inside one `lax.while_loop` whose
+body applies a masked FANTASY step to every ray; the loop terminates as soon
+as *all* rays have been captured/escaped or the step budget is exhausted.
+This is the portable backend (CPU tests, multi-chip dry-runs); the Pallas
+kernel in integrate_pallas.py is the single-chip fast path with per-tile
+early exit.
+
+Status codes are first-class device-side masks (SURVEY.md section 5,
+failure-detection row):
+    ALIVE (0)    still inside the domain when the budget ran out
+    CAPTURED (1) r <= 1.1 * rs    (cuda_geodesic.py:598)
+    ESCAPED (2)  r >= r_max       (cuda_geodesic.py:599)
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..physics.hamiltonian import fantasy_step_ord2, pack_state, unpack_p1, unpack_q1
+
+STATUS_ALIVE = 0
+STATUS_CAPTURED = 1
+STATUS_ESCAPED = 2
+
+
+def _active_mask(q1r, rs, r_max):
+    """Reference pre-step domain check (cuda_geodesic.py:598-599)."""
+    return (q1r > 1.1 * rs) & (q1r < r_max)
+
+
+def _masked_step(state, active, delta, rs, cos_w, sin_w):
+    new_state = fantasy_step_ord2(state, delta, rs, cos_w, sin_w)
+    return tuple(jnp.where(active, n, o) for n, o in zip(new_state, state))
+
+
+@partial(jax.jit, static_argnames=("steps",))
+def integrate_batch(q0s, p0s, steps, delta, rs, r_max, omega):
+    """Integrate a flat (N, 4) batch to completion.
+
+    Returns (final_q, final_p, status, n_steps) — final_q matches the
+    reference kernel's out_qs (first copy's position, cuda_geodesic.py:601).
+    n_steps is the per-ray count of steps actually applied (a free
+    observability win over the reference, which discards it).
+    """
+    dtype = q0s.dtype
+    delta = jnp.asarray(delta, dtype)
+    rs = jnp.asarray(rs, dtype)
+    r_max = jnp.asarray(r_max, dtype)
+    angle = 2.0 * jnp.asarray(omega, dtype) * delta
+    cos_w = jnp.cos(angle)
+    sin_w = jnp.sin(angle)
+
+    state0 = pack_state(q0s, p0s)
+    n_steps0 = jnp.zeros(q0s.shape[:-1], dtype=jnp.int32)
+
+    def cond(carry):
+        state, n_steps, k = carry
+        return (k < steps) & jnp.any(_active_mask(state[1], rs, r_max))
+
+    def body(carry):
+        state, n_steps, k = carry
+        active = _active_mask(state[1], rs, r_max)
+        state = _masked_step(state, active, delta, rs, cos_w, sin_w)
+        return state, n_steps + active.astype(jnp.int32), k + 1
+
+    state, n_steps, _ = jax.lax.while_loop(cond, body, (state0, n_steps0, jnp.int32(0)))
+
+    q1r = state[1]
+    status = jnp.where(q1r <= 1.1 * rs, STATUS_CAPTURED,
+                       jnp.where(q1r >= r_max, STATUS_ESCAPED, STATUS_ALIVE))
+    return unpack_q1(state), unpack_p1(state), status, n_steps
+
+
+@partial(jax.jit, static_argnames=("steps", "n_keep"))
+def integrate_batch_full(q0s, p0s, steps, delta, rs, r_max, omega, n_keep=None):
+    """Trajectory-capturing variant: returns (N, n_keep, 4) positions.
+
+    The reference stores *every* step into an (N, steps, 4) buffer and the
+    caller decimates to <= 1000 points afterwards
+    (cuda_geodesic.py:604-625, raytracing.py:138-143).  Storing 200k steps per
+    ray is HBM-hostile, so the TPU design decimates on the fly: q1 is written
+    every `stride` steps so that at most n_keep samples exist, reproducing the
+    caller-side `linspace` decimation.  Rows after a ray's exit stay zero,
+    matching the reference buffer semantics (main.py:107-114 filters zeros).
+
+    With the default n_keep=None the full `steps` buffer is kept
+    (stride == 1), bit-matching the reference layout for small diagnostics.
+    """
+    if n_keep is None or n_keep >= steps:
+        n_keep_eff = steps
+        stride = 1
+    else:
+        # ceil so that stride * n_keep covers the budget
+        stride = -(-steps // n_keep)
+        n_keep_eff = -(-steps // stride)
+
+    dtype = q0s.dtype
+    delta = jnp.asarray(delta, dtype)
+    rs = jnp.asarray(rs, dtype)
+    r_max = jnp.asarray(r_max, dtype)
+    angle = 2.0 * jnp.asarray(omega, dtype) * delta
+    cos_w = jnp.cos(angle)
+    sin_w = jnp.sin(angle)
+
+    n = q0s.shape[0]
+    traj0 = jnp.zeros((n, n_keep_eff, 4), dtype=dtype)
+    state0 = pack_state(q0s, p0s)
+    # "Stored" mask: the reference stores q1 each iteration *including* the
+    # iteration on which it exits (store happens before the break,
+    # cuda_geodesic.py:619-624), then leaves zeros.
+    alive0 = jnp.ones((n,), dtype=bool)
+
+    def body(k, carry):
+        state, alive, traj = carry
+        active = _active_mask(state[1], rs, r_max)
+        store_now = (k % stride == 0)
+        q1 = unpack_q1(state) * alive[:, None]
+
+        def do_store(tr):
+            return jax.lax.dynamic_update_slice(tr, q1[:, None, :],
+                                                (0, k // stride, 0))
+
+        traj = jax.lax.cond(store_now, do_store, lambda tr: tr, traj)
+        # After the first inactive observation the ray is dead for storage too.
+        alive_next = alive & active
+        state = _masked_step(state, active, delta, rs, cos_w, sin_w)
+        return state, alive_next, traj
+
+    _, _, traj = jax.lax.fori_loop(0, steps, body, (state0, alive0, traj0))
+    return traj
+
+
+class SchwarzschildIntegrator:
+    """Drop-in analog of the reference CUDASchwarzschildIntegrator
+    (cuda_geodesic.py:629-653) with the same constructor signature.
+
+    `backend` selects 'xla' (this module) or 'pallas'
+    (grtrace.engine.integrate_pallas) for `integrate_batch`.
+    """
+
+    def __init__(self, steps=500, delta=0.2, mass=1.0, omega=1.0, r_max=1e6,
+                 backend="xla", dtype=jnp.float32):
+        self.steps = int(steps)
+        self.delta = float(delta)
+        self.rs = 2.0 * float(mass)
+        self.omega = float(omega)
+        self.r_max = float(r_max)
+        self.backend = backend
+        self.dtype = dtype
+
+    def integrate_batch(self, q0s, p0s):
+        q0s = jnp.asarray(q0s, self.dtype)
+        p0s = jnp.asarray(p0s, self.dtype)
+        if self.backend == "pallas":
+            from .integrate_pallas import integrate_batch_pallas
+            q, p, status, n_steps = integrate_batch_pallas(
+                q0s, p0s, self.steps, self.delta, self.rs, self.r_max,
+                self.omega)
+        else:
+            q, p, status, n_steps = integrate_batch(
+                q0s, p0s, self.steps, self.delta, self.rs, self.r_max,
+                self.omega)
+        return q, p, status, n_steps
+
+    def integrate_batch_full(self, q0s, p0s, n_keep=None):
+        q0s = jnp.asarray(q0s, self.dtype)
+        p0s = jnp.asarray(p0s, self.dtype)
+        return integrate_batch_full(q0s, p0s, self.steps, self.delta, self.rs,
+                                    self.r_max, self.omega, n_keep)

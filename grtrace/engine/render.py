@@ -1,0 +1,204 @@
+"""End-to-end curved-ray render pipeline: camera -> integrate -> classify ->
+composite, device-resident.
+
+TPU-native counterpart of reference run_manual_simulation
+(reference: simulation/raytracing.py:16-314).  The reference's structure —
+three O(H*W) host Python loops around one CUDA kernel launch — becomes two
+jitted array programs (initial conditions + integration, then classification
++ compositing) with zero host round-trips in between.  Host code only loads
+the texture and writes artifacts.
+
+A deliberate fix (documented, SURVEY.md section 3.2): the reference builds the
+image only when n_samples > 0 because the classification block is indented
+under the sampling branch (raytracing.py:128-164); here the image is always
+built, and sampling is independent.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..io.scene import SceneConfig
+from ..physics.camera import camera_rays
+from ..physics.coords import rotate_x, spherical_to_cartesian
+from . import classify as _classify
+from .integrate import SchwarzschildIntegrator, integrate_batch
+from .integrate import integrate_batch_full
+
+MAX_TRAJ_POINTS = 1000  # reference cap per sampled ray (raytracing.py:124)
+
+
+@dataclasses.dataclass
+class RenderResult:
+    """Everything run_manual_simulation produced, as arrays.
+
+    photon_data.csv columns (raytracing.py:275-280) are reconstructable from
+    these fields via io.artifacts.photon_dataframe.
+    """
+    image: np.ndarray              # (H, W, 3) uint8
+    cls: np.ndarray                # (H, W) int32 classification codes
+    final_q: np.ndarray            # (H, W, 4) final positions (folded frame)
+    final_th: np.ndarray           # (H, W) reported hit theta (CSV parity)
+    final_ph: np.ndarray           # (H, W) reported hit phi (CSV parity)
+    p0: np.ndarray                 # (H, W, 4) initial momenta
+    alpha0: np.ndarray             # (H, W)
+    heading: np.ndarray            # (H, W, 3) (h_r, h_theta, h_phi)
+    beta: np.ndarray               # (H, W)
+    n_steps: np.ndarray            # (H, W) integration steps taken (new)
+    counts: dict                   # photon summary (main.py:147-155)
+    sampled_indices: Optional[np.ndarray] = None       # (K, 2) (i, j)
+    sampled_trajectories: Optional[list] = None        # list of (P, 3) arrays
+
+
+@partial(jax.jit,
+         static_argnames=("height", "width", "steps", "flip_theta",
+                          "flip_phi", "has_background", "dtype"))
+def render_pixels(bg_array, obs_x, fov, mass, boundary_radius,
+                  steps, delta, omega,
+                  patch_center_theta, patch_center_phi,
+                  patch_size_theta, patch_size_phi,
+                  *, height, width, flip_theta=False, flip_phi=False,
+                  has_background=True, dtype=jnp.float32):
+    """The fused device pipeline for one frame.
+
+    Returns a dict of per-pixel arrays.  Everything from pixel grid to RGB
+    happens on-device in one compiled program.
+    """
+    obs_pos = jnp.stack([obs_x, jnp.zeros_like(obs_x), jnp.zeros_like(obs_x)])
+    q0, p0, alpha0, heading, beta = camera_rays(
+        obs_pos, fov, height, width, mass_bh=mass, dtype=dtype)
+
+    n = height * width
+    rs = 2.0 * mass
+    final_q, final_p, status, n_steps = integrate_batch(
+        q0.reshape(n, 4), p0.reshape(n, 4), steps, delta, rs,
+        boundary_radius, omega)
+    final_q = final_q.reshape(height, width, 4)
+
+    cls, th_csv, ph_csv, u01, v01 = _classify.classify_rays(
+        final_q, alpha0, beta, rs=rs, r_obs_x=obs_x,
+        boundary_radius=boundary_radius,
+        patch_center_theta=patch_center_theta,
+        patch_center_phi=patch_center_phi,
+        patch_size_theta=patch_size_theta,
+        patch_size_phi=patch_size_phi,
+        flip_theta=flip_theta, flip_phi=flip_phi,
+        has_background=has_background)
+
+    if has_background:
+        image = _classify.composite(cls, u01, v01, bg_array)
+    else:
+        image = _classify.composite(
+            cls, u01, v01, jnp.zeros((1, 1, 3), dtype=jnp.uint8))
+
+    return {
+        "image": image,
+        "cls": cls,
+        "final_q": final_q,
+        "final_th": th_csv,
+        "final_ph": ph_csv,
+        "q0": q0,
+        "p0": p0,
+        "alpha0": alpha0,
+        "heading": heading,
+        "beta": beta,
+        "n_steps": n_steps.reshape(height, width),
+        "status": status.reshape(height, width),
+    }
+
+
+def _sample_trajectories(q0, p0, beta, sampled_ij, scene: SceneConfig, dtype):
+    """Re-integrate K sampled rays with on-the-fly decimated trajectory
+    capture, un-fold by beta, convert to Cartesian
+    (raytracing.py:128-159)."""
+    h, w = scene.image_size
+    flat_idx = sampled_ij[:, 0] * w + sampled_ij[:, 1]
+    q0s = q0.reshape(-1, 4)[flat_idx]
+    p0s = p0.reshape(-1, 4)[flat_idx]
+    betas = beta.reshape(-1)[flat_idx]
+
+    integ = scene.integrator
+    traj = integrate_batch_full(
+        jnp.asarray(q0s, dtype), jnp.asarray(p0s, dtype),
+        integ.steps, integ.delta, 2.0 * scene.bh_mass,
+        scene.boundary_radius, _effective_omega(scene),
+        n_keep=min(MAX_TRAJ_POINTS, integ.steps))
+
+    traj = np.asarray(traj, dtype=np.float64)
+    out = []
+    for k in range(traj.shape[0]):
+        pts = traj[k]
+        x, y, z = spherical_to_cartesian(pts[:, 1], pts[:, 2], pts[:, 3])
+        x, y, z = rotate_x(np.asarray(x), np.asarray(y), np.asarray(z),
+                           float(betas[k]))
+        out.append(np.stack([x, y, z], axis=-1))
+    return out
+
+
+def _effective_omega(scene: SceneConfig) -> float:
+    return float(scene.integrator.omega)
+
+
+def render(scene: SceneConfig, *, bg_array=None, n_samples=None, seed=0,
+           dtype=None) -> RenderResult:
+    """Full-frame render with artifacts data — the run_manual_simulation
+    analog.  bg_array: (th, tw, 3) uint8 numpy/jnp array or None.
+    """
+    h, w = scene.image_size
+    integ = scene.integrator
+    if dtype is None:
+        dtype = jnp.float64 if integ.dtype == "float64" else jnp.float32
+    has_bg = bg_array is not None
+    bg_dev = (jnp.asarray(bg_array, dtype=jnp.uint8) if has_bg
+              else jnp.zeros((1, 1, 3), dtype=jnp.uint8))
+
+    out = render_pixels(
+        bg_dev,
+        jnp.asarray(scene.observer_distance, dtype),
+        jnp.asarray(scene.fov, dtype),
+        jnp.asarray(scene.bh_mass, dtype),
+        jnp.asarray(scene.boundary_radius, dtype),
+        integ.steps,
+        jnp.asarray(integ.delta, dtype),
+        jnp.asarray(_effective_omega(scene), dtype),
+        jnp.asarray(scene.patch.center_theta, dtype),
+        jnp.asarray(scene.patch.center_phi, dtype),
+        jnp.asarray(scene.patch.size_theta, dtype),
+        jnp.asarray(scene.patch.size_phi, dtype),
+        height=h, width=w,
+        flip_theta=scene.patch.flip_theta, flip_phi=scene.patch.flip_phi,
+        has_background=has_bg, dtype=dtype)
+
+    counts = {k: int(v) for k, v in
+              _classify.summary_counts(out["cls"]).items()}
+
+    n_samples = scene.n_samples if n_samples is None else n_samples
+    sampled_ij = None
+    sampled_trajs = None
+    if n_samples and n_samples > 0:
+        rng = np.random.default_rng(seed)
+        flat = rng.choice(h * w, size=min(n_samples, h * w), replace=False)
+        sampled_ij = np.stack([flat // w, flat % w], axis=-1)
+        sampled_trajs = _sample_trajectories(
+            out["q0"], out["p0"], out["beta"], sampled_ij, scene, dtype)
+
+    return RenderResult(
+        image=np.asarray(out["image"]),
+        cls=np.asarray(out["cls"]),
+        final_q=np.asarray(out["final_q"]),
+        final_th=np.asarray(out["final_th"]),
+        final_ph=np.asarray(out["final_ph"]),
+        p0=np.asarray(out["p0"]),
+        alpha0=np.asarray(out["alpha0"]),
+        heading=np.asarray(out["heading"]),
+        beta=np.asarray(out["beta"]),
+        n_steps=np.asarray(out["n_steps"]),
+        counts=counts,
+        sampled_indices=sampled_ij,
+        sampled_trajectories=sampled_trajs,
+    )

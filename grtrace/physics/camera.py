@@ -1,0 +1,141 @@
+"""Pinhole camera: pixel grid -> null-geodesic phase-space initial conditions.
+
+Fully vectorized `jnp` replacement for the reference's two O(H*W) host Python
+loops (pixel-grid build at simulation/raytracing.py:83-88 and the per-ray
+`get_initial_conditions` loop at raytracing.py:108-116 calling
+simulation/utils.py:91-141).  One `jit` of `initial_conditions` produces every
+per-ray quantity for the whole image as dense arrays that never leave the
+device.
+
+Camera geometry (identical to the reference, raytracing.py:60-88):
+  * observer on the +x axis, optical axis -x, right = +y, up = +z
+  * image plane at distance 0.2*|obs| with width 2*d*tan(fov/2),
+    height = width * (h/w)
+  * pixel (i, j): offset u = (j+0.5)/w - 0.5 along +y, v = (i+0.5)/h - 0.5
+    along +z.
+
+Conventions note (parity-critical): the reference's momentum bookkeeping is
+self-consistent but mixes bases — `angles_to_p_sph` (utils.py:148-195)
+multiplies the orthonormal r-component by sqrt(f) and the angular components
+by r (the comments say "divide"), and the null closure then contracts that
+triplet with *contravariant* metric coefficients (utils.py:70-77).  We
+reproduce those exact formulas so that trajectories, photon_data.csv and
+rendered images match the reference bit-for-bit in float64.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .coords import cartesian_to_spherical, rotate_x
+from .nullcond import null_p_t
+
+
+def pixel_grid(obs_pos, fov, height, width, dtype=jnp.float32):
+    """Return (H, W, 3) pixel positions on the image plane.
+
+    Mirrors reference simulation/raytracing.py:60-88 (optical axis -x,
+    right +y, up +z, plane at 0.2*|obs|).
+    """
+    obs_pos = jnp.asarray(obs_pos, dtype=dtype)
+    optical_axis = jnp.array([-1.0, 0.0, 0.0], dtype=dtype)
+    right = jnp.array([0.0, 1.0, 0.0], dtype=dtype)
+    up = jnp.array([0.0, 0.0, 1.0], dtype=dtype)
+
+    plane_dist = 0.2 * jnp.linalg.norm(obs_pos)
+    plane_center = obs_pos + optical_axis * plane_dist
+    plane_width = 2.0 * plane_dist * jnp.tan(fov / 2.0)
+    plane_height = plane_width * (height / width)
+
+    jj = jnp.arange(width, dtype=dtype)
+    ii = jnp.arange(height, dtype=dtype)
+    u = (jj + 0.5) / width - 0.5   # (W,) along +y
+    v = (ii + 0.5) / height - 0.5  # (H,) along +z
+    offsets = (u[None, :, None] * plane_width * right
+               + v[:, None, None] * plane_height * up)
+    return plane_center + offsets
+
+
+def angles_to_p_sph(alpha, beta, r_obs, *, mass_bh=1.0):
+    """Camera angles -> reference-convention spatial momentum triplet.
+
+    Mirrors reference simulation/utils.py:148-195 (normalise=True branch):
+        n = (-cos a cos b, -sin b, sin a cos b)   orthonormal (rhat, thhat, phhat)
+        p = (n_r * sqrt(1 - 2M/r), n_th * r, n_ph * r)
+    alpha/beta/r_obs broadcast elementwise.
+    """
+    f_r = jnp.sqrt(1.0 - 2.0 * mass_bh / r_obs)
+    n_rhat = -jnp.cos(alpha) * jnp.cos(beta)
+    n_phhat = jnp.sin(alpha) * jnp.cos(beta)
+    n_thhat = -jnp.sin(beta)
+    p_r = n_rhat * f_r
+    p_th = n_thhat * r_obs
+    p_ph = n_phhat * r_obs
+    p_r, p_th, p_ph = jnp.broadcast_arrays(p_r, p_th, p_ph)
+    return jnp.stack([p_r, p_th, p_ph], axis=-1)
+
+
+def initial_conditions(obs_pos, pixel_pos, *, mass_bh=1.0):
+    """Batched pixel positions -> (q0, p0, alpha0, heading, beta).
+
+    Vectorized equivalent of reference get_initial_conditions
+    (simulation/utils.py:91-141) over pixel_pos of shape (..., 3).
+
+    Returns
+    -------
+    q0 : (..., 4)   initial position (0, r_obs, th_obs, ph_obs)
+    p0 : (..., 4)   null 4-momentum, future-directed root
+    alpha0 : (...)  angle off the optical axis (utils.py:140)
+    heading : (..., 3)  (h_r, h_theta, h_phi) of the lab-frame ray direction
+    beta : (...)    fold angle about +x used for the equatorial-plane trick
+    """
+    obs_pos = jnp.asarray(obs_pos, dtype=pixel_pos.dtype)
+    ray = pixel_pos - obs_pos
+    ray = ray / jnp.linalg.norm(ray, axis=-1, keepdims=True)
+    rx, ry, rz = ray[..., 0], ray[..., 1], ray[..., 2]
+
+    # Fold the ray into the x-y plane: beta = angle out of plane
+    # (utils.py:103-113).  atan2(0, 0) = 0 handles the exact center pixel.
+    beta = jnp.arctan2(rz, ry)
+    xy_x, xy_y, _ = rotate_x(rx, ry, rz, -beta)
+
+    # Observer spherical position (utils.py:118).
+    r_obs, th_obs, ph_obs = cartesian_to_spherical(*[obs_pos[..., a] for a in range(3)])
+
+    # Camera angle from the folded direction: in-plane theta = pi/2, so
+    # h_phi = atan2(y, x); alpha_cam = pi - h_phi (utils.py:124-129).
+    h_phi_xy = jnp.arctan2(xy_y, xy_x)
+    alpha_cam = jnp.pi - h_phi_xy
+
+    p_spatial = angles_to_p_sph(alpha_cam, 0.0, r_obs, mass_bh=mass_bh)
+
+    # Null closure, future-directed (utils.py:134-136).
+    p_t = null_p_t(p_spatial, r_obs, th_obs, mass_bh=mass_bh, future=True)
+    p0 = jnp.concatenate([p_t[..., None], p_spatial], axis=-1)
+
+    zeros = jnp.zeros_like(beta)
+    q0 = jnp.stack([zeros, jnp.broadcast_to(r_obs, beta.shape),
+                    jnp.broadcast_to(th_obs, beta.shape),
+                    jnp.broadcast_to(ph_obs, beta.shape)], axis=-1)
+
+    # Lab-frame heading in spherical form (utils.py:139).
+    h_r, h_th, h_ph = cartesian_to_spherical(rx, ry, rz)
+    heading = jnp.stack([h_r, h_th, h_ph], axis=-1)
+
+    # alpha0: angle off the optical axis, renormalized to flat geometry
+    # (utils.py:140).
+    f_r = jnp.sqrt(1.0 - 2.0 * mass_bh / r_obs)
+    alpha0 = jnp.arccos(jnp.clip(-p_spatial[..., 0] / f_r, -1.0, 1.0))
+
+    return q0, p0, alpha0, heading, beta
+
+
+def camera_rays(obs_pos, fov, height, width, *, mass_bh=1.0, dtype=jnp.float32):
+    """End-to-end: camera parameters -> per-pixel initial conditions.
+
+    Replaces the entire host-side setup of reference raytracing.py:83-116 with
+    one fused device computation.  Shapes: q0/p0 (H, W, 4), alpha0/beta (H, W),
+    heading (H, W, 3).
+    """
+    pix = pixel_grid(obs_pos, fov, height, width, dtype=dtype)
+    return initial_conditions(jnp.asarray(obs_pos, dtype=dtype), pix,
+                              mass_bh=mass_bh)
