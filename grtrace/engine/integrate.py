@@ -31,6 +31,24 @@ STATUS_CAPTURED = 1
 STATUS_ESCAPED = 2
 
 
+def resolve_backend(backend: str) -> str:
+    """'auto' -> 'pallas' on TPU, 'xla' elsewhere."""
+    if backend != "auto":
+        return backend
+    import jax
+    return "pallas" if jax.default_backend() == "tpu" else "xla"
+
+
+def integrate_dispatch(q0s, p0s, steps, delta, rs, r_max, omega,
+                       backend="auto"):
+    """Backend-dispatching integrate: same signature/returns for both."""
+    if resolve_backend(backend) == "pallas":
+        from .integrate_pallas import integrate_batch_pallas
+        return integrate_batch_pallas(q0s, p0s, steps, delta, rs, r_max,
+                                      omega)
+    return integrate_batch(q0s, p0s, steps, delta, rs, r_max, omega)
+
+
 def _active_mask(q1r, rs, r_max):
     """Reference pre-step domain check (cuda_geodesic.py:598-599)."""
     return (q1r > 1.1 * rs) & (q1r < r_max)

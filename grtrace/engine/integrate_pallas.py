@@ -1,0 +1,170 @@
+"""Pallas TPU kernel for batched FANTASY geodesic integration.
+
+The hot loop of the whole framework — the TPU-native counterpart of the
+reference's `fantasy_integrate_batch_ord2` CUDA kernel (reference:
+simulation/cuda_geodesic.py:579-602, one thread per ray, early `break`).
+
+Design (see /opt/skills/guides/pallas_guide.md):
+  * Rays live on the VPU lane axis.  The phase-space state is laid out as
+    (16, 8, 128) per tile — 16 component rows (q1,p1,q2,p2 x 4) by a full
+    (8, 128) vector register of 1024 rays — so every elementwise flow op
+    runs at full vreg occupancy.
+  * The grid iterates over ray tiles; each tile runs its own
+    `lax.while_loop` that terminates as soon as *every* ray in the tile has
+    been captured or escaped.  This is the CUDA per-thread `break` promoted
+    to tile granularity: image-contiguous rays have correlated lifetimes, so
+    tiles over easy sky regions retire in a few hundred steps while only
+    the photon-ring tiles run long.
+  * The physics is the same component-tuple flow code used by the XLA
+    backend (grtrace.physics.hamiltonian) — the kernel only adds layout,
+    masking and the early-exit loop, so oracle agreement transfers.
+  * Steps are applied in masked groups of UNROLL between exit checks to
+    amortize the `any(active)` reduction; a statically-unrolled remainder
+    preserves the exact `steps` budget semantics.
+
+All integrator parameters are baked into the kernel closure (fixed per
+scene; retrace on change is ~1 s).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..physics.hamiltonian import fantasy_step_ord2
+from .integrate import STATUS_ALIVE, STATUS_CAPTURED, STATUS_ESCAPED
+
+LANES = 128
+SUBLANES = 8
+TILE = SUBLANES * LANES  # 1024 rays per grid step
+UNROLL = 4               # masked steps between early-exit checks
+
+
+def _active(q1r, rs, r_max):
+    return (q1r > 1.1 * rs) & (q1r < r_max)
+
+
+def _kernel(params_ref, state_ref, out_state_ref, ns_ref, *, steps):
+    """params (SMEM): [delta, rs, r_max, cos_w, sin_w]."""
+    delta = params_ref[0]
+    rs = params_ref[1]
+    r_max = params_ref[2]
+    cos_w = params_ref[3]
+    sin_w = params_ref[4]
+
+    comps = tuple(state_ref[0, i] for i in range(16))
+    ns0 = jnp.zeros((SUBLANES, LANES), dtype=jnp.int32)
+
+    def masked_step(comps, ns):
+        act = _active(comps[1], rs, r_max)
+        new = fantasy_step_ord2(comps, delta, rs, cos_w, sin_w)
+        comps = tuple(jnp.where(act, n, o) for n, o in zip(new, comps))
+        return comps, ns + act.astype(jnp.int32)
+
+    main_iters = steps // UNROLL
+
+    def cond(carry):
+        k, comps, _ = carry
+        return (k < main_iters) & jnp.any(_active(comps[1], rs, r_max))
+
+    def body(carry):
+        k, comps, ns = carry
+        for _ in range(UNROLL):
+            comps, ns = masked_step(comps, ns)
+        return k + 1, comps, ns
+
+    _, comps, ns = jax.lax.while_loop(cond, body, (jnp.int32(0), comps, ns0))
+    for _ in range(steps % UNROLL):  # static remainder, preserves budget
+        comps, ns = masked_step(comps, ns)
+
+    for i in range(16):
+        out_state_ref[0, i] = comps[i]
+    ns_ref[0, 0] = ns
+
+
+@partial(jax.jit, static_argnames=("steps", "interpret"))
+def _integrate_tiles(state, params, steps, interpret=False):
+    """state: (T, 16, 8, 128), params: (5,) -> (final_state, n_steps)."""
+    num_tiles = state.shape[0]
+    dtype = state.dtype
+    kernel = partial(_kernel, steps=steps)
+    out_state, ns = pl.pallas_call(
+        kernel,
+        grid=(num_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec((1, 16, SUBLANES, LANES),
+                               lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec((1, 16, SUBLANES, LANES),
+                                lambda i: (i, 0, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, 1, SUBLANES, LANES),
+                                lambda i: (i, 0, 0, 0),
+                                memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct(state.shape, dtype),
+                   jax.ShapeDtypeStruct((num_tiles, 1, SUBLANES, LANES),
+                                        jnp.int32)),
+        interpret=interpret,
+    )(params, state)
+    return out_state, ns
+
+
+def _pack_tiles(q0s, p0s, r_max):
+    """(N, 4) q/p -> (T, 16, 8, 128) tiled state + padding bookkeeping.
+
+    Padding rays are parked outside the domain (r = 2*r_max) so they are
+    born inactive and never cost a flow evaluation.
+    """
+    n = q0s.shape[0]
+    num_tiles = -(-n // TILE)
+    n_pad = num_tiles * TILE
+
+    comp = jnp.concatenate([q0s.T, p0s.T, q0s.T, p0s.T], axis=0)  # (16, N)
+    pad_col = jnp.zeros((16,), comp.dtype).at[1].set(2.0 * r_max)
+    pad_col = pad_col.at[2].set(jnp.pi / 2).at[9].set(2.0 * r_max)
+    pad_col = pad_col.at[10].set(jnp.pi / 2)
+    pad = jnp.broadcast_to(pad_col[:, None], (16, n_pad - n))
+    comp = jnp.concatenate([comp, pad], axis=1)
+
+    state = comp.reshape(16, num_tiles, SUBLANES, LANES).transpose(1, 0, 2, 3)
+    return state, n
+
+
+def _unpack_tiles(out_state, ns, n):
+    """(T, 16, 8, 128) -> final_q (N,4), final_p (N,4), n_steps (N,)."""
+    comp = out_state.transpose(1, 0, 2, 3).reshape(16, -1)[:, :n]
+    final_q = comp[0:4].T
+    final_p = comp[4:8].T
+    n_steps = ns.reshape(-1)[:n]
+    return final_q, final_p, n_steps
+
+
+@partial(jax.jit, static_argnames=("steps", "interpret"))
+def integrate_batch_pallas(q0s, p0s, steps, delta, rs, r_max, omega,
+                           interpret=False):
+    """Drop-in replacement for engine.integrate.integrate_batch on TPU.
+
+    Returns (final_q, final_p, status, n_steps), identical semantics to the
+    XLA backend (masked stepping == per-ray break) but with per-tile early
+    exit for real wall-clock savings on mixed scenes.  delta/rs/r_max/omega
+    may be traced values (shipped to the kernel through SMEM), so one
+    compilation serves every scene with the same image size and step budget.
+    """
+    dtype = q0s.dtype
+    delta = jnp.asarray(delta, dtype)
+    rs = jnp.asarray(rs, dtype)
+    r_max = jnp.asarray(r_max, dtype)
+    omega = jnp.asarray(omega, dtype)
+    angle = 2.0 * omega * delta
+    params = jnp.stack([delta, rs, r_max, jnp.cos(angle), jnp.sin(angle)])
+    state, n = _pack_tiles(q0s, p0s, r_max)
+    out_state, ns = _integrate_tiles(state, params, steps,
+                                     interpret=interpret)
+    final_q, final_p, n_steps = _unpack_tiles(out_state, ns, n)
+    q1r = final_q[:, 1]
+    status = jnp.where(q1r <= 1.1 * rs, STATUS_CAPTURED,
+                       jnp.where(q1r >= r_max, STATUS_ESCAPED, STATUS_ALIVE))
+    return final_q, final_p, status, n_steps

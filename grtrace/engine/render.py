@@ -27,43 +27,56 @@ from ..io.scene import SceneConfig
 from ..physics.camera import camera_rays
 from ..physics.coords import rotate_x, spherical_to_cartesian
 from . import classify as _classify
-from .integrate import SchwarzschildIntegrator, integrate_batch
-from .integrate import integrate_batch_full
+from .integrate import (SchwarzschildIntegrator, integrate_batch_full,
+                        integrate_dispatch, resolve_backend)
 
 MAX_TRAJ_POINTS = 1000  # reference cap per sampled ray (raytracing.py:124)
 
 
-@dataclasses.dataclass
 class RenderResult:
-    """Everything run_manual_simulation produced, as arrays.
+    """Everything run_manual_simulation produced.
 
-    photon_data.csv columns (raytracing.py:275-280) are reconstructable from
-    these fields via io.artifacts.photon_dataframe.
+    Per-pixel arrays stay on device until first accessed — host<->device
+    bandwidth is the scarce resource (the reference copies everything back
+    eagerly, cuda_geodesic.py:247).  Accessing an attribute (image, cls,
+    final_q, final_th, final_ph, q0, p0, alpha0, heading, beta, n_steps,
+    status) fetches and caches it as a numpy array.  photon_data.csv columns
+    (raytracing.py:275-280) are reconstructable via io.artifacts.
     """
-    image: np.ndarray              # (H, W, 3) uint8
-    cls: np.ndarray                # (H, W) int32 classification codes
-    final_q: np.ndarray            # (H, W, 4) final positions (folded frame)
-    final_th: np.ndarray           # (H, W) reported hit theta (CSV parity)
-    final_ph: np.ndarray           # (H, W) reported hit phi (CSV parity)
-    p0: np.ndarray                 # (H, W, 4) initial momenta
-    alpha0: np.ndarray             # (H, W)
-    heading: np.ndarray            # (H, W, 3) (h_r, h_theta, h_phi)
-    beta: np.ndarray               # (H, W)
-    n_steps: np.ndarray            # (H, W) integration steps taken (new)
-    counts: dict                   # photon summary (main.py:147-155)
-    sampled_indices: Optional[np.ndarray] = None       # (K, 2) (i, j)
-    sampled_trajectories: Optional[list] = None        # list of (P, 3) arrays
+
+    _FIELDS = ("image", "cls", "final_q", "final_th", "final_ph", "q0", "p0",
+               "alpha0", "heading", "beta", "n_steps", "status")
+
+    def __init__(self, device_arrays: dict, counts: dict,
+                 sampled_indices=None, sampled_trajectories=None):
+        self._dev = device_arrays
+        self._cache: dict = {}
+        self.counts = counts                      # photon summary (main.py:147-155)
+        self.sampled_indices = sampled_indices    # (K, 2) (i, j)
+        self.sampled_trajectories = sampled_trajectories  # list of (P, 3)
+
+    def __getattr__(self, name):
+        if name in RenderResult._FIELDS:
+            cache = self.__dict__["_cache"]
+            if name not in cache:
+                cache[name] = np.asarray(self.__dict__["_dev"][name])
+            return cache[name]
+        raise AttributeError(name)
+
+    def device(self, name):
+        """The raw device array (no host transfer)."""
+        return self._dev[name]
 
 
 @partial(jax.jit,
          static_argnames=("height", "width", "steps", "flip_theta",
-                          "flip_phi", "has_background", "dtype"))
+                          "flip_phi", "has_background", "dtype", "backend"))
 def render_pixels(bg_array, obs_x, fov, mass, boundary_radius,
                   steps, delta, omega,
                   patch_center_theta, patch_center_phi,
                   patch_size_theta, patch_size_phi,
                   *, height, width, flip_theta=False, flip_phi=False,
-                  has_background=True, dtype=jnp.float32):
+                  has_background=True, dtype=jnp.float32, backend="xla"):
     """The fused device pipeline for one frame.
 
     Returns a dict of per-pixel arrays.  Everything from pixel grid to RGB
@@ -75,9 +88,9 @@ def render_pixels(bg_array, obs_x, fov, mass, boundary_radius,
 
     n = height * width
     rs = 2.0 * mass
-    final_q, final_p, status, n_steps = integrate_batch(
+    final_q, final_p, status, n_steps = integrate_dispatch(
         q0.reshape(n, 4), p0.reshape(n, 4), steps, delta, rs,
-        boundary_radius, omega)
+        boundary_radius, omega, backend=backend)
     final_q = final_q.reshape(height, width, 4)
 
     cls, th_csv, ph_csv, u01, v01 = _classify.classify_rays(
@@ -96,6 +109,16 @@ def render_pixels(bg_array, obs_x, fov, mass, boundary_radius,
         image = _classify.composite(
             cls, u01, v01, jnp.zeros((1, 1, 3), dtype=jnp.uint8))
 
+    # one small (5,) device array -> single host fetch for the summary
+    count_vec = jnp.stack([
+        jnp.sum(cls == _classify.CLS_BH),
+        jnp.sum(cls == _classify.CLS_IN_DOMAIN),
+        jnp.sum((cls == _classify.CLS_ESCAPE_NO_PATCH)
+                | (cls == _classify.CLS_ESCAPE_BG)),
+        jnp.sum(cls == _classify.CLS_ESCAPE_BG),
+        jnp.sum(cls == _classify.CLS_NUMERICAL),
+    ])
+
     return {
         "image": image,
         "cls": cls,
@@ -109,6 +132,7 @@ def render_pixels(bg_array, obs_x, fov, mass, boundary_radius,
         "beta": beta,
         "n_steps": n_steps.reshape(height, width),
         "status": status.reshape(height, width),
+        "count_vec": count_vec,
     }
 
 
@@ -172,10 +196,13 @@ def render(scene: SceneConfig, *, bg_array=None, n_samples=None, seed=0,
         jnp.asarray(scene.patch.size_phi, dtype),
         height=h, width=w,
         flip_theta=scene.patch.flip_theta, flip_phi=scene.patch.flip_phi,
-        has_background=has_bg, dtype=dtype)
+        has_background=has_bg, dtype=dtype,
+        backend=resolve_backend(integ.backend))
 
-    counts = {k: int(v) for k, v in
-              _classify.summary_counts(out["cls"]).items()}
+    cv = np.asarray(out.pop("count_vec"))
+    counts = {"captured": int(cv[0]), "in_domain": int(cv[1]),
+              "escaped": int(cv[2]), "background": int(cv[3]),
+              "numerical_error": int(cv[4])}
 
     n_samples = scene.n_samples if n_samples is None else n_samples
     sampled_ij = None
@@ -187,18 +214,5 @@ def render(scene: SceneConfig, *, bg_array=None, n_samples=None, seed=0,
         sampled_trajs = _sample_trajectories(
             out["q0"], out["p0"], out["beta"], sampled_ij, scene, dtype)
 
-    return RenderResult(
-        image=np.asarray(out["image"]),
-        cls=np.asarray(out["cls"]),
-        final_q=np.asarray(out["final_q"]),
-        final_th=np.asarray(out["final_th"]),
-        final_ph=np.asarray(out["final_ph"]),
-        p0=np.asarray(out["p0"]),
-        alpha0=np.asarray(out["alpha0"]),
-        heading=np.asarray(out["heading"]),
-        beta=np.asarray(out["beta"]),
-        n_steps=np.asarray(out["n_steps"]),
-        counts=counts,
-        sampled_indices=sampled_ij,
-        sampled_trajectories=sampled_trajs,
-    )
+    return RenderResult(out, counts, sampled_indices=sampled_ij,
+                        sampled_trajectories=sampled_trajs)

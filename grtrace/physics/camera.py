@@ -129,6 +129,41 @@ def initial_conditions(obs_pos, pixel_pos, *, mass_bh=1.0):
     return q0, p0, alpha0, heading, beta
 
 
+def pixel_positions_for_indices(obs_pos, fov, height, width, flat_idx,
+                                dtype=jnp.float32):
+    """Pixel positions for a slice of flat indices (i*W + j).
+
+    The sharded renderer gives each device only its ray slice, so the pixel
+    grid must be computable per-index instead of materialized (H, W, 3)
+    (replaces reference raytracing.py:83-88 for the distributed path).
+    """
+    obs_pos = jnp.asarray(obs_pos, dtype=dtype)
+    optical_axis = jnp.array([-1.0, 0.0, 0.0], dtype=dtype)
+    right = jnp.array([0.0, 1.0, 0.0], dtype=dtype)
+    up = jnp.array([0.0, 0.0, 1.0], dtype=dtype)
+
+    plane_dist = 0.2 * jnp.linalg.norm(obs_pos)
+    plane_center = obs_pos + optical_axis * plane_dist
+    plane_width = 2.0 * plane_dist * jnp.tan(fov / 2.0)
+    plane_height = plane_width * (height / width)
+
+    i = (flat_idx // width).astype(dtype)
+    j = (flat_idx % width).astype(dtype)
+    u = (j + 0.5) / width - 0.5
+    v = (i + 0.5) / height - 0.5
+    return (plane_center + u[:, None] * plane_width * right
+            + v[:, None] * plane_height * up)
+
+
+def camera_rays_for_indices(obs_pos, fov, height, width, flat_idx, *,
+                            mass_bh=1.0, dtype=jnp.float32):
+    """Initial conditions for an arbitrary slice of flat pixel indices."""
+    pix = pixel_positions_for_indices(obs_pos, fov, height, width, flat_idx,
+                                      dtype=dtype)
+    return initial_conditions(jnp.asarray(obs_pos, dtype=dtype), pix,
+                              mass_bh=mass_bh)
+
+
 def camera_rays(obs_pos, fov, height, width, *, mass_bh=1.0, dtype=jnp.float32):
     """End-to-end: camera parameters -> per-pixel initial conditions.
 

@@ -1,0 +1,135 @@
+"""Multi-chip sharding: ray tiles over ICI, frames over a second mesh axis.
+
+The reference is strictly single-process / single-GPU (SURVEY.md section 2.2);
+this module is the scale-out story the TPU build adds.  Rays are embarrassingly
+parallel, so the design is pure SPMD with `shard_map` over a
+`jax.sharding.Mesh`:
+
+  * axis 'rays'   — the flattened pixel batch of one frame, sharded across
+                    chips in a slice (ICI).  Each device computes the camera
+                    initial conditions for *its own* index slice (no
+                    replicated (H, W) grid), integrates, classifies and
+                    composites its pixels.  The only communication is the
+                    implicit output all-gather when the host assembles the
+                    image — zero per-step collectives, which is
+                    speed-of-light for this workload.
+  * axis 'frames' — independent frames of a camera-orbit animation / batch
+                    job, sharded across slices (DCN-friendly: frames never
+                    talk to each other).
+
+Camera orbits exploit spherical symmetry: orbiting the observer in the
+equatorial plane is identical to holding the camera fixed and rotating the
+background patch center by -delta_phi, so per-frame parameters are
+(observer_distance, fov, patch_center_phi, ...) scalars.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..engine import classify as _classify
+from ..engine.integrate import integrate_dispatch
+from ..physics.camera import camera_rays_for_indices
+
+
+def make_mesh(n_frames_shards=1, n_ray_shards=None, devices=None) -> Mesh:
+    """('frames', 'rays') mesh over the available devices."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    if n_ray_shards is None:
+        n_ray_shards = devices.size // n_frames_shards
+    assert n_frames_shards * n_ray_shards == devices.size, (
+        f"mesh {n_frames_shards}x{n_ray_shards} != {devices.size} devices")
+    return Mesh(devices.reshape(n_frames_shards, n_ray_shards),
+                ("frames", "rays"))
+
+
+@partial(jax.jit,
+         static_argnames=("mesh", "height", "width", "steps", "flip_theta",
+                          "flip_phi", "has_background", "dtype", "backend"))
+def render_frames_sharded(mesh, bg_array, obs_x, fov, mass, boundary_radius,
+                          steps, delta, omega,
+                          patch_center_theta, patch_center_phi,
+                          patch_size_theta, patch_size_phi,
+                          *, height, width, flip_theta=False, flip_phi=False,
+                          has_background=True, dtype=jnp.float32,
+                          backend="xla"):
+    """Render F frames over the ('frames', 'rays') mesh.
+
+    Per-frame arrays (shape (F,)): obs_x, patch_center_phi.
+    Scalars: everything else.  F must be divisible by the 'frames' axis and
+    height*width by the 'rays' axis.
+
+    Returns dict with image (F, H, W, 3), cls (F, H, W), n_steps (F, H, W).
+    """
+    n = height * width
+    n_ray_shards = mesh.shape["rays"]
+    # pad the ray axis up to a multiple of the shard count; padding shards
+    # recompute the last pixel (harmless, cropped below)
+    n_local = -(-n // n_ray_shards)
+
+    obs_x = jnp.asarray(obs_x, dtype)
+    patch_center_phi = jnp.asarray(patch_center_phi, dtype)
+
+    def frame_body(obs_x_f, patch_phi_f, bg):
+        """One frame, this device's ray slice."""
+        shard = jax.lax.axis_index("rays")
+        flat_idx = jnp.minimum(
+            shard * n_local + jax.lax.iota(jnp.int32, n_local), n - 1)
+        obs_pos = jnp.stack([obs_x_f, jnp.zeros_like(obs_x_f),
+                             jnp.zeros_like(obs_x_f)])
+        q0, p0, alpha0, heading, beta = camera_rays_for_indices(
+            obs_pos, fov, height, width, flat_idx, mass_bh=mass, dtype=dtype)
+        rs = 2.0 * mass
+        final_q, final_p, status, n_steps = integrate_dispatch(
+            q0, p0, steps, delta, rs, boundary_radius, omega,
+            backend=backend)
+        cls, th_csv, ph_csv, u01, v01 = _classify.classify_rays(
+            final_q, alpha0, beta, rs=rs, r_obs_x=obs_x_f,
+            boundary_radius=boundary_radius,
+            patch_center_theta=patch_center_theta,
+            patch_center_phi=patch_phi_f,
+            patch_size_theta=patch_size_theta,
+            patch_size_phi=patch_size_phi,
+            flip_theta=flip_theta, flip_phi=flip_phi,
+            has_background=has_background)
+        image = _classify.composite(cls, u01, v01, bg)
+        return image, cls, n_steps
+
+    def shard_body(bg, obs_x_l, patch_phi_l):
+        # obs_x_l: (F_local,) — map frames within the shard.
+        return jax.vmap(lambda ox, pp: frame_body(ox, pp, bg))(
+            obs_x_l, patch_phi_l)
+
+    image, cls, n_steps = shard_map(
+        shard_body, mesh=mesh,
+        in_specs=(P(), P("frames"), P("frames")),
+        out_specs=(P("frames", "rays"), P("frames", "rays"),
+                   P("frames", "rays")),
+        check_rep=False,
+    )(bg_array, obs_x, patch_center_phi)
+
+    f = obs_x.shape[0]
+    image = image.reshape(f, -1, 3)[:, :n]
+    cls = cls.reshape(f, -1)[:, :n]
+    n_steps = n_steps.reshape(f, -1)[:, :n]
+    return {
+        "image": image.reshape(f, height, width, 3),
+        "cls": cls.reshape(f, height, width),
+        "n_steps": n_steps.reshape(f, height, width),
+    }
+
+
+def orbit_frames(scene, n_frames):
+    """Per-frame parameter arrays for an equatorial camera orbit.
+
+    Frame k rotates the camera by 2*pi*k/F about +z; by spherical symmetry
+    this is the background patch center rotating by -2*pi*k/F.
+    """
+    phis = scene.patch.center_phi - 2.0 * np.pi * np.arange(n_frames) / n_frames
+    obs = np.full(n_frames, scene.observer_distance)
+    return obs, phis % (2 * np.pi)

@@ -1,0 +1,69 @@
+"""Pallas integrator (interpret mode on CPU) vs the XLA backend.
+
+On real TPU hardware the same kernel compiles via Mosaic; interpret mode
+checks the layout/masking/early-exit logic is equivalent to the XLA
+reference backend.
+"""
+import jax.numpy as jnp
+import numpy as np
+
+from grtrace.engine.integrate import integrate_batch
+from grtrace.engine.integrate_pallas import TILE, integrate_batch_pallas
+from grtrace.physics.camera import camera_rays
+
+ARGS = (2000, 0.05, 2.0, 31.0, 1.0)
+
+
+def _ics(n, fov=80.0):
+    q0, p0, *_ = camera_rays(np.array([30.0, 0.0, 0.0]), np.radians(fov),
+                             n, n, dtype=jnp.float64)
+    return (jnp.asarray(q0).reshape(-1, 4), jnp.asarray(p0).reshape(-1, 4))
+
+
+def test_matches_xla_backend():
+    q0, p0 = _ics(16)
+    fq1, fp1, st1, ns1 = integrate_batch(q0, p0, *ARGS)
+    fq2, fp2, st2, ns2 = integrate_batch_pallas(q0, p0, *ARGS,
+                                                interpret=True)
+    assert bool((st1 == st2).all())
+    assert bool((ns1 == ns2).all())
+    # identical math modulo mixing-rotation cos/sin evaluation; rays that
+    # dip into the strong field chaotically amplify that last-ulp noise
+    d = np.abs(np.asarray(fq1) - np.asarray(fq2)).max(axis=1)
+    rfin = np.asarray(fq1)[:, 1]
+    weak = rfin > 3.0
+    assert d[weak].max() < 1e-8
+
+
+def test_padding_rays_inert():
+    """Non-multiple-of-TILE batches pad with parked rays that must not
+    affect outputs or step counts."""
+    q0, p0 = _ics(5)  # 25 rays << TILE
+    assert q0.shape[0] < TILE
+    fq, fp, st, ns = integrate_batch_pallas(q0, p0, *ARGS, interpret=True)
+    assert fq.shape == (25, 4)
+    assert ns.shape == (25,)
+    fq_x, _, st_x, ns_x = integrate_batch(q0, p0, *ARGS)
+    assert bool((st == st_x).all())
+    assert bool((ns == ns_x).all())
+
+
+def test_multi_tile():
+    q0, p0 = _ics(40)  # 1600 rays -> 2 tiles
+    fq, _, st, ns = integrate_batch_pallas(q0, p0, *ARGS, interpret=True)
+    _, _, st_x, ns_x = integrate_batch(q0, p0, *ARGS)
+    assert bool((st == st_x).all())
+    assert bool((ns == ns_x).all())
+
+
+def test_step_budget_exact():
+    """With a budget that is not a multiple of UNROLL, the remainder steps
+    must still be applied (reference semantics: exactly `steps` sweeps)."""
+    q0, p0 = _ics(4)
+    steps = 1003  # 1003 % UNROLL(4) == 3
+    fq, _, _, ns = integrate_batch_pallas(q0, p0, steps, 0.05, 2.0, 1e6,
+                                          1.0, interpret=True)
+    _, _, _, ns_x = integrate_batch(q0, p0, steps, 0.05, 2.0, 1e6, 1.0)
+    # r_max=1e6: nothing escapes, every ray runs the full budget
+    assert int(np.asarray(ns).max()) == steps
+    assert bool((ns == ns_x).all())
