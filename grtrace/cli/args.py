@@ -1,0 +1,126 @@
+"""CLI flag system — every reference flag preserved by name and default.
+
+Parity with reference config.py:4-33, with the reference's *effective*
+behavior as default and deliberate fixes behind explicit opt-in flags
+(SURVEY.md section 5, config row):
+  * --omega is parsed but the reference never forwards it to the integrator
+    (raytracing.py:118), so the integrator's class default omega=1.0 always
+    wins.  We default to the same effective behavior; pass --fix-omega to
+    actually forward the flag value.
+  * --cuda used action='store_true' with default=True (unable to disable,
+    config.py:16).  Here it maps to the accelerator backend selection:
+    --backend {auto,pallas,xla}; --cuda is accepted and ignored for
+    compatibility.
+  * rtol/atol/order/suppress-warnings are accepted for compatibility; only
+    order=2 exists on-device, like the reference (cuda_geodesic.py:569).
+"""
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+from ..io.scene import IntegratorConfig, PatchConfig, SceneConfig
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        description="Black Hole Ray Tracing Simulation (TPU-native)")
+    p.add_argument('--size', type=int, default=200, help='Image size (NxN)')
+    p.add_argument('--fov', type=float, default=80.0,
+                   help='Field of view in degrees')
+    p.add_argument('--background', type=str,
+                   default='images/backgrounds/milky-way-equirec.jpg',
+                   help='Background image path')
+    p.add_argument('--steps', type=int, default=200000,
+                   help='Number of integration steps for each geodesic')
+    p.add_argument('--delta', type=float, default=0.01,
+                   help='Integration step size')
+    p.add_argument('--omega', type=float, default=0.01,
+                   help='Hamiltonian flow coupling omega (see --fix-omega)')
+    p.add_argument('--fix-omega', action='store_true',
+                   help='Actually forward --omega to the integrator (the '
+                        'reference silently used omega=1.0)')
+    p.add_argument('--rtol', type=float, default=1e-2,
+                   help='Accepted for compatibility (unused, like reference)')
+    p.add_argument('--atol', type=float, default=1e-2,
+                   help='Accepted for compatibility (unused, like reference)')
+    p.add_argument('--order', type=int, default=2, choices=[2, 4, 6, 8],
+                   help='Integration order (only 2 implemented on device)')
+    p.add_argument('--suppress-warnings', action='store_true',
+                   help='Suppress numerical warnings during integration')
+    p.add_argument('--cuda', action='store_true', default=True,
+                   help='Compatibility no-op (see --backend)')
+    p.add_argument('--backend', type=str, default='auto',
+                   choices=['auto', 'pallas', 'xla'],
+                   help='Integrator backend (auto = pallas on TPU)')
+    p.add_argument('--dtype', type=str, default='float32',
+                   choices=['float32', 'float64'])
+    p.add_argument('--bh-mass', type=float, default=1.0,
+                   help='Black hole mass')
+    p.add_argument('--boundary-radius', type=float, default=31,
+                   help='Simulation boundary radius')
+    p.add_argument('--observer-distance', type=float, default=30,
+                   help='Observer distance from BH')
+    p.add_argument('--bg-patch-center-theta', type=float, default=90,
+                   help='Background patch center theta (deg)')
+    p.add_argument('--bg-patch-center-phi', type=float, default=180,
+                   help='Background patch center phi (deg)')
+    p.add_argument('--bg-patch-center-theta-relobs', type=float, default=0,
+                   help='Patch center theta offset rel. optical axis (deg)')
+    p.add_argument('--bg-patch-center-phi-relobs', type=float, default=0,
+                   help='Patch center phi offset rel. optical axis (deg)')
+    p.add_argument('--bg-patch-size-theta', type=float, default=180,
+                   help='Background patch size theta (deg)')
+    p.add_argument('--bg-patch-size-phi', type=float, default=360,
+                   help='Background patch size phi (deg)')
+    p.add_argument('--bg-flip-theta', action='store_true',
+                   help='Flip theta mapping for background patch')
+    p.add_argument('--bg-flip-phi', action='store_true',
+                   help='Flip phi mapping for background patch')
+    p.add_argument('--no-flat-trajectories', action='store_true',
+                   default=False,
+                   help='Disable flat (no-gravity) trajectory rendering')
+    p.add_argument('--n-samples', type=int, default=20,
+                   help='Number of sampled diagnostic trajectories')
+    p.add_argument('--out-dir', type=str, default='.',
+                   help='Output directory for artifacts')
+    p.add_argument('--no-plots', action='store_true',
+                   help='Skip matplotlib scene diagnostics')
+    p.add_argument('--seed', type=int, default=0,
+                   help='Sampling seed (reference used unseeded random)')
+    return p
+
+
+def parse_args(argv=None):
+    return build_parser().parse_args(argv)
+
+
+def scene_from_args(args) -> SceneConfig:
+    """argparse Namespace -> SceneConfig (applies the relative patch offsets
+    exactly like reference main.py:34-40)."""
+    from ..io.scene import apply_relative_offsets
+    patch_theta, patch_phi = apply_relative_offsets(
+        args.bg_patch_center_theta, args.bg_patch_center_phi,
+        args.bg_patch_center_theta_relobs, args.bg_patch_center_phi_relobs)
+    omega = args.omega if args.fix_omega else 1.0
+    return SceneConfig(
+        size=args.size,
+        fov_deg=args.fov,
+        background=args.background,
+        bh_mass=args.bh_mass,
+        boundary_radius=args.boundary_radius,
+        observer_distance=args.observer_distance,
+        integrator=IntegratorConfig(
+            steps=args.steps, delta=args.delta, omega=omega,
+            order=args.order, rtol=args.rtol, atol=args.atol,
+            backend=args.backend, dtype=args.dtype),
+        patch=PatchConfig(
+            center_theta=float(patch_theta), center_phi=float(patch_phi),
+            size_theta=float(np.deg2rad(args.bg_patch_size_theta)),
+            size_phi=float(np.deg2rad(args.bg_patch_size_phi)),
+            flip_theta=args.bg_flip_theta, flip_phi=args.bg_flip_phi),
+        n_samples=args.n_samples,
+        suppress_warnings=args.suppress_warnings,
+        no_flat_trajectories=args.no_flat_trajectories,
+    )

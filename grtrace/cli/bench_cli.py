@@ -1,0 +1,68 @@
+"""`grtrace-bench` console entry: parameterized throughput benchmark.
+
+The repo-root bench.py prints the driver's single headline JSON line; this
+CLI exposes the same measurement with knobs (size, steps, backend, dtype)
+for profiling work.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="grtrace throughput benchmark")
+    p.add_argument("--size", type=int, default=400)
+    p.add_argument("--steps", type=int, default=200_000)
+    p.add_argument("--delta", type=float, default=0.01)
+    p.add_argument("--backend", type=str, default="auto",
+                   choices=["auto", "pallas", "xla"])
+    p.add_argument("--dtype", type=str, default="float32",
+                   choices=["float32", "float64"])
+    p.add_argument("--iters", type=int, default=3)
+    args = p.parse_args(argv)
+
+    from grtrace import IntegratorConfig, PatchConfig, SceneConfig, render
+
+    scene = SceneConfig(
+        size=args.size, background=None,
+        integrator=IntegratorConfig(steps=args.steps, delta=args.delta,
+                                    omega=1.0, backend=args.backend,
+                                    dtype=args.dtype),
+        patch=PatchConfig(), n_samples=0)
+    rng = np.random.default_rng(0)
+    tex = rng.integers(0, 255, (args.size, args.size, 3), dtype=np.uint8)
+
+    t0 = time.time()
+    res = render(scene, bg_array=tex)
+    warm = time.time() - t0
+    times = []
+    for i in range(args.iters):
+        scene.observer_distance = 30.0 + 1e-6 * (i + 1)
+        t0 = time.time()
+        res = render(scene, bg_array=tex)
+        times.append(time.time() - t0)
+    t = min(times)
+    total_steps = int(res.n_steps.astype(np.int64).sum())
+    print(json.dumps({
+        "size": args.size, "steps_budget": args.steps,
+        "backend": args.backend, "dtype": args.dtype,
+        "warmup_s": round(warm, 2), "wall_s": round(t, 4),
+        "rays_per_s": round(args.size * args.size / t),
+        "geodesic_steps_per_s": round(total_steps / t),
+        "counts": res.counts,
+    }))
+
+
+def console(argv=None):
+    """setuptools console-script entry (must not return a value — sys.exit
+    would print it and exit non-zero)."""
+    main(argv)
+    return 0
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,133 @@
+"""End-to-end pipeline driver — the reference main.py analog.
+
+Pipeline (parity with reference main.py:22-157):
+  scene -> flat-space reference image (no_gravity.png, scene_full.png)
+        -> curved render (manual_output.png, photon_data.csv,
+           sampled_rays.csv)
+        -> scene diagnostics (topdown, closeup 3D, embedding 3D x 8 azimuths)
+        -> photon summary printed from the photon data.
+
+Run: python -m grtrace.cli.main [flags]  (flag parity: cli/args.py)
+"""
+from __future__ import annotations
+
+import logging
+import os
+import time
+
+import numpy as np
+
+from ..engine.flat import flat_render_scene
+from ..engine.render import render
+from ..io import artifacts
+from .args import parse_args, scene_from_args
+
+logging.basicConfig(level=logging.INFO,
+                    format="%(asctime)s %(levelname)s: %(message)s")
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    scene = scene_from_args(args)
+    out = args.out_dir
+    images_dir = os.path.join(out, "images")
+
+    bg_array = None
+    if scene.background and os.path.exists(scene.background):
+        # reference behavior: texture resized to the output resolution
+        # (raytracing.py:36)
+        bg_array = artifacts.load_background(
+            scene.background, size=(scene.size, scene.size))
+    elif scene.background:
+        logging.warning("Background %s not found; rendering without it",
+                        scene.background)
+
+    observer = scene.observer()
+    bh = scene.black_hole()
+
+    # --- flat-space reference image (main.py:44-58) ---
+    flat_trajs = None
+    if not scene.no_flat_trajectories and bg_array is not None:
+        logging.info("Saving no-gravity image using background...")
+        flat_img, flat_trajs = flat_render_scene(
+            observer, bg_array,
+            boundary_radius=scene.boundary_radius,
+            patch_center_theta=scene.patch.center_theta,
+            patch_center_phi=scene.patch.center_phi,
+            patch_size_theta=scene.patch.size_theta,
+            patch_size_phi=scene.patch.size_phi,
+            flip_theta=scene.patch.flip_theta,
+            flip_phi=scene.patch.flip_phi,
+            n_sampled=10, seed=args.seed,
+            override_patch_center=False)
+        artifacts.save_image(flat_img,
+                             os.path.join(images_dir, "no_gravity.png"))
+        artifacts.save_image(bg_array,
+                             os.path.join(images_dir, "scene_full.png"))
+
+    # --- curved render (main.py:67-99) ---
+    logging.info("Starting manual ray tracing simulation...")
+    t0 = time.time()
+    result = render(scene, bg_array=bg_array, seed=args.seed)
+    logging.info("Curved render finished in %.2fs (%s backend)",
+                 time.time() - t0, scene.integrator.backend)
+    artifacts.save_image(result.image,
+                         os.path.join(images_dir, "manual_output.png"))
+    logging.info("Saved manual_output.png")
+
+    artifacts.save_photon_data(result, os.path.join(out, "photon_data.csv"))
+    if result.sampled_trajectories:
+        artifacts.save_sampled_rays(result,
+                                    os.path.join(out, "sampled_rays.csv"))
+
+    # --- scene diagnostics (main.py:104-142) ---
+    if not args.no_plots:
+        from ..viz import plots
+        photon_trajs = None
+        if result.sampled_trajectories:
+            photon_trajs = []
+            for traj in result.sampled_trajectories:
+                keep = ~np.all(traj == 0, axis=1)
+                if keep.any():
+                    photon_trajs.append(traj[keep])
+            print(f"Filtered {len(photon_trajs)} trajectories")
+        logging.info("Saving top-down scene view...")
+        plots.plot_scene_topdown(
+            bh, observer, scene.image_size, scene.boundary_radius,
+            out_path=os.path.join(images_dir, "scene_topdown.png"),
+            fov_deg=scene.fov_deg,
+            patch_center_theta=scene.patch.center_theta,
+            patch_size_theta=scene.patch.size_theta,
+            patch_size_phi=scene.patch.size_phi,
+            photon_trajectories=photon_trajs)
+        logging.info("Saving close-up 3D scene view...")
+        plots.plot_scene_closeup_3d(
+            bh, observer, scene.image_size,
+            out_path=os.path.join(images_dir, "scene_closeup_3d.png"),
+            fov_deg=scene.fov_deg, photon_trajectories=photon_trajs)
+        logging.info("Saving 3D embedding scene view...")
+        plots.plot_scene_embedding_3d(
+            bh, observer, scene.image_size, scene.boundary_radius,
+            out_path=os.path.join(images_dir, "scene_topdown_3d.png"),
+            fov_deg=scene.fov_deg,
+            photon_trajectories=photon_trajs, flat_trajectories=flat_trajs,
+            patch_center_theta=scene.patch.center_theta,
+            patch_center_phi=scene.patch.center_phi,
+            patch_size_theta=scene.patch.size_theta,
+            patch_size_phi=scene.patch.size_phi,
+            override_patch_center=False)
+
+    # --- photon summary (main.py:144-157) ---
+    artifacts.print_summary(result.counts)
+    return result
+
+
+def console(argv=None):
+    """setuptools console-script entry (must not return a value — sys.exit
+    would print it and exit non-zero)."""
+    main(argv)
+    return 0
+
+
+if __name__ == "__main__":
+    main()

@@ -1,1 +1,2 @@
 from . import classify, flat, integrate, render
+from . import euler

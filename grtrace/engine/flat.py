@@ -115,6 +115,51 @@ def flat_raytrace(obs_pos, ray_dirs, boundary_radius,
     return rgb, hit
 
 
+def flat_render_scene(observer, bg_array, *, boundary_radius=None,
+                      patch_center_theta=None, patch_center_phi=None,
+                      patch_size_theta=None, patch_size_phi=None,
+                      flip_theta=False, flip_phi=False,
+                      n_sampled=10, seed=0, dtype=jnp.float32,
+                      override_patch_center=False):
+    """Full flat-space render pass — the save_no_gravity_image_with_background
+    orchestration (reference: simulation/background.py:19-132) minus file IO.
+
+    Returns (image (H, W, 3) uint8, sampled_trajectories list of (100, 3)).
+    Defaults mirror the reference: boundary = 2*|obs| fallback
+    (background.py:31-32), patch centered on the boundary point opposite the
+    observer unless overridden (background.py:54-58).
+    """
+    import numpy as _np
+    h, w = observer.image_size
+    obs = _np.asarray(observer.position, dtype=float)
+    if boundary_radius is None:
+        boundary_radius = float(_np.linalg.norm(obs) * 2)
+    if (not override_patch_center or patch_center_theta is None
+            or patch_center_phi is None):
+        opp = -obs
+        r_opp = _np.linalg.norm(opp)
+        patch_center_theta = float(_np.arccos(opp[2] / r_opp))
+        patch_center_phi = float(_np.arctan2(opp[1], opp[0]))
+    if patch_size_theta is None:
+        patch_size_theta = float(jnp.deg2rad(10.0))
+    if patch_size_phi is None:
+        patch_size_phi = float(jnp.deg2rad(10.0))
+
+    dirs = flat_ray_dirs(obs, observer.fov, h, w, dtype=dtype)
+    rgb, hits = flat_raytrace(obs, dirs, boundary_radius,
+                              patch_center_theta, patch_center_phi,
+                              patch_size_theta, patch_size_phi,
+                              jnp.asarray(bg_array, jnp.uint8),
+                              flip_theta=flip_theta, flip_phi=flip_phi)
+    trajs = []
+    if n_sampled and n_sampled > 0:
+        rng = _np.random.default_rng(seed)
+        flat = rng.choice(h * w, size=min(n_sampled, h * w), replace=False)
+        sampled_hits = hits.reshape(-1, 3)[jnp.asarray(flat)]
+        trajs = list(_np.asarray(flat_trajectories(obs, sampled_hits)))
+    return _np.asarray(rgb), trajs
+
+
 def flat_trajectories(obs_pos, hits, n_points=100):
     """Straight-line sample points (K, n_points, 3) for sampled rays.
 
