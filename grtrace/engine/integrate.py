@@ -40,12 +40,18 @@ def resolve_backend(backend: str) -> str:
 
 
 def integrate_dispatch(q0s, p0s, steps, delta, rs, r_max, omega,
-                       backend="auto"):
-    """Backend-dispatching integrate: same signature/returns for both."""
+                       backend="auto", equatorial=False):
+    """Backend-dispatching integrate: same signature/returns for both.
+
+    equatorial=True is a static promise that every ray has theta == pi/2
+    and p_theta == 0 (true for all camera rays after the beta fold) and
+    selects the trig-free 12-row Pallas kernel; the XLA backend ignores it
+    (it stays the bit-exact generic reference path).
+    """
     if resolve_backend(backend) == "pallas":
         from .integrate_pallas import integrate_batch_pallas
         return integrate_batch_pallas(q0s, p0s, steps, delta, rs, r_max,
-                                      omega)
+                                      omega, equatorial=equatorial)
     return integrate_batch(q0s, p0s, steps, delta, rs, r_max, omega)
 
 

@@ -88,9 +88,11 @@ def render_pixels(bg_array, obs_x, fov, mass, boundary_radius,
 
     n = height * width
     rs = 2.0 * mass
+    # camera rays are folded into the equatorial plane (physics/camera.py),
+    # which licenses the trig-free equatorial fast kernel
     final_q, final_p, status, n_steps = integrate_dispatch(
         q0.reshape(n, 4), p0.reshape(n, 4), steps, delta, rs,
-        boundary_radius, omega, backend=backend)
+        boundary_radius, omega, backend=backend, equatorial=True)
     final_q = final_q.reshape(height, width, 4)
 
     cls, th_csv, ph_csv, u01, v01 = _classify.classify_rays(

@@ -73,7 +73,21 @@ def photon_dataframe(result):
 
 
 def save_photon_data(result, path="photon_data.csv"):
-    photon_dataframe(result).to_csv(path, index=False)
+    """Write photon_data.csv — native C++ serializer with pandas fallback
+    (grtrace.native: ~20x faster at 400x400)."""
+    from .. import native
+    h, w = result.cls.shape
+    ok = native.write_photon_csv(
+        str(path), h, w,
+        np.asarray(result.final_q)[..., 1].reshape(-1),
+        result.final_th.reshape(-1),
+        result.final_ph.reshape(-1),
+        result.cls.reshape(-1),
+        np.asarray(result.heading).reshape(-1, 3),
+        np.asarray(result.p0).reshape(-1, 4),
+        result.alpha0.reshape(-1))
+    if not ok:
+        photon_dataframe(result).to_csv(path, index=False)
 
 
 def sampled_rays_dataframe(result):
@@ -100,6 +114,14 @@ def sampled_rays_dataframe(result):
 
 
 def save_sampled_rays(result, path="sampled_rays.csv"):
+    """Write sampled_rays.csv — native C++ serializer with pandas fallback."""
+    from .. import native
+    trajs = result.sampled_trajectories
+    if trajs and all(t.shape == trajs[0].shape for t in trajs):
+        heading = np.asarray(result.heading)
+        hsel = np.stack([heading[i, j] for (i, j) in result.sampled_indices])
+        if native.write_sampled_csv(str(path), np.stack(trajs), hsel):
+            return
     sampled_rays_dataframe(result).to_csv(path, index=False)
 
 

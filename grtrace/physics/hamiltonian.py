@@ -152,6 +152,191 @@ def fantasy_step_ord2(state, delta, rs, cos_w, sin_w):
     return state
 
 
+def _flow_a_fused(state, dt, rs):
+    """flow A with shared reciprocals/trig — identical formulas to _flow_a
+    with subexpressions factored for the VPU: 3 divisions + 1 sin + 1 cos
+    per flow instead of ~10 divisions (the reference recomputes every metric
+    entry from scratch per flow, cuda_geodesic.py:432-474)."""
+    (q1t, q1r, q1th, q1ph,
+     p1t, p1r, p1th, p1ph,
+     q2t, q2r, q2th, q2ph,
+     p2t, p2r, p2th, p2ph) = state
+
+    r = q1r
+    inv_r = 1.0 / r
+    inv_r2 = inv_r * inv_r
+    inv_r3 = inv_r2 * inv_r
+    inv_rms = 1.0 / (r - rs)
+    sin_th = jnp.sin(q1th)
+    cos_th = jnp.cos(q1th)
+    inv_sin = 1.0 / sin_th
+    inv_sin2 = inv_sin * inv_sin
+
+    pt2 = p2t * p2t
+    pr2 = p2r * p2r
+    pth2 = p2th * p2th
+    pph2_s = p2ph * p2ph * inv_sin2
+
+    dH_r = (0.5 * rs) * (inv_rms * inv_rms * pt2 + inv_r2 * pr2) \
+        - inv_r3 * (pth2 + pph2_s)
+    dH_th = -cos_th * inv_sin * inv_r2 * pph2_s
+
+    p1r = p1r - dt * dH_r
+    p1th = p1th - dt * dH_th
+
+    q2t = q2t - (dt * r * inv_rms) * p2t          # g^tt = -r/(r-rs)
+    q2r = q2r + dt * (1.0 - rs * inv_r) * p2r     # g^rr = 1 - rs/r
+    q2th = q2th + (dt * inv_r2) * p2th
+    q2ph = q2ph + (dt * inv_r2 * inv_sin2) * p2ph
+
+    return (q1t, q1r, q1th, q1ph, p1t, p1r, p1th, p1ph,
+            q2t, q2r, q2th, q2ph, p2t, p2r, p2th, p2ph)
+
+
+def _flow_b_fused(state, dt, rs):
+    """flow B twin of _flow_a_fused (metric at q2, drift q1, kick p2)."""
+    (q1t, q1r, q1th, q1ph,
+     p1t, p1r, p1th, p1ph,
+     q2t, q2r, q2th, q2ph,
+     p2t, p2r, p2th, p2ph) = state
+
+    r = q2r
+    inv_r = 1.0 / r
+    inv_r2 = inv_r * inv_r
+    inv_r3 = inv_r2 * inv_r
+    inv_rms = 1.0 / (r - rs)
+    sin_th = jnp.sin(q2th)
+    cos_th = jnp.cos(q2th)
+    inv_sin = 1.0 / sin_th
+    inv_sin2 = inv_sin * inv_sin
+
+    pt2 = p1t * p1t
+    pr2 = p1r * p1r
+    pth2 = p1th * p1th
+    pph2_s = p1ph * p1ph * inv_sin2
+
+    dH_r = (0.5 * rs) * (inv_rms * inv_rms * pt2 + inv_r2 * pr2) \
+        - inv_r3 * (pth2 + pph2_s)
+    dH_th = -cos_th * inv_sin * inv_r2 * pph2_s
+
+    p2r = p2r - dt * dH_r
+    p2th = p2th - dt * dH_th
+
+    q1t = q1t - (dt * r * inv_rms) * p1t
+    q1r = q1r + dt * (1.0 - rs * inv_r) * p1r
+    q1th = q1th + (dt * inv_r2) * p1th
+    q1ph = q1ph + (dt * inv_r2 * inv_sin2) * p1ph
+
+    return (q1t, q1r, q1th, q1ph, p1t, p1r, p1th, p1ph,
+            q2t, q2r, q2th, q2ph, p2t, p2r, p2th, p2ph)
+
+
+def fantasy_step_ord2_fused(state, delta, rs, cos_w, sin_w):
+    """Fused-flow variant of fantasy_step_ord2 (same algorithm, fewer
+    divisions).  Bit-for-bit identical to the unfused step is NOT guaranteed
+    (different op ordering -> last-ulp differences), but tests pin agreement
+    to float32 roundoff on weak-field arcs."""
+    half = 0.5 * delta
+    state = _flow_a_fused(state, half, rs)
+    state = _flow_b_fused(state, half, rs)
+    state = _flow_mixed(state, cos_w, sin_w)
+    state = _flow_b_fused(state, half, rs)
+    state = _flow_a_fused(state, half, rs)
+    return state
+
+
+# ---------------------------------------------------------------------------
+# Equatorial specialization
+# ---------------------------------------------------------------------------
+# The camera folds every pixel ray into the equatorial plane before
+# integration (the beta-rotation trick, reference utils.py:103-113), so the
+# *entire render pipeline* integrates rays with theta == pi/2 and p_theta == 0
+# exactly.  Those are invariants of all three flows (dH/dtheta has a cos(th)
+# factor, the theta drift is g^{thth} p_th, and the mixing rotation preserves
+# equal components), so the hot kernel can drop the theta degrees of freedom
+# entirely: 12 state rows instead of 16, TWO divisions per flow and ZERO
+# transcendentals in the loop body.  Exactness caveat: the generic path
+# evaluates sin/cos at fl(pi/2) (=1-eps / ~6e-17) so the two paths differ at
+# roundoff level — same equivalence class as op reordering.
+#
+# Equatorial state layout:
+#     (q1t, q1r, q1ph, p1t, p1r, p1ph, q2t, q2r, q2ph, p2t, p2r, p2ph)
+
+N_STATE_EQ = 12
+
+
+def pack_state_eq(q0, p0):
+    """(N,4) q0/p0 (theta slots dropped) -> 12-tuple with q2=q1, p2=p1."""
+    comps = [q0[..., 0], q0[..., 1], q0[..., 3],
+             p0[..., 0], p0[..., 1], p0[..., 3]]
+    return tuple(comps + comps)
+
+
+def _flow_a_eq(state, dt, rs):
+    (q1t, q1r, q1ph, p1t, p1r, p1ph,
+     q2t, q2r, q2ph, p2t, p2r, p2ph) = state
+    r = q1r
+    inv_r = 1.0 / r
+    inv_r2 = inv_r * inv_r
+    inv_rms = 1.0 / (r - rs)
+    pph2 = p2ph * p2ph
+    dH_r = (0.5 * rs) * (inv_rms * inv_rms * p2t * p2t
+                         + inv_r2 * p2r * p2r) - inv_r2 * inv_r * pph2
+    p1r = p1r - dt * dH_r
+    q2t = q2t - (dt * r * inv_rms) * p2t
+    q2r = q2r + dt * (1.0 - rs * inv_r) * p2r
+    q2ph = q2ph + (dt * inv_r2) * p2ph
+    return (q1t, q1r, q1ph, p1t, p1r, p1ph,
+            q2t, q2r, q2ph, p2t, p2r, p2ph)
+
+
+def _flow_b_eq(state, dt, rs):
+    (q1t, q1r, q1ph, p1t, p1r, p1ph,
+     q2t, q2r, q2ph, p2t, p2r, p2ph) = state
+    r = q2r
+    inv_r = 1.0 / r
+    inv_r2 = inv_r * inv_r
+    inv_rms = 1.0 / (r - rs)
+    pph2 = p1ph * p1ph
+    dH_r = (0.5 * rs) * (inv_rms * inv_rms * p1t * p1t
+                         + inv_r2 * p1r * p1r) - inv_r2 * inv_r * pph2
+    p2r = p2r - dt * dH_r
+    q1t = q1t - (dt * r * inv_rms) * p1t
+    q1r = q1r + dt * (1.0 - rs * inv_r) * p1r
+    q1ph = q1ph + (dt * inv_r2) * p1ph
+    return (q1t, q1r, q1ph, p1t, p1r, p1ph,
+            q2t, q2r, q2ph, p2t, p2r, p2ph)
+
+
+def _flow_mixed_eq(state, cos_w, sin_w):
+    q1 = state[0:3]
+    p1 = state[3:6]
+    q2 = state[6:9]
+    p2 = state[9:12]
+    new = [None] * N_STATE_EQ
+    for a in range(3):
+        q_sum = q1[a] + q2[a]
+        q_dif = q1[a] - q2[a]
+        p_sum = p1[a] + p2[a]
+        p_dif = p1[a] - p2[a]
+        new[a] = 0.5 * (q_sum + q_dif * cos_w + p_dif * sin_w)
+        new[3 + a] = 0.5 * (p_sum + p_dif * cos_w - q_dif * sin_w)
+        new[6 + a] = 0.5 * (q_sum - q_dif * cos_w - p_dif * sin_w)
+        new[9 + a] = 0.5 * (p_sum - p_dif * cos_w + q_dif * sin_w)
+    return tuple(new)
+
+
+def fantasy_step_ord2_eq(state, delta, rs, cos_w, sin_w):
+    """Equatorial order-2 step: trig-free, 2 divisions per flow."""
+    half = 0.5 * delta
+    state = _flow_a_eq(state, half, rs)
+    state = _flow_b_eq(state, half, rs)
+    state = _flow_mixed_eq(state, cos_w, sin_w)
+    state = _flow_b_eq(state, half, rs)
+    state = _flow_a_eq(state, half, rs)
+    return state
+
+
 def hamiltonian(q, p, rs):
     """H = 0.5 g^{ab}(q) p_a p_b — a conserved diagnostic (0 for null rays).
 

@@ -87,7 +87,7 @@ def render_frames_sharded(mesh, bg_array, obs_x, fov, mass, boundary_radius,
         rs = 2.0 * mass
         final_q, final_p, status, n_steps = integrate_dispatch(
             q0, p0, steps, delta, rs, boundary_radius, omega,
-            backend=backend)
+            backend=backend, equatorial=True)
         cls, th_csv, ph_csv, u01, v01 = _classify.classify_rays(
             final_q, alpha0, beta, rs=rs, r_obs_x=obs_x_f,
             boundary_radius=boundary_radius,

@@ -56,6 +56,39 @@ def test_multi_tile():
     assert bool((ns == ns_x).all())
 
 
+def test_equatorial_kernel_matches_generic():
+    """The trig-free 12-row kernel must track the generic one for
+    equatorial rays (which all camera rays are)."""
+    q0, p0 = _ics(16)
+    fq1, fp1, st1, ns1 = integrate_batch_pallas(q0, p0, *ARGS,
+                                                interpret=True)
+    fq2, fp2, st2, ns2 = integrate_batch_pallas(q0, p0, *ARGS,
+                                                interpret=True,
+                                                equatorial=True)
+    assert bool((st1 == st2).all())
+    # theta slots are exactly preserved
+    np.testing.assert_array_equal(np.asarray(fq2)[:, 2],
+                                  np.asarray(q0)[:, 2])
+    np.testing.assert_array_equal(np.asarray(fp2)[:, 2], 0.0)
+    # weak-field agreement (float64 here, so only roundoff-level diff)
+    d = np.abs(np.asarray(fq1) - np.asarray(fq2)).max(axis=1)
+    weak = np.asarray(fq1)[:, 1] > 3.0
+    assert d[weak].max() < 1e-8
+
+
+def test_equatorial_sorting_unsorts_correctly():
+    """sort_rays must return outputs in the caller's ray order."""
+    q0, p0 = _ics(10)
+    a = integrate_batch_pallas(q0, p0, *ARGS, interpret=True,
+                               sort_rays=True)
+    b = integrate_batch_pallas(q0, p0, *ARGS, interpret=True,
+                               sort_rays=False)
+    assert bool((a[2] == b[2]).all())
+    assert bool((a[3] == b[3]).all())
+    np.testing.assert_allclose(np.asarray(a[0]), np.asarray(b[0]),
+                               rtol=0, atol=0)
+
+
 def test_step_budget_exact():
     """With a budget that is not a multiple of UNROLL, the remainder steps
     must still be applied (reference semantics: exactly `steps` sweeps)."""
