@@ -1,0 +1,121 @@
+"""Camera-orbit animation driver — multi-frame rendering with sharding and
+per-frame checkpoint/resume.
+
+The reference renders exactly one static view; this driver covers the
+"multi-frame camera-orbit animation, frames sharded across a TPU mesh"
+configuration (BASELINE.json configs[4]).  Orbiting in the equatorial plane
+is, by spherical symmetry, a rotation of the background patch center
+(sharding/mesh.orbit_frames), so every frame reuses one compiled render.
+
+Checkpoint/resume: each completed frame is an on-disk PNG; a killed job
+rerun with the same --out-dir resumes after the last completed frame (the
+engine-level resumable-state story lives in engine/checkpoint.py).
+
+Run: python -m grtrace.cli.orbit --frames 32 --size 256 [flags]
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="camera-orbit animation")
+    p.add_argument('--frames', type=int, default=16)
+    p.add_argument('--size', type=int, default=256)
+    p.add_argument('--fov', type=float, default=80.0)
+    p.add_argument('--steps', type=int, default=50_000)
+    p.add_argument('--delta', type=float, default=0.02)
+    p.add_argument('--background', type=str, default=None)
+    p.add_argument('--bh-mass', type=float, default=1.0)
+    p.add_argument('--boundary-radius', type=float, default=31.0)
+    p.add_argument('--observer-distance', type=float, default=30.0)
+    p.add_argument('--bg-patch-size-theta', type=float, default=180.0)
+    p.add_argument('--bg-patch-size-phi', type=float, default=350.0)
+    p.add_argument('--backend', type=str, default='auto')
+    p.add_argument('--out-dir', type=str, default='orbit_out')
+    p.add_argument('--gif', action='store_true',
+                   help='also write orbit.gif')
+    p.add_argument('--frames-per-batch', type=int, default=None,
+                   help='frames rendered per device batch (default: one '
+                        'batch per mesh frames-axis extent)')
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    from .. import IntegratorConfig, PatchConfig, SceneConfig
+    from ..io import artifacts
+    from ..sharding.mesh import make_mesh, orbit_frames, render_frames_sharded
+
+    scene = SceneConfig(
+        size=args.size, fov_deg=args.fov, background=args.background,
+        bh_mass=args.bh_mass, boundary_radius=args.boundary_radius,
+        observer_distance=args.observer_distance,
+        integrator=IntegratorConfig(steps=args.steps, delta=args.delta,
+                                    omega=1.0, backend=args.backend),
+        patch=PatchConfig(
+            size_theta=float(np.deg2rad(args.bg_patch_size_theta)),
+            size_phi=float(np.deg2rad(args.bg_patch_size_phi))))
+
+    if args.background and os.path.exists(args.background):
+        bg = artifacts.load_background(args.background,
+                                      size=(args.size, args.size))
+    else:
+        rng = np.random.default_rng(0)
+        bg = rng.integers(0, 255, (args.size, args.size, 3), dtype=np.uint8)
+
+    n_dev = len(jax.devices())
+    mesh = make_mesh(1, n_dev)  # rays across all chips; frames batched in time
+    obs, phis = orbit_frames(scene, args.frames)
+
+    frames_dir = os.path.join(args.out_dir, "frames")
+    os.makedirs(frames_dir, exist_ok=True)
+
+    # resume: skip frames whose PNG already exists and is non-empty
+    def _frame_ok(k):
+        fp = os.path.join(frames_dir, f"frame_{k:04d}.png")
+        return os.path.exists(fp) and os.path.getsize(fp) > 0
+
+    done = {k for k in range(args.frames) if _frame_ok(k)}
+    todo = [k for k in range(args.frames) if k not in done]
+    if done:
+        print(f"resuming: {len(done)} frames already rendered")
+
+    batch = args.frames_per_batch or max(1, mesh.shape["frames"])
+    bg_dev = jnp.asarray(bg, jnp.uint8)
+    for start in range(0, len(todo), batch):
+        ks = todo[start:start + batch]
+        out = render_frames_sharded(
+            mesh, bg_dev,
+            obs[ks], np.float32(scene.fov), scene.bh_mass,
+            scene.boundary_radius, args.steps, args.delta, 1.0,
+            np.pi / 2, phis[ks],
+            scene.patch.size_theta, scene.patch.size_phi,
+            height=args.size, width=args.size,
+            backend=args.backend)
+        imgs = np.asarray(out["image"])
+        for j, k in enumerate(ks):
+            artifacts.save_image(
+                imgs[j], os.path.join(frames_dir, f"frame_{k:04d}.png"))
+        print(f"rendered frames {ks}")
+
+    if args.gif:
+        from PIL import Image
+        frames = [Image.open(os.path.join(frames_dir, f"frame_{k:04d}.png"))
+                  for k in range(args.frames)]
+        gif_path = os.path.join(args.out_dir, "orbit.gif")
+        frames[0].save(gif_path, save_all=True, append_images=frames[1:],
+                       duration=80, loop=0)
+        print(f"wrote {gif_path}")
+    return frames_dir
+
+
+def console(argv=None):
+    main(argv)
+    return 0
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,132 @@
+"""EinsteinPy-compatible `Nulllike` API.
+
+The reference's CPU ground-truth path is EinsteinPy's `Nulllike` geodesic
+(reference: tests/debug_single_ray.py:51-60,
+tests/einsteinpy-geodesic-test/main.py:145-155).  einsteinpy is not a
+dependency of this framework; this module provides a drop-in `Nulllike`
+backed by the grtrace FANTASY engine so reference users can migrate
+unchanged.  Validated against the reference's committed EinsteinPy output
+(tests/einsteinpy-geodesic-test/trajectory.csv): machine-epsilon agreement
+over thousands of steps (see tests/test_compat_einsteinpy.py).
+
+Semantics mirrored from EinsteinPy:
+  * momentum = (p_r, p_th, p_ph); p_t is closed internally with the
+    *past-directed* (negative) root of the null condition — the `_P()`
+    convention (reference simulation/utils.py:24,59-60).
+  * no early exit: the integrator runs the full step budget regardless of
+    horizon proximity (unlike the render kernels' capture/escape exits).
+  * `trajectory` returns (step_indices, data) where data[k] is the state
+    *after* step k+1 — rows are
+    (t, x, y, z, p_t, p_r, p_th, p_ph) with return_cartesian=True, or
+    (t, r, th, ph, p_t, p_r, p_th, p_ph) otherwise.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..physics.hamiltonian import fantasy_step_ord2, pack_state
+from ..physics.nullcond import build_null_4momentum
+
+
+@partial(jax.jit, static_argnames=("steps",))
+def _trajectory(q0, p0, steps, delta, rs, omega):
+    """Unmasked scan of FANTASY steps, storing (q1, p1) after each step."""
+    dtype = q0.dtype
+    delta = jnp.asarray(delta, dtype)
+    angle = 2.0 * jnp.asarray(omega, dtype) * delta
+    cos_w = jnp.cos(angle)
+    sin_w = jnp.sin(angle)
+    rs = jnp.asarray(rs, dtype)
+
+    state0 = pack_state(q0[None, :], p0[None, :])
+
+    def step(state, _):
+        state = fantasy_step_ord2(state, delta, rs, cos_w, sin_w)
+        q1 = jnp.stack([state[i][0] for i in range(4)])
+        p1 = jnp.stack([state[4 + i][0] for i in range(4)])
+        return state, (q1, p1)
+
+    _, (qs, ps) = jax.lax.scan(step, state0, None, length=steps)
+    return qs, ps
+
+
+class Nulllike:
+    """Drop-in analog of einsteinpy.geodesic.Nulllike.
+
+    Parameters follow EinsteinPy: position=(r, th, ph), momentum=
+    (p_r, p_th, p_ph), steps, delta, omega, return_cartesian,
+    suppress_warnings (accepted, unused), metric_params=(a,) with a == 0
+    (only Schwarzschild exists, like the reference pipeline).
+    """
+
+    def __init__(self, metric="Schwarzschild", metric_params=(0.0,),
+                 position=(10.0, np.pi / 2, 0.0),
+                 momentum=(1.0, 0.0, 1.0),
+                 steps=50, delta=0.5, omega=1.0, return_cartesian=True,
+                 suppress_warnings=False, time_like=False, mass=1.0):
+        if metric != "Schwarzschild":
+            raise NotImplementedError(
+                f"metric {metric!r}: only Schwarzschild is supported "
+                "(matching the reference pipeline)")
+        if metric_params and float(metric_params[0]) != 0.0:
+            raise NotImplementedError("spin a != 0 is not supported")
+        if time_like:
+            raise NotImplementedError("only null geodesics are supported")
+
+        self.metric = metric
+        self.steps = int(steps)
+        self.delta = float(delta)
+        self.omega = float(omega)
+        self.return_cartesian = bool(return_cartesian)
+        self.mass = float(mass)
+
+        pos = np.asarray(position, dtype=np.float64)
+        mom = np.asarray(momentum, dtype=np.float64)
+        # past-directed root, the EinsteinPy `_P()` choice
+        p4 = np.asarray(build_null_4momentum(
+            jnp.asarray(mom), jnp.asarray(pos), mass_bh=self.mass,
+            future=False))
+        self.position = np.array([0.0, *pos])
+        self.momentum = p4
+
+        self._qs = None
+        self._ps = None
+
+    def _integrate(self):
+        if self._qs is None:
+            # EinsteinPy is float64-only; enable x64 if the session has not
+            # (documented side effect: affects subsequent jax tracing).
+            if not jax.config.jax_enable_x64:
+                jax.config.update("jax_enable_x64", True)
+            qs, ps = _trajectory(
+                jnp.asarray(self.position, jnp.float64),
+                jnp.asarray(self.momentum, jnp.float64),
+                self.steps, self.delta, 2.0 * self.mass, self.omega)
+            self._qs = np.asarray(qs)
+            self._ps = np.asarray(ps)
+        return self._qs, self._ps
+
+    @property
+    def trajectory(self):
+        """(step_indices, (steps, 8) array) — EinsteinPy layout."""
+        qs, ps = self._integrate()
+        t = qs[:, 0]
+        if self.return_cartesian:
+            r, th, ph = qs[:, 1], qs[:, 2], qs[:, 3]
+            sin_th = np.sin(th)
+            cols = [t, r * sin_th * np.cos(ph), r * sin_th * np.sin(ph),
+                    r * np.cos(th)]
+        else:
+            cols = [t, qs[:, 1], qs[:, 2], qs[:, 3]]
+        data = np.stack(cols + [ps[:, 0], ps[:, 1], ps[:, 2], ps[:, 3]],
+                        axis=-1)
+        return np.arange(self.steps), data
+
+    def __repr__(self):
+        return (f"Nulllike(metric={self.metric!r}, steps={self.steps}, "
+                f"delta={self.delta}, omega={self.omega})")

@@ -1,0 +1,155 @@
+"""Checkpoint / resume for long integrations and multi-frame jobs.
+
+The reference has no resume story — all state is dumped as artifacts at the
+end (SURVEY.md section 5, checkpoint row).  Here the integrator state is a
+first-class value: `integrate_chunked` advances the phase-space-doubled
+state by bounded chunks, returning an `IntegrationState` that can be saved
+(np.savez) and fed back in — resume is literally re-entering the while loop
+with the loaded carry.  Multi-frame orbit jobs checkpoint per frame through
+orbax (grtrace.cli.orbit).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..physics.hamiltonian import N_STATE, fantasy_step_ord2, pack_state
+from .integrate import (STATUS_ALIVE, STATUS_CAPTURED, STATUS_ESCAPED,
+                        _active_mask, _masked_step)
+
+
+@dataclasses.dataclass
+class IntegrationState:
+    """Resumable integrator carry.
+
+    state: (16, N) phase-space components (q1,p1,q2,p2 x 4)
+    n_steps: (N,) steps applied so far
+    steps_total / steps_done: budget bookkeeping
+    params: (delta, rs, r_max, omega)
+    """
+    state: np.ndarray
+    n_steps: np.ndarray
+    steps_total: int
+    steps_done: int
+    delta: float
+    rs: float
+    r_max: float
+    omega: float
+
+    @property
+    def final_q(self):
+        return np.asarray(self.state[0:4]).T
+
+    @property
+    def final_p(self):
+        return np.asarray(self.state[4:8]).T
+
+    @property
+    def status(self):
+        r = np.asarray(self.state[1])
+        return np.where(r <= 1.1 * self.rs, STATUS_CAPTURED,
+                        np.where(r >= self.r_max, STATUS_ESCAPED,
+                                 STATUS_ALIVE))
+
+    @property
+    def done(self) -> bool:
+        return (self.steps_done >= self.steps_total
+                or not bool((self.status == STATUS_ALIVE).any()))
+
+    def save(self, path: str) -> None:
+        np.savez_compressed(
+            path, state=np.asarray(self.state),
+            n_steps=np.asarray(self.n_steps),
+            meta=np.array([self.steps_total, self.steps_done]),
+            params=np.array([self.delta, self.rs, self.r_max, self.omega]))
+
+    @staticmethod
+    def load(path: str) -> "IntegrationState":
+        z = np.load(path)
+        meta = z["meta"]
+        p = z["params"]
+        return IntegrationState(
+            state=z["state"], n_steps=z["n_steps"],
+            steps_total=int(meta[0]), steps_done=int(meta[1]),
+            delta=float(p[0]), rs=float(p[1]), r_max=float(p[2]),
+            omega=float(p[3]))
+
+
+@partial(jax.jit, static_argnames=("max_steps",))
+def _advance(state16, n_steps, max_steps, delta, rs, r_max, omega):
+    """Advance a (16, N) state by at most max_steps masked steps."""
+    dtype = state16.dtype
+    delta = jnp.asarray(delta, dtype)
+    rs = jnp.asarray(rs, dtype)
+    r_max = jnp.asarray(r_max, dtype)
+    angle = 2.0 * jnp.asarray(omega, dtype) * delta
+    cos_w = jnp.cos(angle)
+    sin_w = jnp.sin(angle)
+
+    comps = tuple(state16[i] for i in range(N_STATE))
+
+    def cond(carry):
+        comps, _, k = carry
+        return (k < max_steps) & jnp.any(_active_mask(comps[1], rs, r_max))
+
+    def body(carry):
+        comps, ns, k = carry
+        active = _active_mask(comps[1], rs, r_max)
+        comps = _masked_step(comps, active, delta, rs, cos_w, sin_w)
+        return comps, ns + active.astype(jnp.int32), k + 1
+
+    comps, n_steps, _ = jax.lax.while_loop(cond, body,
+                                           (comps, n_steps, jnp.int32(0)))
+    return jnp.stack(comps), n_steps
+
+
+def start(q0s, p0s, steps, delta, rs, r_max, omega) -> IntegrationState:
+    """Fresh resumable integration state from (N, 4) initial conditions."""
+    comps = pack_state(jnp.asarray(q0s), jnp.asarray(p0s))
+    return IntegrationState(
+        state=np.asarray(jnp.stack(comps)),
+        n_steps=np.zeros(q0s.shape[0], dtype=np.int32),
+        steps_total=int(steps), steps_done=0,
+        delta=float(delta), rs=float(rs), r_max=float(r_max),
+        omega=float(omega))
+
+
+def advance(st: IntegrationState, chunk_steps: int) -> IntegrationState:
+    """Advance by at most chunk_steps (bounded wall-time per call)."""
+    budget = min(chunk_steps, st.steps_total - st.steps_done)
+    if budget <= 0:
+        return st
+    state, n_steps = _advance(
+        jnp.asarray(st.state), jnp.asarray(st.n_steps), budget,
+        st.delta, st.rs, st.r_max, st.omega)
+    return dataclasses.replace(
+        st, state=np.asarray(state), n_steps=np.asarray(n_steps),
+        steps_done=st.steps_done + budget)
+
+
+def integrate_chunked(q0s, p0s, steps, delta, rs, r_max, omega,
+                      chunk_steps=10_000,
+                      checkpoint_path: Optional[str] = None,
+                      resume: bool = False):
+    """Chunked integration with optional on-disk checkpointing.
+
+    Equivalent to engine.integrate.integrate_batch (identical masked-step
+    semantics, so the result is the same trajectory), but interruptible:
+    with checkpoint_path set, the state is saved after every chunk and a
+    killed job resumes from the last chunk with resume=True.
+    """
+    import os
+    if resume and checkpoint_path and os.path.exists(checkpoint_path):
+        st = IntegrationState.load(checkpoint_path)
+    else:
+        st = start(q0s, p0s, steps, delta, rs, r_max, omega)
+    while not st.done:
+        st = advance(st, chunk_steps)
+        if checkpoint_path:
+            st.save(checkpoint_path)
+    return st

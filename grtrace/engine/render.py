@@ -171,50 +171,67 @@ def _effective_omega(scene: SceneConfig) -> float:
 
 
 def render(scene: SceneConfig, *, bg_array=None, n_samples=None, seed=0,
-           dtype=None) -> RenderResult:
+           dtype=None, metrics=None) -> RenderResult:
     """Full-frame render with artifacts data — the run_manual_simulation
     analog.  bg_array: (th, tw, 3) uint8 numpy/jnp array or None.
+    metrics: optional engine.metrics.RenderMetrics to fill with stage
+    timings and throughput counters.
     """
+    from .metrics import RenderMetrics
+    want_metrics = metrics is not None
+    if metrics is None:
+        metrics = RenderMetrics()  # throwaway; keeps the code uniform
     h, w = scene.image_size
     integ = scene.integrator
     if dtype is None:
         dtype = jnp.float64 if integ.dtype == "float64" else jnp.float32
     has_bg = bg_array is not None
-    bg_dev = (jnp.asarray(bg_array, dtype=jnp.uint8) if has_bg
-              else jnp.zeros((1, 1, 3), dtype=jnp.uint8))
+    with metrics.stage("texture_upload"):
+        bg_dev = (jnp.asarray(bg_array, dtype=jnp.uint8) if has_bg
+                  else jnp.zeros((1, 1, 3), dtype=jnp.uint8))
 
-    out = render_pixels(
-        bg_dev,
-        jnp.asarray(scene.observer_distance, dtype),
-        jnp.asarray(scene.fov, dtype),
-        jnp.asarray(scene.bh_mass, dtype),
-        jnp.asarray(scene.boundary_radius, dtype),
-        integ.steps,
-        jnp.asarray(integ.delta, dtype),
-        jnp.asarray(_effective_omega(scene), dtype),
-        jnp.asarray(scene.patch.center_theta, dtype),
-        jnp.asarray(scene.patch.center_phi, dtype),
-        jnp.asarray(scene.patch.size_theta, dtype),
-        jnp.asarray(scene.patch.size_phi, dtype),
-        height=h, width=w,
-        flip_theta=scene.patch.flip_theta, flip_phi=scene.patch.flip_phi,
-        has_background=has_bg, dtype=dtype,
-        backend=resolve_backend(integ.backend))
+    with metrics.stage("device_pipeline"):
+        out = render_pixels(
+            bg_dev,
+            jnp.asarray(scene.observer_distance, dtype),
+            jnp.asarray(scene.fov, dtype),
+            jnp.asarray(scene.bh_mass, dtype),
+            jnp.asarray(scene.boundary_radius, dtype),
+            integ.steps,
+            jnp.asarray(integ.delta, dtype),
+            jnp.asarray(_effective_omega(scene), dtype),
+            jnp.asarray(scene.patch.center_theta, dtype),
+            jnp.asarray(scene.patch.center_phi, dtype),
+            jnp.asarray(scene.patch.size_theta, dtype),
+            jnp.asarray(scene.patch.size_phi, dtype),
+            height=h, width=w,
+            flip_theta=scene.patch.flip_theta,
+            flip_phi=scene.patch.flip_phi,
+            has_background=has_bg, dtype=dtype,
+            backend=resolve_backend(integ.backend))
 
-    cv = np.asarray(out.pop("count_vec"))
+    with metrics.stage("device_pipeline"):
+        # the count_vec fetch synchronizes the whole device pipeline
+        cv = np.asarray(out.pop("count_vec"))
     counts = {"captured": int(cv[0]), "in_domain": int(cv[1]),
               "escaped": int(cv[2]), "background": int(cv[3]),
               "numerical_error": int(cv[4])}
+    metrics.rays = h * w
+    if want_metrics:  # costs one (H, W) host fetch — only when asked for
+        metrics.geodesic_steps = int(np.asarray(out["n_steps"],
+                                                np.int64).sum())
 
     n_samples = scene.n_samples if n_samples is None else n_samples
     sampled_ij = None
     sampled_trajs = None
     if n_samples and n_samples > 0:
-        rng = np.random.default_rng(seed)
-        flat = rng.choice(h * w, size=min(n_samples, h * w), replace=False)
-        sampled_ij = np.stack([flat // w, flat % w], axis=-1)
-        sampled_trajs = _sample_trajectories(
-            out["q0"], out["p0"], out["beta"], sampled_ij, scene, dtype)
+        with metrics.stage("sample_trajectories"):
+            rng = np.random.default_rng(seed)
+            flat = rng.choice(h * w, size=min(n_samples, h * w),
+                              replace=False)
+            sampled_ij = np.stack([flat // w, flat % w], axis=-1)
+            sampled_trajs = _sample_trajectories(
+                out["q0"], out["p0"], out["beta"], sampled_ij, scene, dtype)
 
     return RenderResult(out, counts, sampled_indices=sampled_ij,
                         sampled_trajectories=sampled_trajs)

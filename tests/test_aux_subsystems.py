@@ -1,0 +1,104 @@
+"""Checkpoint/resume, metrics, NaN guard, orbit CLI."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from grtrace.engine import checkpoint as ckpt
+from grtrace.engine.integrate import integrate_batch
+from grtrace.engine.metrics import RenderMetrics, nan_guard
+from grtrace.physics.camera import camera_rays
+
+ARGS = dict(steps=4000, delta=0.05, rs=2.0, r_max=31.0, omega=1.0)
+
+
+def _ics(n=6):
+    q0, p0, *_ = camera_rays(np.array([30.0, 0.0, 0.0]), np.radians(70.0),
+                             n, n, dtype=jnp.float64)
+    return (jnp.asarray(q0).reshape(-1, 4), jnp.asarray(p0).reshape(-1, 4))
+
+
+def test_chunked_equals_monolithic():
+    """Chunked/resumable integration must produce the same trajectory as
+    the single while_loop (identical masked-step semantics)."""
+    q0, p0 = _ics()
+    st = ckpt.integrate_chunked(q0, p0, ARGS["steps"], ARGS["delta"],
+                                ARGS["rs"], ARGS["r_max"], ARGS["omega"],
+                                chunk_steps=700)
+    fq, fp, status, ns = integrate_batch(q0, p0, ARGS["steps"],
+                                         ARGS["delta"], ARGS["rs"],
+                                         ARGS["r_max"], ARGS["omega"])
+    np.testing.assert_array_equal(st.n_steps, np.asarray(ns))
+    np.testing.assert_array_equal(st.status, np.asarray(status))
+    np.testing.assert_allclose(st.final_q, np.asarray(fq), rtol=0, atol=0)
+
+
+def test_save_load_resume(tmp_path):
+    q0, p0 = _ics()
+    path = str(tmp_path / "ck.npz")
+    st = ckpt.start(q0, p0, **ARGS)
+    st = ckpt.advance(st, 500)
+    st.save(path)
+
+    # "crash" and resume from disk
+    st2 = ckpt.IntegrationState.load(path)
+    assert st2.steps_done == 500
+    while not st2.done:
+        st2 = ckpt.advance(st2, 1000)
+
+    ref = ckpt.integrate_chunked(q0, p0, **ARGS, chunk_steps=10**9)
+    np.testing.assert_allclose(st2.final_q, ref.final_q, rtol=0, atol=0)
+    np.testing.assert_array_equal(st2.n_steps, ref.n_steps)
+
+
+def test_integrate_chunked_resume_flag(tmp_path):
+    q0, p0 = _ics(4)
+    path = str(tmp_path / "c2.npz")
+    # run partially by limiting total steps, checkpointing
+    st = ckpt.integrate_chunked(q0, p0, 300, ARGS["delta"], ARGS["rs"],
+                                ARGS["r_max"], ARGS["omega"],
+                                chunk_steps=100, checkpoint_path=path)
+    assert st.steps_done == 300
+    # resume with a larger budget from the same file: continues, not restarts
+    st3 = ckpt.IntegrationState.load(path)
+    assert st3.steps_done == 300
+
+
+def test_metrics_stages_and_throughput():
+    from grtrace import IntegratorConfig, SceneConfig, render
+    m = RenderMetrics()
+    scene = SceneConfig(size=12, background=None,
+                        integrator=IntegratorConfig(steps=1500, delta=0.1,
+                                                    dtype="float64"),
+                        n_samples=2)
+    render(scene, bg_array=None, metrics=m)
+    assert "device_pipeline" in m.stages
+    assert "sample_trajectories" in m.stages
+    assert m.rays == 144
+    assert m.geodesic_steps > 0
+    s = m.summary()
+    assert s["rays_per_s"] > 0 and s["geodesic_steps_per_s"] > 0
+
+
+def test_nan_guard():
+    nan_guard("ok", np.ones(4))
+    with pytest.raises(FloatingPointError):
+        nan_guard("bad", np.array([1.0, np.nan]))
+    with pytest.raises(FloatingPointError):
+        nan_guard("bad", np.ones(3), np.array([np.inf]))
+
+
+def test_orbit_cli_and_resume(tmp_path):
+    from grtrace.cli.orbit import main
+    out = tmp_path / "orbit"
+    main(["--frames", "4", "--size", "16", "--steps", "1200",
+          "--delta", "0.1", "--out-dir", str(out), "--backend", "xla"])
+    import os
+    pngs = sorted(os.listdir(out / "frames"))
+    assert pngs == [f"frame_{k:04d}.png" for k in range(4)]
+    # resume is a no-op when all frames exist
+    import time
+    mtimes = {p: os.path.getmtime(out / "frames" / p) for p in pngs}
+    main(["--frames", "4", "--size", "16", "--steps", "1200",
+          "--delta", "0.1", "--out-dir", str(out), "--backend", "xla"])
+    for p in pngs:
+        assert os.path.getmtime(out / "frames" / p) == mtimes[p]
