@@ -11,8 +11,11 @@ behavior as default and deliberate fixes behind explicit opt-in flags
     config.py:16).  Here it maps to the accelerator backend selection:
     --backend {auto,pallas,xla}; --cuda is accepted and ignored for
     compatibility.
-  * rtol/atol/order/suppress-warnings are accepted for compatibility; only
-    order=2 exists on-device, like the reference (cuda_geodesic.py:569).
+  * rtol/atol/suppress-warnings are accepted for compatibility (unused in
+    the reference CUDA path too, config.py:12-13).
+  * --order {2,4,6,8}: the reference accepted these but only implemented
+    order 2 (cuda_geodesic.py:569); here 4/6/8 are real Yoshida-composed
+    steps on every backend.
 """
 from __future__ import annotations
 
@@ -46,7 +49,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument('--atol', type=float, default=1e-2,
                    help='Accepted for compatibility (unused, like reference)')
     p.add_argument('--order', type=int, default=2, choices=[2, 4, 6, 8],
-                   help='Integration order (only 2 implemented on device)')
+                   help='Symplectic integration order (all four implemented '
+                        'here; the reference only ever ran order 2)')
     p.add_argument('--suppress-warnings', action='store_true',
                    help='Suppress numerical warnings during integration')
     p.add_argument('--cuda', action='store_true', default=True,

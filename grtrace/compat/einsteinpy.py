@@ -29,24 +29,22 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..physics.hamiltonian import fantasy_step_ord2, pack_state
+from ..physics.hamiltonian import fantasy_step, pack_state, substep_schedule
 from ..physics.nullcond import build_null_4momentum
 
 
-@partial(jax.jit, static_argnames=("steps",))
-def _trajectory(q0, p0, steps, delta, rs, omega):
+@partial(jax.jit, static_argnames=("steps", "order"))
+def _trajectory(q0, p0, steps, delta, rs, omega, order=2):
     """Unmasked scan of FANTASY steps, storing (q1, p1) after each step."""
     dtype = q0.dtype
     delta = jnp.asarray(delta, dtype)
-    angle = 2.0 * jnp.asarray(omega, dtype) * delta
-    cos_w = jnp.cos(angle)
-    sin_w = jnp.sin(angle)
+    subs = substep_schedule(delta, jnp.asarray(omega, dtype), order)
     rs = jnp.asarray(rs, dtype)
 
     state0 = pack_state(q0[None, :], p0[None, :])
 
     def step(state, _):
-        state = fantasy_step_ord2(state, delta, rs, cos_w, sin_w)
+        state = fantasy_step(state, subs, rs)
         q1 = jnp.stack([state[i][0] for i in range(4)])
         p1 = jnp.stack([state[4 + i][0] for i in range(4)])
         return state, (q1, p1)
@@ -67,7 +65,8 @@ class Nulllike:
     def __init__(self, metric="Schwarzschild", metric_params=(0.0,),
                  position=(10.0, np.pi / 2, 0.0),
                  momentum=(1.0, 0.0, 1.0),
-                 steps=50, delta=0.5, omega=1.0, return_cartesian=True,
+                 steps=50, delta=0.5, omega=1.0, order=2,
+                 return_cartesian=True,
                  suppress_warnings=False, time_like=False, mass=1.0):
         if metric != "Schwarzschild":
             raise NotImplementedError(
@@ -82,6 +81,7 @@ class Nulllike:
         self.steps = int(steps)
         self.delta = float(delta)
         self.omega = float(omega)
+        self.order = int(order)
         self.return_cartesian = bool(return_cartesian)
         self.mass = float(mass)
 
@@ -106,7 +106,8 @@ class Nulllike:
             qs, ps = _trajectory(
                 jnp.asarray(self.position, jnp.float64),
                 jnp.asarray(self.momentum, jnp.float64),
-                self.steps, self.delta, 2.0 * self.mass, self.omega)
+                self.steps, self.delta, 2.0 * self.mass, self.omega,
+                order=self.order)
             self._qs = np.asarray(qs)
             self._ps = np.asarray(ps)
         return self._qs, self._ps

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..physics.hamiltonian import N_STATE, fantasy_step_ord2, pack_state
+from ..physics.hamiltonian import N_STATE, pack_state, substep_schedule
 from .integrate import (STATUS_ALIVE, STATUS_CAPTURED, STATUS_ESCAPED,
                         _active_mask, _masked_step)
 
@@ -30,7 +30,7 @@ class IntegrationState:
     state: (16, N) phase-space components (q1,p1,q2,p2 x 4)
     n_steps: (N,) steps applied so far
     steps_total / steps_done: budget bookkeeping
-    params: (delta, rs, r_max, omega)
+    params: (delta, rs, r_max, omega, order)
     """
     state: np.ndarray
     n_steps: np.ndarray
@@ -40,6 +40,7 @@ class IntegrationState:
     rs: float
     r_max: float
     omega: float
+    order: int = 2
 
     @property
     def final_q(self):
@@ -66,7 +67,8 @@ class IntegrationState:
             path, state=np.asarray(self.state),
             n_steps=np.asarray(self.n_steps),
             meta=np.array([self.steps_total, self.steps_done]),
-            params=np.array([self.delta, self.rs, self.r_max, self.omega]))
+            params=np.array([self.delta, self.rs, self.r_max, self.omega,
+                             float(self.order)]))
 
     @staticmethod
     def load(path: str) -> "IntegrationState":
@@ -77,19 +79,18 @@ class IntegrationState:
             state=z["state"], n_steps=z["n_steps"],
             steps_total=int(meta[0]), steps_done=int(meta[1]),
             delta=float(p[0]), rs=float(p[1]), r_max=float(p[2]),
-            omega=float(p[3]))
+            omega=float(p[3]),
+            order=int(p[4]) if p.shape[0] > 4 else 2)
 
 
-@partial(jax.jit, static_argnames=("max_steps",))
-def _advance(state16, n_steps, max_steps, delta, rs, r_max, omega):
+@partial(jax.jit, static_argnames=("max_steps", "order"))
+def _advance(state16, n_steps, max_steps, delta, rs, r_max, omega, order=2):
     """Advance a (16, N) state by at most max_steps masked steps."""
     dtype = state16.dtype
     delta = jnp.asarray(delta, dtype)
     rs = jnp.asarray(rs, dtype)
     r_max = jnp.asarray(r_max, dtype)
-    angle = 2.0 * jnp.asarray(omega, dtype) * delta
-    cos_w = jnp.cos(angle)
-    sin_w = jnp.sin(angle)
+    subs = substep_schedule(delta, jnp.asarray(omega, dtype), order)
 
     comps = tuple(state16[i] for i in range(N_STATE))
 
@@ -100,7 +101,7 @@ def _advance(state16, n_steps, max_steps, delta, rs, r_max, omega):
     def body(carry):
         comps, ns, k = carry
         active = _active_mask(comps[1], rs, r_max)
-        comps = _masked_step(comps, active, delta, rs, cos_w, sin_w)
+        comps = _masked_step(comps, active, subs, rs)
         return comps, ns + active.astype(jnp.int32), k + 1
 
     comps, n_steps, _ = jax.lax.while_loop(cond, body,
@@ -108,7 +109,8 @@ def _advance(state16, n_steps, max_steps, delta, rs, r_max, omega):
     return jnp.stack(comps), n_steps
 
 
-def start(q0s, p0s, steps, delta, rs, r_max, omega) -> IntegrationState:
+def start(q0s, p0s, steps, delta, rs, r_max, omega,
+          order=2) -> IntegrationState:
     """Fresh resumable integration state from (N, 4) initial conditions."""
     comps = pack_state(jnp.asarray(q0s), jnp.asarray(p0s))
     return IntegrationState(
@@ -116,7 +118,7 @@ def start(q0s, p0s, steps, delta, rs, r_max, omega) -> IntegrationState:
         n_steps=np.zeros(q0s.shape[0], dtype=np.int32),
         steps_total=int(steps), steps_done=0,
         delta=float(delta), rs=float(rs), r_max=float(r_max),
-        omega=float(omega))
+        omega=float(omega), order=int(order))
 
 
 def advance(st: IntegrationState, chunk_steps: int) -> IntegrationState:
@@ -126,7 +128,7 @@ def advance(st: IntegrationState, chunk_steps: int) -> IntegrationState:
         return st
     state, n_steps = _advance(
         jnp.asarray(st.state), jnp.asarray(st.n_steps), budget,
-        st.delta, st.rs, st.r_max, st.omega)
+        st.delta, st.rs, st.r_max, st.omega, order=st.order)
     return dataclasses.replace(
         st, state=np.asarray(state), n_steps=np.asarray(n_steps),
         steps_done=st.steps_done + budget)
@@ -135,7 +137,7 @@ def advance(st: IntegrationState, chunk_steps: int) -> IntegrationState:
 def integrate_chunked(q0s, p0s, steps, delta, rs, r_max, omega,
                       chunk_steps=10_000,
                       checkpoint_path: Optional[str] = None,
-                      resume: bool = False):
+                      resume: bool = False, order: int = 2):
     """Chunked integration with optional on-disk checkpointing.
 
     Equivalent to engine.integrate.integrate_batch (identical masked-step
@@ -147,7 +149,7 @@ def integrate_chunked(q0s, p0s, steps, delta, rs, r_max, omega,
     if resume and checkpoint_path and os.path.exists(checkpoint_path):
         st = IntegrationState.load(checkpoint_path)
     else:
-        st = start(q0s, p0s, steps, delta, rs, r_max, omega)
+        st = start(q0s, p0s, steps, delta, rs, r_max, omega, order=order)
     while not st.done:
         st = advance(st, chunk_steps)
         if checkpoint_path:

@@ -24,7 +24,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from ..physics.hamiltonian import fantasy_step_ord2, pack_state, unpack_p1, unpack_q1
+from ..physics.hamiltonian import (fantasy_step, pack_state, substep_schedule,
+                                   unpack_p1, unpack_q1)
 
 STATUS_ALIVE = 0
 STATUS_CAPTURED = 1
@@ -40,19 +41,23 @@ def resolve_backend(backend: str) -> str:
 
 
 def integrate_dispatch(q0s, p0s, steps, delta, rs, r_max, omega,
-                       backend="auto", equatorial=False):
+                       backend="auto", equatorial=False, order=2):
     """Backend-dispatching integrate: same signature/returns for both.
 
     equatorial=True is a static promise that every ray has theta == pi/2
     and p_theta == 0 (true for all camera rays after the beta fold) and
     selects the trig-free 12-row Pallas kernel; the XLA backend ignores it
-    (it stays the bit-exact generic reference path).
+    (it stays the bit-exact generic reference path).  order in {2,4,6,8}
+    selects the Yoshida-composed step (physics.hamiltonian); `steps` counts
+    composed steps, like EinsteinPy's GeodesicIntegrator.
     """
     if resolve_backend(backend) == "pallas":
         from .integrate_pallas import integrate_batch_pallas
         return integrate_batch_pallas(q0s, p0s, steps, delta, rs, r_max,
-                                      omega, equatorial=equatorial)
-    return integrate_batch(q0s, p0s, steps, delta, rs, r_max, omega)
+                                      omega, equatorial=equatorial,
+                                      order=order)
+    return integrate_batch(q0s, p0s, steps, delta, rs, r_max, omega,
+                           order=order)
 
 
 def _active_mask(q1r, rs, r_max):
@@ -60,13 +65,13 @@ def _active_mask(q1r, rs, r_max):
     return (q1r > 1.1 * rs) & (q1r < r_max)
 
 
-def _masked_step(state, active, delta, rs, cos_w, sin_w):
-    new_state = fantasy_step_ord2(state, delta, rs, cos_w, sin_w)
+def _masked_step(state, active, subs, rs):
+    new_state = fantasy_step(state, subs, rs)
     return tuple(jnp.where(active, n, o) for n, o in zip(new_state, state))
 
 
-@partial(jax.jit, static_argnames=("steps",))
-def integrate_batch(q0s, p0s, steps, delta, rs, r_max, omega):
+@partial(jax.jit, static_argnames=("steps", "order"))
+def integrate_batch(q0s, p0s, steps, delta, rs, r_max, omega, order=2):
     """Integrate a flat (N, 4) batch to completion.
 
     Returns (final_q, final_p, status, n_steps) — final_q matches the
@@ -78,9 +83,7 @@ def integrate_batch(q0s, p0s, steps, delta, rs, r_max, omega):
     delta = jnp.asarray(delta, dtype)
     rs = jnp.asarray(rs, dtype)
     r_max = jnp.asarray(r_max, dtype)
-    angle = 2.0 * jnp.asarray(omega, dtype) * delta
-    cos_w = jnp.cos(angle)
-    sin_w = jnp.sin(angle)
+    subs = substep_schedule(delta, jnp.asarray(omega, dtype), order)
 
     state0 = pack_state(q0s, p0s)
     n_steps0 = jnp.zeros(q0s.shape[:-1], dtype=jnp.int32)
@@ -92,7 +95,7 @@ def integrate_batch(q0s, p0s, steps, delta, rs, r_max, omega):
     def body(carry):
         state, n_steps, k = carry
         active = _active_mask(state[1], rs, r_max)
-        state = _masked_step(state, active, delta, rs, cos_w, sin_w)
+        state = _masked_step(state, active, subs, rs)
         return state, n_steps + active.astype(jnp.int32), k + 1
 
     state, n_steps, _ = jax.lax.while_loop(cond, body, (state0, n_steps0, jnp.int32(0)))
@@ -103,8 +106,9 @@ def integrate_batch(q0s, p0s, steps, delta, rs, r_max, omega):
     return unpack_q1(state), unpack_p1(state), status, n_steps
 
 
-@partial(jax.jit, static_argnames=("steps", "n_keep"))
-def integrate_batch_full(q0s, p0s, steps, delta, rs, r_max, omega, n_keep=None):
+@partial(jax.jit, static_argnames=("steps", "n_keep", "order"))
+def integrate_batch_full(q0s, p0s, steps, delta, rs, r_max, omega, n_keep=None,
+                         order=2):
     """Trajectory-capturing variant: returns (N, n_keep, 4) positions.
 
     The reference stores *every* step into an (N, steps, 4) buffer and the
@@ -130,9 +134,7 @@ def integrate_batch_full(q0s, p0s, steps, delta, rs, r_max, omega, n_keep=None):
     delta = jnp.asarray(delta, dtype)
     rs = jnp.asarray(rs, dtype)
     r_max = jnp.asarray(r_max, dtype)
-    angle = 2.0 * jnp.asarray(omega, dtype) * delta
-    cos_w = jnp.cos(angle)
-    sin_w = jnp.sin(angle)
+    subs = substep_schedule(delta, jnp.asarray(omega, dtype), order)
 
     n = q0s.shape[0]
     traj0 = jnp.zeros((n, n_keep_eff, 4), dtype=dtype)
@@ -155,7 +157,7 @@ def integrate_batch_full(q0s, p0s, steps, delta, rs, r_max, omega, n_keep=None):
         traj = jax.lax.cond(store_now, do_store, lambda tr: tr, traj)
         # After the first inactive observation the ray is dead for storage too.
         alive_next = alive & active
-        state = _masked_step(state, active, delta, rs, cos_w, sin_w)
+        state = _masked_step(state, active, subs, rs)
         return state, alive_next, traj
 
     _, _, traj = jax.lax.fori_loop(0, steps, body, (state0, alive0, traj0))
@@ -171,7 +173,7 @@ class SchwarzschildIntegrator:
     """
 
     def __init__(self, steps=500, delta=0.2, mass=1.0, omega=1.0, r_max=1e6,
-                 backend="xla", dtype=jnp.float32):
+                 backend="xla", dtype=jnp.float32, order=2):
         self.steps = int(steps)
         self.delta = float(delta)
         self.rs = 2.0 * float(mass)
@@ -179,6 +181,7 @@ class SchwarzschildIntegrator:
         self.r_max = float(r_max)
         self.backend = backend
         self.dtype = dtype
+        self.order = int(order)
 
     def integrate_batch(self, q0s, p0s):
         q0s = jnp.asarray(q0s, self.dtype)
@@ -187,15 +190,16 @@ class SchwarzschildIntegrator:
             from .integrate_pallas import integrate_batch_pallas
             q, p, status, n_steps = integrate_batch_pallas(
                 q0s, p0s, self.steps, self.delta, self.rs, self.r_max,
-                self.omega)
+                self.omega, order=self.order)
         else:
             q, p, status, n_steps = integrate_batch(
                 q0s, p0s, self.steps, self.delta, self.rs, self.r_max,
-                self.omega)
+                self.omega, order=self.order)
         return q, p, status, n_steps
 
     def integrate_batch_full(self, q0s, p0s, n_keep=None):
         q0s = jnp.asarray(q0s, self.dtype)
         p0s = jnp.asarray(p0s, self.dtype)
         return integrate_batch_full(q0s, p0s, self.steps, self.delta, self.rs,
-                                    self.r_max, self.omega, n_keep)
+                                    self.r_max, self.omega, n_keep,
+                                    order=self.order)

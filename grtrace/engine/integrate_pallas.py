@@ -34,7 +34,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..physics.hamiltonian import fantasy_step_ord2_eq, fantasy_step_ord2_fused
+from ..physics.hamiltonian import (fantasy_step_ord2_eq,
+                                   fantasy_step_ord2_fused, yoshida_gammas)
 from .integrate import STATUS_ALIVE, STATUS_CAPTURED, STATUS_ESCAPED
 
 LANES = 128
@@ -47,90 +48,69 @@ def _active(q1r, rs, r_max):
     return (q1r > 1.1 * rs) & (q1r < r_max)
 
 
-def _kernel(params_ref, state_ref, out_state_ref, ns_ref, *, steps):
-    """params (SMEM): [delta, rs, r_max, cos_w, sin_w]."""
-    delta = params_ref[0]
-    rs = params_ref[1]
-    r_max = params_ref[2]
-    cos_w = params_ref[3]
-    sin_w = params_ref[4]
+def _read_subs(params_ref, n_sub):
+    """SMEM layout: [rs, r_max, d0, c0, s0, d1, c1, s1, ...]."""
+    return tuple((params_ref[2 + 3 * j], params_ref[3 + 3 * j],
+                  params_ref[4 + 3 * j]) for j in range(n_sub))
 
-    comps = tuple(state_ref[0, i] for i in range(16))
-    ns0 = jnp.zeros((SUBLANES, LANES), dtype=jnp.int32)
 
-    def masked_step(comps, ns):
-        act = _active(comps[1], rs, r_max)
-        new = fantasy_step_ord2_fused(comps, delta, rs, cos_w, sin_w)
-        comps = tuple(jnp.where(act, n, o) for n, o in zip(new, comps))
-        return comps, ns + act.astype(jnp.int32)
+def _make_kernel(step2_fn, n_rows, steps, n_sub):
+    """Build the tile kernel for either layout (16-row generic / 12-row
+    equatorial) and any composed order (n_sub = 3^((order-2)/2) substeps).
+    The substep schedule is read from SMEM; the per-substep loop is a static
+    python unroll so the loop body stays branch-free on the VPU."""
+    # Composed steps cost n_sub base steps; keep roughly UNROLL base steps
+    # between early-exit checks.
+    unroll = max(1, UNROLL // n_sub)
 
-    main_iters = steps // UNROLL
+    def kernel(params_ref, state_ref, out_state_ref, ns_ref):
+        rs = params_ref[0]
+        r_max = params_ref[1]
+        subs = _read_subs(params_ref, n_sub)
 
-    def cond(carry):
-        k, comps, _ = carry
-        return (k < main_iters) & jnp.any(_active(comps[1], rs, r_max))
+        comps = tuple(state_ref[0, i] for i in range(n_rows))
+        ns0 = jnp.zeros((SUBLANES, LANES), dtype=jnp.int32)
 
-    def body(carry):
-        k, comps, ns = carry
-        for _ in range(UNROLL):
+        def masked_step(comps, ns):
+            act = _active(comps[1], rs, r_max)
+            new = comps
+            for d_i, cos_i, sin_i in subs:
+                new = step2_fn(new, d_i, rs, cos_i, sin_i)
+            comps = tuple(jnp.where(act, n, o) for n, o in zip(new, comps))
+            return comps, ns + act.astype(jnp.int32)
+
+        main_iters = steps // unroll
+
+        def cond(carry):
+            k, comps, _ = carry
+            return (k < main_iters) & jnp.any(_active(comps[1], rs, r_max))
+
+        def body(carry):
+            k, comps, ns = carry
+            for _ in range(unroll):
+                comps, ns = masked_step(comps, ns)
+            return k + 1, comps, ns
+
+        _, comps, ns = jax.lax.while_loop(cond, body,
+                                          (jnp.int32(0), comps, ns0))
+        for _ in range(steps % unroll):  # static remainder, preserves budget
             comps, ns = masked_step(comps, ns)
-        return k + 1, comps, ns
 
-    _, comps, ns = jax.lax.while_loop(cond, body, (jnp.int32(0), comps, ns0))
-    for _ in range(steps % UNROLL):  # static remainder, preserves budget
-        comps, ns = masked_step(comps, ns)
+        for i in range(n_rows):
+            out_state_ref[0, i] = comps[i]
+        ns_ref[0, 0] = ns
 
-    for i in range(16):
-        out_state_ref[0, i] = comps[i]
-    ns_ref[0, 0] = ns
+    return kernel
 
 
-def _kernel_eq(params_ref, state_ref, out_state_ref, ns_ref, *, steps):
-    """Equatorial variant: 12 state rows, trig-free step (see
-    physics.hamiltonian equatorial section).  Row 1 is q1_r, as in the
-    generic layout rows {q1t, q1r, q1ph, ...}."""
-    delta = params_ref[0]
-    rs = params_ref[1]
-    r_max = params_ref[2]
-    cos_w = params_ref[3]
-    sin_w = params_ref[4]
-
-    comps = tuple(state_ref[0, i] for i in range(12))
-    ns0 = jnp.zeros((SUBLANES, LANES), dtype=jnp.int32)
-
-    def masked_step(comps, ns):
-        act = _active(comps[1], rs, r_max)
-        new = fantasy_step_ord2_eq(comps, delta, rs, cos_w, sin_w)
-        comps = tuple(jnp.where(act, n, o) for n, o in zip(new, comps))
-        return comps, ns + act.astype(jnp.int32)
-
-    main_iters = steps // UNROLL
-
-    def cond(carry):
-        k, comps, _ = carry
-        return (k < main_iters) & jnp.any(_active(comps[1], rs, r_max))
-
-    def body(carry):
-        k, comps, ns = carry
-        for _ in range(UNROLL):
-            comps, ns = masked_step(comps, ns)
-        return k + 1, comps, ns
-
-    _, comps, ns = jax.lax.while_loop(cond, body, (jnp.int32(0), comps, ns0))
-    for _ in range(steps % UNROLL):
-        comps, ns = masked_step(comps, ns)
-
-    for i in range(12):
-        out_state_ref[0, i] = comps[i]
-    ns_ref[0, 0] = ns
-
-
-@partial(jax.jit, static_argnames=("steps", "interpret", "n_rows"))
-def _integrate_tiles(state, params, steps, interpret=False, n_rows=16):
-    """state: (T, n_rows, 8, 128), params: (5,) -> (final_state, n_steps)."""
+@partial(jax.jit, static_argnames=("steps", "interpret", "n_rows", "n_sub"))
+def _integrate_tiles(state, params, steps, interpret=False, n_rows=16,
+                     n_sub=1):
+    """state: (T, n_rows, 8, 128), params: (2+3*n_sub,) SMEM scalars."""
     num_tiles = state.shape[0]
     dtype = state.dtype
-    kernel = partial(_kernel if n_rows == 16 else _kernel_eq, steps=steps)
+    step2 = fantasy_step_ord2_fused if n_rows == 16 else fantasy_step_ord2_eq
+    kernel = _make_kernel(step2, n_rows, steps, n_sub)
     out_state, ns = pl.pallas_call(
         kernel,
         grid=(num_tiles,),
@@ -225,10 +205,10 @@ def _cost_sort_key(q0s, p0s, rs):
 
 
 @partial(jax.jit, static_argnames=("steps", "interpret", "sort_rays",
-                                   "equatorial"))
+                                   "equatorial", "order"))
 def integrate_batch_pallas(q0s, p0s, steps, delta, rs, r_max, omega,
                            interpret=False, sort_rays=True,
-                           equatorial=False):
+                           equatorial=False, order=2):
     """Drop-in replacement for engine.integrate.integrate_batch on TPU.
 
     Returns (final_q, final_p, status, n_steps), identical semantics to the
@@ -236,25 +216,33 @@ def integrate_batch_pallas(q0s, p0s, steps, delta, rs, r_max, omega,
     exit for real wall-clock savings on mixed scenes.  delta/rs/r_max/omega
     may be traced values (shipped to the kernel through SMEM), so one
     compilation serves every scene with the same image size and step budget.
+    order in {2,4,6,8} selects the Yoshida-composed step; the static substep
+    fractions ride in SMEM as (delta_i, cos_i, sin_i) triples.
     """
     dtype = q0s.dtype
     delta = jnp.asarray(delta, dtype)
     rs = jnp.asarray(rs, dtype)
     r_max = jnp.asarray(r_max, dtype)
     omega = jnp.asarray(omega, dtype)
-    angle = 2.0 * omega * delta
-    params = jnp.stack([delta, rs, r_max, jnp.cos(angle), jnp.sin(angle)])
+    gammas = yoshida_gammas(order)
+    scal = [rs, r_max]
+    for g in gammas:
+        d_i = g * delta
+        angle = 2.0 * omega * d_i
+        scal += [d_i, jnp.cos(angle), jnp.sin(angle)]
+    params = jnp.stack(scal)
     if sort_rays:
-        order = jnp.argsort(_cost_sort_key(q0s, p0s, rs))
-        q0s = q0s[order]
-        p0s = p0s[order]
+        sort_idx = jnp.argsort(_cost_sort_key(q0s, p0s, rs))
+        q0s = q0s[sort_idx]
+        p0s = p0s[sort_idx]
     state, n = _pack_tiles(q0s, p0s, r_max, equatorial=equatorial)
     out_state, ns = _integrate_tiles(state, params, steps,
                                      interpret=interpret,
-                                     n_rows=12 if equatorial else 16)
+                                     n_rows=12 if equatorial else 16,
+                                     n_sub=len(gammas))
     final_q, final_p, n_steps = _unpack_tiles(out_state, ns, n, q0s, p0s)
     if sort_rays:
-        inverse = jnp.argsort(order)
+        inverse = jnp.argsort(sort_idx)
         final_q = final_q[inverse]
         final_p = final_p[inverse]
         n_steps = n_steps[inverse]

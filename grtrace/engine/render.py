@@ -70,13 +70,15 @@ class RenderResult:
 
 @partial(jax.jit,
          static_argnames=("height", "width", "steps", "flip_theta",
-                          "flip_phi", "has_background", "dtype", "backend"))
+                          "flip_phi", "has_background", "dtype", "backend",
+                          "order"))
 def render_pixels(bg_array, obs_x, fov, mass, boundary_radius,
                   steps, delta, omega,
                   patch_center_theta, patch_center_phi,
                   patch_size_theta, patch_size_phi,
                   *, height, width, flip_theta=False, flip_phi=False,
-                  has_background=True, dtype=jnp.float32, backend="xla"):
+                  has_background=True, dtype=jnp.float32, backend="xla",
+                  order=2):
     """The fused device pipeline for one frame.
 
     Returns a dict of per-pixel arrays.  Everything from pixel grid to RGB
@@ -92,7 +94,8 @@ def render_pixels(bg_array, obs_x, fov, mass, boundary_radius,
     # which licenses the trig-free equatorial fast kernel
     final_q, final_p, status, n_steps = integrate_dispatch(
         q0.reshape(n, 4), p0.reshape(n, 4), steps, delta, rs,
-        boundary_radius, omega, backend=backend, equatorial=True)
+        boundary_radius, omega, backend=backend, equatorial=True,
+        order=order)
     final_q = final_q.reshape(height, width, 4)
 
     cls, th_csv, ph_csv, u01, v01 = _classify.classify_rays(
@@ -153,7 +156,7 @@ def _sample_trajectories(q0, p0, beta, sampled_ij, scene: SceneConfig, dtype):
         jnp.asarray(q0s, dtype), jnp.asarray(p0s, dtype),
         integ.steps, integ.delta, 2.0 * scene.bh_mass,
         scene.boundary_radius, _effective_omega(scene),
-        n_keep=min(MAX_TRAJ_POINTS, integ.steps))
+        n_keep=min(MAX_TRAJ_POINTS, integ.steps), order=integ.order)
 
     traj = np.asarray(traj, dtype=np.float64)
     out = []
@@ -208,7 +211,8 @@ def render(scene: SceneConfig, *, bg_array=None, n_samples=None, seed=0,
             flip_theta=scene.patch.flip_theta,
             flip_phi=scene.patch.flip_phi,
             has_background=has_bg, dtype=dtype,
-            backend=resolve_backend(integ.backend))
+            backend=resolve_backend(integ.backend),
+            order=integ.order)
 
     with metrics.stage("device_pipeline"):
         # the count_vec fetch synchronizes the whole device pipeline

@@ -61,18 +61,23 @@ class PatchConfig:
 
 @dataclasses.dataclass
 class IntegratorConfig:
-    """Fixed-step FANTASY order-2 settings.
+    """Fixed-step FANTASY symplectic-integrator settings.
 
     Deliberate fix vs the reference: `omega` IS forwarded to the integrator
     (the reference parses --omega but never passes it on, so the class default
     omega=1.0 silently wins — raytracing.py:118 vs config.py:11; SURVEY.md
     section 3.2).  Set omega=1.0 to reproduce reference renders bit-for-bit;
     the CLI default preserves the reference's *effective* behavior.
+
+    `order` in {2,4,6,8}: the reference CLI accepts these (config.py:14) but
+    only ever implemented order 2 on its GPU (cuda_geodesic.py:569); here
+    orders 4/6/8 are real Yoshida triple-jump compositions on every backend
+    (physics/hamiltonian.py).  `steps` counts composed steps.
     """
     steps: int = 200_000
     delta: float = 0.01
     omega: float = 1.0
-    order: int = 2          # only order 2 exists on device, like the reference
+    order: int = 2
     rtol: float = 1e-2      # parsed-but-unused in the reference CUDA path; kept
     atol: float = 1e-2      #   for flag parity (config.py:12-13)
     backend: str = "auto"   # 'auto' | 'pallas' | 'xla'

@@ -90,7 +90,31 @@ def fantasy_step_ord2(q1, p1, q2, p2, delta, rs, omega):
     return q1, p1, q2, p2
 
 
-def integrate(q0, p0, steps, delta, rs, r_max, omega):
+def yoshida_gammas(order):
+    """Triple-jump substep fractions; independent twin of
+    physics.hamiltonian.yoshida_gammas (kept separate on purpose — the
+    oracle must not import the engine under test)."""
+    if order not in (2, 4, 6, 8):
+        raise ValueError(f"order must be 2, 4, 6 or 8, got {order}")
+    gammas = [1.0]
+    for k in range(1, (order - 2) // 2 + 1):
+        z = 2.0 ** (1.0 / (2 * k + 1))
+        z1 = 1.0 / (2.0 - z)
+        z0 = -z * z1
+        gammas = ([g * z1 for g in gammas] + [g * z0 for g in gammas]
+                  + [g * z1 for g in gammas])
+    return gammas
+
+
+def fantasy_step(q1, p1, q2, p2, delta, rs, omega, order=2):
+    """Composed step of any supported order (order 2 == one ord-2 step)."""
+    for g in yoshida_gammas(order):
+        q1, p1, q2, p2 = fantasy_step_ord2(q1, p1, q2, p2, g * delta, rs,
+                                           omega)
+    return q1, p1, q2, p2
+
+
+def integrate(q0, p0, steps, delta, rs, r_max, omega, order=2):
     """Single-ray final state. q0, p0: (4,) float64.
 
     Returns (q1, p1, n_steps_taken) with the reference's pre-step early exit.
@@ -103,20 +127,22 @@ def integrate(q0, p0, steps, delta, rs, r_max, omega):
     for _ in range(steps):
         if q1[1] <= 1.1 * rs or q1[1] >= r_max:
             break
-        q1, p1, q2, p2 = fantasy_step_ord2(q1, p1, q2, p2, delta, rs, omega)
+        q1, p1, q2, p2 = fantasy_step(q1, p1, q2, p2, delta, rs, omega,
+                                      order)
         taken += 1
     return q1, p1, taken
 
 
-def integrate_batch(q0s, p0s, steps, delta, rs, r_max, omega):
+def integrate_batch(q0s, p0s, steps, delta, rs, r_max, omega, order=2):
     """(N,4) batch wrapper around `integrate`. Returns (N,4) final q1."""
     out = np.zeros_like(q0s, dtype=np.float64)
     for i in range(q0s.shape[0]):
-        out[i], _, _ = integrate(q0s[i], p0s[i], steps, delta, rs, r_max, omega)
+        out[i], _, _ = integrate(q0s[i], p0s[i], steps, delta, rs, r_max,
+                                 omega, order)
     return out
 
 
-def integrate_full(q0, p0, steps, delta, rs, r_max, omega):
+def integrate_full(q0, p0, steps, delta, rs, r_max, omega, order=2):
     """Single-ray trajectory (steps, 4): q1 stored each step before the step,
     zero-filled after exit — exactly cuda_geodesic.py:604-625."""
     traj = np.zeros((steps, 4), dtype=np.float64)
@@ -128,5 +154,6 @@ def integrate_full(q0, p0, steps, delta, rs, r_max, omega):
         traj[s] = q1
         if q1[1] <= 1.1 * rs or q1[1] >= r_max:
             break
-        q1, p1, q2, p2 = fantasy_step_ord2(q1, p1, q2, p2, delta, rs, omega)
+        q1, p1, q2, p2 = fantasy_step(q1, p1, q2, p2, delta, rs, omega,
+                                      order)
     return traj

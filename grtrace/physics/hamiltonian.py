@@ -337,6 +337,64 @@ def fantasy_step_ord2_eq(state, delta, rs, cos_w, sin_w):
     return state
 
 
+# ---------------------------------------------------------------------------
+# Higher-order composition (orders 4, 6, 8)
+# ---------------------------------------------------------------------------
+# The reference CLI accepts --order {2,4,6,8} (reference config.py:14) but
+# only order 2 exists on its GPU (cuda_geodesic.py:569).  Here the higher
+# orders are implemented for real, by the triple-jump (Yoshida/Suzuki)
+# composition the FANTASY paper itself prescribes (Christian & Chan 2021,
+# arXiv:2010.02237 section 2.3): an order-(n+2) step is three order-n steps
+# with substep sizes (z1*d, z0*d, z1*d), z1 = 1/(2 - 2^(1/(n+1))),
+# z0 = -2^(1/(n+1)) * z1.  Order 4 = 3 base steps, 6 = 9, 8 = 27.
+
+_VALID_ORDERS = (2, 4, 6, 8)
+
+
+def yoshida_gammas(order: int):
+    """Static substep-size fractions for the composed order-n step.
+
+    Returns a tuple of python floats summing to 1.0; length 3^((order-2)/2).
+    """
+    if order not in _VALID_ORDERS:
+        raise ValueError(f"order must be one of {_VALID_ORDERS}, got {order}")
+    gammas = [1.0]
+    for k in range(1, (order - 2) // 2 + 1):
+        z = 2.0 ** (1.0 / (2 * k + 1))
+        z1 = 1.0 / (2.0 - z)
+        z0 = -z * z1
+        gammas = ([g * z1 for g in gammas] + [g * z0 for g in gammas]
+                  + [g * z1 for g in gammas])
+    return tuple(gammas)
+
+
+def substep_schedule(delta, omega, order: int):
+    """Per-substep (delta_i, cos_i, sin_i) triples for a composed step.
+
+    delta/omega may be traced scalars; the gammas are static.  cos/sin of
+    the mixing angle 2*omega*delta_i are hoisted here, once per trace, so
+    the integration loop body stays transcendental-free for any order.
+    """
+    subs = []
+    for g in yoshida_gammas(order):
+        d_i = g * delta
+        angle = 2.0 * omega * d_i
+        subs.append((d_i, jnp.cos(angle), jnp.sin(angle)))
+    return tuple(subs)
+
+
+def fantasy_step(state, subs, rs, step2_fn=fantasy_step_ord2):
+    """One composed step of any order: apply step2_fn per substep schedule.
+
+    `subs` comes from substep_schedule; with order=2 this is exactly one
+    fantasy_step_ord2.  step2_fn selects the flow variant (generic, fused,
+    or equatorial via the matching 12-row step).
+    """
+    for d_i, cos_i, sin_i in subs:
+        state = step2_fn(state, d_i, rs, cos_i, sin_i)
+    return state
+
+
 def hamiltonian(q, p, rs):
     """H = 0.5 g^{ab}(q) p_a p_b — a conserved diagnostic (0 for null rays).
 
