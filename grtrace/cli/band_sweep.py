@@ -51,7 +51,7 @@ def main(argv=None):
         n_samples=0)
 
     bg = None
-    if args.background and os.path.exists(args.background):
+    if artifacts.background_available(args.background):
         bg = artifacts.load_background(args.background,
                                       size=(args.size, args.size))
     res = render(scene, bg_array=bg)

@@ -33,14 +33,16 @@ def main(argv=None):
     images_dir = os.path.join(out, "images")
 
     bg_array = None
-    if scene.background and os.path.exists(scene.background):
+    if artifacts.background_available(scene.background):
         # reference behavior: texture resized to the output resolution
         # (raytracing.py:36)
         bg_array = artifacts.load_background(
             scene.background, size=(scene.size, scene.size))
     elif scene.background:
-        logging.warning("Background %s not found; rendering without it",
-                        scene.background)
+        logging.warning(
+            "Background %s not found; rendering without it (tip: "
+            "--background procedural:starfield needs no asset files)",
+            scene.background)
 
     observer = scene.observer()
     bh = scene.black_hole()

@@ -59,12 +59,12 @@ def main(argv=None):
             size_theta=float(np.deg2rad(args.bg_patch_size_theta)),
             size_phi=float(np.deg2rad(args.bg_patch_size_phi))))
 
-    if args.background and os.path.exists(args.background):
+    if artifacts.background_available(args.background):
         bg = artifacts.load_background(args.background,
                                       size=(args.size, args.size))
     else:
-        rng = np.random.default_rng(0)
-        bg = rng.integers(0, 255, (args.size, args.size, 3), dtype=np.uint8)
+        from ..io import textures
+        bg = textures.starfield(args.size, args.size)
 
     n_dev = len(jax.devices())
     mesh = make_mesh(1, n_dev)  # rays across all chips; frames batched in time

@@ -27,16 +27,32 @@ from ..engine.classify import COLLISION_NAMES
 def load_background(path: str, size: Optional[tuple] = None) -> np.ndarray:
     """Load an equirectangular texture as (h, w, 3) uint8.
 
+    `path` is either an image file or a procedural spec
+    ('procedural:<name>[:seed]', see io.textures — this replaces the
+    reference's binary panorama assets, SURVEY.md C17).
+
     size=(w, h) resizes with LANCZOS exactly like the reference
     (raytracing.py:36, background.py:34 — the reference couples texture
     resolution to the output resolution; pass size=None to keep full
     resolution, a documented improvement).
     """
+    from . import textures
+    if textures.is_procedural(path):
+        hw = (size[1], size[0]) if size is not None else None
+        return textures.from_spec(path, size=hw)
     from PIL import Image
     img = Image.open(path).convert("RGB")
     if size is not None:
         img = img.resize(size, Image.LANCZOS)
     return np.array(img)
+
+
+def background_available(spec) -> bool:
+    """True if `spec` names a loadable background (file or procedural)."""
+    from . import textures
+    if not spec:
+        return False
+    return textures.is_procedural(spec) or os.path.exists(spec)
 
 
 def save_image(img: np.ndarray, path: str) -> None:
