@@ -57,9 +57,13 @@ class Nulllike:
     """Drop-in analog of einsteinpy.geodesic.Nulllike.
 
     Parameters follow EinsteinPy: position=(r, th, ph), momentum=
-    (p_r, p_th, p_ph), steps, delta, omega, return_cartesian,
-    suppress_warnings (accepted, unused), metric_params=(a,) with a == 0
-    (only Schwarzschild exists, like the reference pipeline).
+    (p_r, p_th, p_ph), steps, delta, omega, order, return_cartesian,
+    suppress_warnings (accepted, unused), metric in
+    {"Schwarzschild", "Kerr"} with metric_params=(a,) — the spin.
+    Schwarzschild runs the specialized fast path; Kerr (and
+    Schwarzschild-with-nonzero-a requests) run the generic autodiff engine
+    (engine.integrate_generic), which EinsteinPy matches with its own
+    metric-generic FANTASY integrator.
     """
 
     def __init__(self, metric="Schwarzschild", metric_params=(0.0,),
@@ -68,14 +72,17 @@ class Nulllike:
                  steps=50, delta=0.5, omega=1.0, order=2,
                  return_cartesian=True,
                  suppress_warnings=False, time_like=False, mass=1.0):
-        if metric != "Schwarzschild":
+        if metric not in ("Schwarzschild", "Kerr"):
             raise NotImplementedError(
-                f"metric {metric!r}: only Schwarzschild is supported "
-                "(matching the reference pipeline)")
-        if metric_params and float(metric_params[0]) != 0.0:
-            raise NotImplementedError("spin a != 0 is not supported")
+                f"metric {metric!r}: supported metrics are Schwarzschild "
+                "and Kerr")
         if time_like:
             raise NotImplementedError("only null geodesics are supported")
+        spin = float(metric_params[0]) if metric_params else 0.0
+        if metric == "Schwarzschild" and spin != 0.0:
+            raise ValueError("Schwarzschild requires spin a == 0; "
+                             "use metric='Kerr' for a != 0")
+        self.spin = spin
 
         self.metric = metric
         self.steps = int(steps)
@@ -88,9 +95,16 @@ class Nulllike:
         pos = np.asarray(position, dtype=np.float64)
         mom = np.asarray(momentum, dtype=np.float64)
         # past-directed root, the EinsteinPy `_P()` choice
-        p4 = np.asarray(build_null_4momentum(
-            jnp.asarray(mom), jnp.asarray(pos), mass_bh=self.mass,
-            future=False))
+        if metric == "Kerr":
+            from ..physics import spacetime
+            p4 = np.asarray(spacetime.build_null_4momentum(
+                jnp.asarray(mom), jnp.asarray(pos),
+                jnp.asarray([self.mass, self.spin]),
+                spacetime.kerr_g_inv, future=False))
+        else:
+            p4 = np.asarray(build_null_4momentum(
+                jnp.asarray(mom), jnp.asarray(pos), mass_bh=self.mass,
+                future=False))
         self.position = np.array([0.0, *pos])
         self.momentum = p4
 
@@ -103,11 +117,20 @@ class Nulllike:
             # (documented side effect: affects subsequent jax tracing).
             if not jax.config.jax_enable_x64:
                 jax.config.update("jax_enable_x64", True)
-            qs, ps = _trajectory(
-                jnp.asarray(self.position, jnp.float64),
-                jnp.asarray(self.momentum, jnp.float64),
-                self.steps, self.delta, 2.0 * self.mass, self.omega,
-                order=self.order)
+            if self.metric == "Kerr":
+                from ..engine.integrate_generic import trajectory_generic
+                qs, ps = trajectory_generic(
+                    jnp.asarray(self.position, jnp.float64),
+                    jnp.asarray(self.momentum, jnp.float64),
+                    self.steps, self.delta,
+                    jnp.asarray([self.mass, self.spin], jnp.float64),
+                    self.omega, order=self.order, metric="Kerr")
+            else:
+                qs, ps = _trajectory(
+                    jnp.asarray(self.position, jnp.float64),
+                    jnp.asarray(self.momentum, jnp.float64),
+                    self.steps, self.delta, 2.0 * self.mass, self.omega,
+                    order=self.order)
             self._qs = np.asarray(qs)
             self._ps = np.asarray(ps)
         return self._qs, self._ps

@@ -82,9 +82,10 @@ def test_nulllike_spherical_output():
 
 
 def test_nulllike_rejects_unsupported():
+    # Kerr is now supported (tests/test_spacetime_kerr.py); these stay out
     with pytest.raises(NotImplementedError):
-        Nulllike(metric="Kerr")
-    with pytest.raises(NotImplementedError):
-        Nulllike(metric_params=(0.5,))
+        Nulllike(metric="KerrNewman")
+    with pytest.raises(ValueError):
+        Nulllike(metric="Schwarzschild", metric_params=(0.5,))
     with pytest.raises(NotImplementedError):
         Nulllike(time_like=True)
