@@ -59,6 +59,43 @@ def integrate_batch_generic(q0s, p0s, steps, delta, params, r_max, omega,
     def masked(new, old, act):
         return jnp.where(act[:, None], new, old)
 
+    # Blow-up guard (fixed-step stiffness near Delta -> 0 and the BL poles).
+    # Three terminal conditions a step can produce:
+    #   * horizon crossing (r' < r_+): the capture check only runs between
+    #     steps, so a fast plunge can overshoot straight through the
+    #     capture shell into the interior where the metric signs flip and
+    #     the state turns to garbage -> terminate as CAPTURED.
+    #   * explosion (non-finite, |dr| > jump cap, |dtheta| > 1.5): the
+    #     stiff kick ~1/Delta^2 (horizon) or ~1/sin^3(theta) (BL pole)
+    #     overwhelmed the step; revert the ray and terminate it — as
+    #     captured if it stood in the stiff horizon zone (it was plunging),
+    #     else flagged with the reference's own numerical-error sentinel
+    #     r >= 100 (raytracing.py:213-215).
+    # Legitimate steps move r by ~g^rr p_r delta (<~ E*delta) and theta by
+    # ~p_th delta / r^2 — both far below the caps.
+    r_plus = r_cap / 1.1
+    jump_cap = jnp.maximum(jnp.asarray(5.0, dtype), 20.0 * delta)
+    plunge_zone = r_cap + 0.5 * params[0]
+
+    def guard(q_old, p_old, nq1, np1):
+        r_b = q_old[:, 1]
+        finite = (jnp.isfinite(nq1).all(axis=1) & jnp.isfinite(np1).all(axis=1))
+        exploded = ((~finite)
+                    | (jnp.abs(nq1[:, 1] - r_b) > jump_cap)
+                    | (jnp.abs(nq1[:, 2] - q_old[:, 2]) > 1.5))
+        crossed = finite & (nq1[:, 1] < r_plus) & ~exploded
+        # pre-step radial coordinate velocity dr/dlambda = g^rr p_r; the
+        # pre-step state is still sane, so its sign is the ray's true
+        # heading at the moment the step failed (g^rr > 0 outside r_+,
+        # so sign(p_r) suffices)
+        inward = p_old[:, 1] < 0.0
+        capture = crossed | (exploded & (inward | (r_b < plunge_zone)))
+        fix_r = jnp.where(capture, 0.99 * r_cap, jnp.asarray(150.0, dtype))
+        bad = exploded | crossed
+        fixed_q = q_old.at[:, 1].set(fix_r)
+        nq1 = jnp.where(bad[:, None], fixed_q, nq1)
+        return bad, nq1
+
     n_steps0 = jnp.zeros(q0s.shape[0], dtype=jnp.int32)
     carry0 = (q0s, p0s, q0s, p0s, n_steps0, jnp.int32(0))
 
@@ -70,6 +107,10 @@ def integrate_batch_generic(q0s, p0s, steps, delta, params, r_max, omega,
         q1, p1, q2, p2, ns, k = c
         act = active_mask(q1)
         nq1, np1, nq2, np2 = vstep(q1, p1, q2, p2)
+        bad, nq1 = guard(q1, p1, nq1, np1)
+        np1 = jnp.where(bad[:, None], p1, np1)
+        nq2 = jnp.where(bad[:, None], q2, nq2)
+        np2 = jnp.where(bad[:, None], p2, np2)
         return (masked(nq1, q1, act), masked(np1, p1, act),
                 masked(nq2, q2, act), masked(np2, p2, act),
                 ns + act.astype(jnp.int32), k + 1)

@@ -180,6 +180,11 @@ def render(scene: SceneConfig, *, bg_array=None, n_samples=None, seed=0,
     metrics: optional engine.metrics.RenderMetrics to fill with stage
     timings and throughput counters.
     """
+    if getattr(scene, "metric", "Schwarzschild").lower() == "kerr":
+        from .render_generic import render_generic
+        return render_generic(scene, spin=scene.spin, metric="Kerr",
+                              bg_array=bg_array, dtype=dtype)
+
     from .metrics import RenderMetrics
     want_metrics = metrics is not None
     if metrics is None:

@@ -91,6 +91,11 @@ class SceneConfig:
     fov_deg: float = 80.0
     background: Optional[str] = "images/backgrounds/milky-way-equirec.jpg"
     bh_mass: float = 1.0
+    # beyond the reference: metric selection (engine.render_generic).
+    # 'Schwarzschild' runs the specialized fast path; 'Kerr' the generic
+    # autodiff engine with frame dragging.  spin = a in [0, M].
+    metric: str = "Schwarzschild"
+    spin: float = 0.0
     boundary_radius: float = 31.0
     observer_distance: float = 30.0
     integrator: IntegratorConfig = dataclasses.field(default_factory=IntegratorConfig)

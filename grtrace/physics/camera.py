@@ -129,6 +129,63 @@ def initial_conditions(obs_pos, pixel_pos, *, mass_bh=1.0):
     return q0, p0, alpha0, heading, beta
 
 
+def camera_rays_unfolded(obs_pos, fov, height, width, *, params, g_inv_fn,
+                         dtype=jnp.float32):
+    """General-metric camera: pixel grid -> ICs WITHOUT the equatorial fold.
+
+    The beta-fold trick (initial_conditions above; reference
+    utils.py:103-113) rotates every ray into the x-y plane — licensed only
+    by spherical symmetry.  Kerr is merely axisymmetric, so rays must keep
+    their true (theta, phi) headings.  The spatial momentum uses the same
+    camera normalization convention as the reference
+    (n_rhat*sqrt(1-2M/r), n_thhat*r, n_phhat*r; utils.py:179-186 — the
+    overall scale of a null covector is affine gauge), but the direction is
+    expressed in the observer's orthonormal spherical basis directly and
+    p_t is closed with the exact metric-specific null condition (including
+    the g^{t phi} frame-dragging cross term for Kerr).
+
+    Returns (q0, p0, alpha0) with shapes (H, W, 4|4|-).
+    """
+    from .spacetime import null_p_t as generic_null_p_t
+    import jax
+
+    pix = pixel_grid(obs_pos, fov, height, width, dtype=dtype)
+    obs = jnp.asarray(obs_pos, dtype=dtype)
+    ray = pix - obs
+    ray = ray / jnp.linalg.norm(ray, axis=-1, keepdims=True)
+
+    r_obs, th_obs, ph_obs = cartesian_to_spherical(obs[0], obs[1], obs[2])
+    st, ct = jnp.sin(th_obs), jnp.cos(th_obs)
+    sp, cp = jnp.sin(ph_obs), jnp.cos(ph_obs)
+    rhat = jnp.stack([st * cp, st * sp, ct])
+    thhat = jnp.stack([ct * cp, ct * sp, -st])
+    phhat = jnp.stack([-sp, cp, jnp.zeros_like(sp)])
+
+    n_r = ray @ rhat
+    n_th = ray @ thhat
+    n_ph = ray @ phhat
+
+    mass = jnp.asarray(params, dtype)[0]
+    f_r = jnp.sqrt(1.0 - 2.0 * mass / r_obs)
+    p_sph = jnp.stack([n_r * f_r, n_th * r_obs, n_ph * r_obs], axis=-1)
+
+    q3 = jnp.stack([jnp.broadcast_to(r_obs, n_r.shape),
+                    jnp.broadcast_to(th_obs, n_r.shape),
+                    jnp.broadcast_to(ph_obs, n_r.shape)], axis=-1)
+    q0 = jnp.concatenate([jnp.zeros_like(n_r)[..., None], q3], axis=-1)
+
+    params_arr = jnp.asarray(params, dtype)
+    flat_p = p_sph.reshape(-1, 3)
+    flat_q = q0.reshape(-1, 4)
+    p_t = jax.vmap(lambda p, q: generic_null_p_t(p, q, params_arr, g_inv_fn,
+                                                 future=True))(flat_p, flat_q)
+    p0 = jnp.concatenate([p_t.reshape(n_r.shape)[..., None], p_sph], axis=-1)
+
+    # angle off the optical axis (same formula as the folded camera)
+    alpha0 = jnp.arccos(jnp.clip(-p_sph[..., 0] / f_r, -1.0, 1.0))
+    return q0, p0, alpha0
+
+
 def pixel_positions_for_indices(obs_pos, fov, height, width, flat_idx,
                                 dtype=jnp.float32):
     """Pixel positions for a slice of flat indices (i*W + j).

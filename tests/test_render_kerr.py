@@ -1,0 +1,99 @@
+"""Kerr full-frame rendering (engine.render_generic) — beyond-reference
+capability; the reference pipeline is Schwarzschild-only
+(simulation/cuda_geodesic.py:432-447)."""
+import numpy as np
+import pytest
+
+from grtrace.engine.render import render
+from grtrace.io.scene import IntegratorConfig, PatchConfig, SceneConfig
+
+
+def _scene(spin, size=24, steps=8000, delta=0.02):
+    # delta=0.02: near-axis rays turn very close to the Boyer-Lindquist
+    # polar coordinate singularity; coarser fixed steps overshoot the theta
+    # turning point and blow up (honestly flagged as 'numerical error' by
+    # the r>=100 failure detector, reference raytracing.py:213-215).
+    return SceneConfig(
+        size=size, fov_deg=80.0, observer_distance=30.0, boundary_radius=31.0,
+        metric="Kerr", spin=spin,
+        integrator=IntegratorConfig(steps=steps, delta=delta, omega=1.0,
+                                    backend="xla", dtype="float64"),
+        patch=PatchConfig(), n_samples=0)
+
+
+def test_kerr_render_basic():
+    tex = np.full((32, 32, 3), 180, np.uint8)
+    res = render(_scene(0.9), bg_array=tex)
+    assert res.image.shape == (24, 24, 3)
+    c = res.counts
+    assert c["captured"] > 0
+    assert c["escaped"] > 0
+    assert c["numerical_error"] == 0
+    assert c["escaped"] == c["background"]  # full-sphere patch
+    assert c["captured"] + c["escaped"] + c["in_domain"] == 24 * 24
+
+
+def test_kerr_spin_changes_shadow():
+    """The shadow must differ between a=0 and a=0.95 (frame dragging makes
+    it asymmetric and slightly smaller in area)."""
+    r0 = render(_scene(0.0))
+    r9 = render(_scene(0.95))
+    assert r0.counts["captured"] != r9.counts["captured"]
+    # and the captured masks differ pixelwise, not just in count
+    assert (np.asarray(r0.cls) != np.asarray(r9.cls)).any()
+
+
+def test_kerr_shadow_asymmetry():
+    """At high spin the equatorial shadow profile is left-right asymmetric
+    (prograde photons approach closer); at a=0 it is symmetric."""
+    def lr_asym(res, size):
+        cap = (np.asarray(res.cls) == 0)
+        mid = cap[size // 2]            # equatorial row
+        return int(mid[: size // 2].sum()) - int(mid[size // 2:].sum())
+
+    size = 32
+    r0 = render(_scene(0.0, size=size))
+    r9 = render(_scene(0.95, size=size))
+    assert lr_asym(r0, size) == 0
+    assert lr_asym(r9, size) != 0
+
+
+def test_numerical_error_flagging_at_coarse_delta():
+    """Coarse fixed steps near the BL polar singularity must be *flagged*
+    (class 'numerical error', reference raytracing.py:213-215), never
+    silently composited."""
+    res = render(_scene(0.9, steps=3000, delta=0.05))
+    assert res.counts["numerical_error"] <= 8  # a few near-axis pixels
+    if res.counts["numerical_error"]:
+        bad = np.asarray(res.cls) == 1
+        assert (np.asarray(res.image)[bad] == [255, 0, 0]).all()  # red
+
+
+def test_kerr_a0_counts_match_schwarzschild_radius_capture():
+    """At a=0 the generic path must classify like the Schwarzschild engine
+    with the analytic b_crit shortcut removed: every generically-captured
+    pixel is also captured by the fast path (the shortcut only ADDS
+    captures), and escape sets agree."""
+    sc_kerr = _scene(0.0)
+    res_k = render(sc_kerr)
+
+    sc_schw = SceneConfig(
+        size=24, fov_deg=80.0, observer_distance=30.0, boundary_radius=31.0,
+        integrator=IntegratorConfig(steps=8000, delta=0.02, omega=1.0,
+                                    backend="xla", dtype="float64"),
+        patch=PatchConfig(), n_samples=0)
+    res_s = render(sc_schw)
+
+    cap_k = np.asarray(res_k.cls) == 0
+    cap_s = np.asarray(res_s.cls) == 0
+    assert (cap_s | ~cap_k).all()          # cap_k subset of cap_s
+    assert res_k.counts["numerical_error"] == 0
+
+
+def test_cli_spin_requires_kerr():
+    from grtrace.cli.args import parse_args, scene_from_args
+    with pytest.raises(SystemExit):
+        scene_from_args(parse_args(["--spin", "0.5"]))
+    sc = scene_from_args(parse_args(["--metric", "kerr", "--spin", "0.5"]))
+    assert sc.metric == "Kerr"
+    assert sc.spin == 0.5
