@@ -63,9 +63,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument('--bh-mass', type=float, default=1.0,
                    help='Black hole mass')
     p.add_argument('--metric', type=str, default='schwarzschild',
-                   choices=['schwarzschild', 'kerr'],
-                   help='Spacetime metric (kerr adds frame dragging; '
-                        'beyond the reference, which is Schwarzschild-only)')
+                   choices=['schwarzschild', 'kerr', 'kerr-bl'],
+                   help='Spacetime metric (beyond the reference, which is '
+                        'Schwarzschild-only).  kerr = horizon-penetrating '
+                        'Kerr-Schild chart (best numerics); kerr-bl = '
+                        'Boyer-Lindquist (physics cross-check engine)')
     p.add_argument('--spin', type=float, default=0.0,
                    help='Kerr spin a in [0, M] (requires --metric kerr)')
     p.add_argument('--boundary-radius', type=float, default=31,
@@ -114,14 +116,16 @@ def scene_from_args(args) -> SceneConfig:
         args.bg_patch_center_theta, args.bg_patch_center_phi,
         args.bg_patch_center_theta_relobs, args.bg_patch_center_phi_relobs)
     omega = args.omega if args.fix_omega else 1.0
-    if args.spin and args.metric != 'kerr':
-        raise SystemExit("--spin requires --metric kerr")
+    if args.spin and args.metric not in ('kerr', 'kerr-bl'):
+        raise SystemExit("--spin requires --metric kerr (or kerr-bl)")
+    metric = {'schwarzschild': 'Schwarzschild', 'kerr': 'KerrSchild',
+              'kerr-bl': 'Kerr'}[args.metric]
     return SceneConfig(
         size=args.size,
         fov_deg=args.fov,
         background=args.background,
         bh_mass=args.bh_mass,
-        metric='Kerr' if args.metric == 'kerr' else 'Schwarzschild',
+        metric=metric,
         spin=args.spin,
         boundary_radius=args.boundary_radius,
         observer_distance=args.observer_distance,

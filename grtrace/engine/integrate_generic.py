@@ -19,12 +19,20 @@ import jax
 import jax.numpy as jnp
 
 from ..physics.hamiltonian import substep_schedule
-from ..physics.spacetime import METRICS, horizon_radius, make_step
+from ..physics.spacetime import (COORDS, METRICS, horizon_radius, ks_radius,
+                                 make_step)
+from ..physics.spacetime import hamiltonian as _spacetime_hamiltonian
 from .integrate import STATUS_ALIVE, STATUS_CAPTURED, STATUS_ESCAPED
 
 
 def _capture_radius(metric, params):
-    """Reference capture surface: 1.1 x horizon (cuda_geodesic.py:598)."""
+    """Capture surface.  Spherical charts: the reference's 1.1 x horizon
+    (cuda_geodesic.py:598) — BL coordinates go stiff at Delta -> 0 so one
+    must stop short.  Kerr-Schild is regular at r_+, but backward-traced
+    rays freeze exponentially toward the PAST horizon in any future chart,
+    so capture at a thin 1.05 shell (see kerr_schild_g_inv docstring)."""
+    if metric == "KerrSchild":
+        return 1.05 * horizon_radius("Kerr", params[0], params[1])
     if metric == "Kerr":
         return 1.1 * horizon_radius("Kerr", params[0], params[1])
     return 1.1 * horizon_radius("Schwarzschild", params[0])
@@ -52,9 +60,23 @@ def integrate_batch_generic(q0s, p0s, steps, delta, params, r_max, omega,
     vstep = jax.vmap(lambda q1, p1, q2, p2: step1(q1, p1, q2, p2, params,
                                                   subs))
 
+    cartesian = COORDS[metric] == "cartesian"
+
+    def cap_radius(q1):
+        """Chart radius used for the capture test."""
+        if cartesian:
+            return ks_radius(q1[:, 1], q1[:, 2], q1[:, 3], params[1])
+        return q1[:, 1]
+
+    def esc_radius(q1):
+        """Chart radius used for the escape test (flat embedding radius
+        in the Cartesian chart — the boundary sphere of the scene)."""
+        if cartesian:
+            return jnp.linalg.norm(q1[:, 1:], axis=1)
+        return q1[:, 1]
+
     def active_mask(q1):
-        r = q1[:, 1]
-        return (r > r_cap) & (r < r_max)
+        return (cap_radius(q1) > r_cap) & (esc_radius(q1) < r_max)
 
     def masked(new, old, act):
         return jnp.where(act[:, None], new, old)
@@ -73,11 +95,25 @@ def integrate_batch_generic(q0s, p0s, steps, delta, params, r_max, omega,
     #     r >= 100 (raytracing.py:213-215).
     # Legitimate steps move r by ~g^rr p_r delta (<~ E*delta) and theta by
     # ~p_th delta / r^2 — both far below the caps.
-    r_plus = r_cap / 1.1
-    jump_cap = jnp.maximum(jnp.asarray(5.0, dtype), 20.0 * delta)
-    plunge_zone = r_cap + 0.5 * params[0]
+    r_plus = r_cap / 1.05 if cartesian else r_cap / 1.1
+    # Legitimate per-step radius motion is ~|p| * delta.  The spherical
+    # camera's covector scale is O(r_obs) (reference utils.py:179-186), the
+    # Cartesian camera's is O(1), hence the different jump caps.
+    if cartesian:
+        # Cartesian-chart plunge zone = the photon region's outer edge (the
+        # retrograde circular photon orbit, Bardeen 1973): a ray the fixed
+        # step fails to resolve INSIDE the photon region is a horizon
+        # accumulator whose state has blueshifted past float precision —
+        # overwhelmingly a plunger.  (BL keeps the tighter shell: its
+        # explosions also happen spuriously at larger radii.)
+        mass_, a_ = params[0], params[1]
+        plunge_zone = 2.0 * mass_ * (1.0 + jnp.cos(
+            (2.0 / 3.0) * jnp.arccos(-jnp.abs(a_) / mass_)))
+    else:
+        jump_cap = jnp.maximum(jnp.asarray(5.0, dtype), 20.0 * delta)
+        plunge_zone = r_cap + 0.5 * params[0]
 
-    def guard(q_old, p_old, nq1, np1):
+    def guard_spherical(q_old, p_old, nq1, np1):
         r_b = q_old[:, 1]
         finite = (jnp.isfinite(nq1).all(axis=1) & jnp.isfinite(np1).all(axis=1))
         exploded = ((~finite)
@@ -95,6 +131,51 @@ def integrate_batch_generic(q0s, p0s, steps, delta, params, r_max, omega,
         fixed_q = q_old.at[:, 1].set(fix_r)
         nq1 = jnp.where(bad[:, None], fixed_q, nq1)
         return bad, nq1
+
+    def guard_cartesian(q_old, p_old, nq1, np1):
+        """Kerr-Schild kills the BL polar singularity and the 1/Delta
+        metric blow-up, but one stiffness is chart-independent: a
+        *backward*-traced ray accumulating on the past horizon blueshifts
+        exponentially (p ~ e^{kappa lambda}), so any fixed step eventually
+        under-resolves the kick and the ray is ejected unphysically — the
+        same failure the spherical guard handles.  Detect it the same way
+        (non-finite state or an impossible radius jump) and terminate the
+        ray: captured if it crossed r_+ or was heading inward / standing in
+        the stiff shell (a plunge), else the r >= 100 numerical sentinel."""
+        r_b = cap_radius(q_old)
+        finite = (jnp.isfinite(nq1).all(axis=1) & jnp.isfinite(np1).all(axis=1))
+        nq1_safe = jnp.where(finite[:, None], nq1, q_old)
+        np1_safe = jnp.where(finite[:, None], np1, p_old)
+        # The detector is the null condition itself: H = 0.5 g^{ab} p_a p_b
+        # is 0 by construction at the camera and drifts only at float
+        # roundoff along resolved rays (measured < 2e-4 relative in f32
+        # over 30k winding steps); an unresolved kick destroys it
+        # immediately.  Geometry-based jump caps misfire on legitimately
+        # blueshifted winders — this invariant cannot.
+        h = jax.vmap(lambda q, p: _spacetime_hamiltonian(
+            q, p, params, g_inv_fn))(nq1_safe, np1_safe)
+        p2 = jnp.sum(np1_safe[:, 1:] ** 2, axis=1) + 1.0
+        exploded = (~finite) | (jnp.abs(h) > 3e-3 * p2)
+        crossed = finite & (cap_radius(nq1_safe) < r_plus) & ~exploded
+        # pre-step radial heading: d(rho^2)/dlambda ~ x.p (eta-leading term)
+        inward = jnp.sum(q_old[:, 1:] * p_old[:, 1:], axis=1) < 0.0
+        capture = crossed | (exploded & (inward | (r_b < plunge_zone)))
+        bad = exploded | crossed
+        # on-axis point (0, 0, z): ks_radius == |z|, so this parks the ray
+        # at cap radius 0.5*r_cap (captured) / esc radius 150 (numerical)
+        park_cap = jnp.stack([q_old[:, 0], jnp.zeros_like(q_old[:, 0]),
+                              jnp.zeros_like(q_old[:, 0]),
+                              jnp.full_like(q_old[:, 0], 0.5 * r_cap)],
+                             axis=1)
+        park_err = jnp.stack([q_old[:, 0],
+                              jnp.full_like(q_old[:, 0], 150.0),
+                              jnp.zeros_like(q_old[:, 0]),
+                              jnp.zeros_like(q_old[:, 0])], axis=1)
+        park = jnp.where(capture[:, None], park_cap, park_err)
+        nq1 = jnp.where(bad[:, None], park, nq1)
+        return bad, nq1
+
+    guard = guard_cartesian if cartesian else guard_spherical
 
     n_steps0 = jnp.zeros(q0s.shape[0], dtype=jnp.int32)
     carry0 = (q0s, p0s, q0s, p0s, n_steps0, jnp.int32(0))
@@ -117,9 +198,9 @@ def integrate_batch_generic(q0s, p0s, steps, delta, params, r_max, omega,
 
     q1, p1, _, _, ns, _ = jax.lax.while_loop(cond, body, carry0)
 
-    r = q1[:, 1]
-    status = jnp.where(r <= r_cap, STATUS_CAPTURED,
-                       jnp.where(r >= r_max, STATUS_ESCAPED, STATUS_ALIVE))
+    status = jnp.where(cap_radius(q1) <= r_cap, STATUS_CAPTURED,
+                       jnp.where(esc_radius(q1) >= r_max, STATUS_ESCAPED,
+                                 STATUS_ALIVE))
     return q1, p1, status, ns
 
 

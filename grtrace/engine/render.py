@@ -180,9 +180,11 @@ def render(scene: SceneConfig, *, bg_array=None, n_samples=None, seed=0,
     metrics: optional engine.metrics.RenderMetrics to fill with stage
     timings and throughput counters.
     """
-    if getattr(scene, "metric", "Schwarzschild").lower() == "kerr":
+    scene_metric = getattr(scene, "metric", "Schwarzschild").lower()
+    if scene_metric in ("kerr", "kerrschild", "kerr-schild"):
         from .render_generic import render_generic
-        return render_generic(scene, spin=scene.spin, metric="Kerr",
+        metric = "Kerr" if scene_metric == "kerr" else "KerrSchild"
+        return render_generic(scene, spin=scene.spin, metric=metric,
                               bg_array=bg_array, dtype=dtype)
 
     from .metrics import RenderMetrics

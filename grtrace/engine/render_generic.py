@@ -26,8 +26,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..physics.camera import camera_rays_unfolded
-from ..physics.spacetime import METRICS, horizon_radius
+from ..physics.camera import camera_rays_cartesian, camera_rays_unfolded
+from ..physics.coords import cartesian_to_spherical
+from ..physics.spacetime import COORDS, METRICS, horizon_radius
 from . import classify as _classify
 from .integrate_generic import integrate_batch_generic
 
@@ -45,18 +46,34 @@ def render_pixels_generic(bg_array, obs_x, fov, mass, spin, boundary_radius,
                           metric="Kerr", order=2):
     """One compiled device program: camera -> integrate -> classify -> RGB."""
     g_inv_fn = METRICS[metric]
+    cartesian = COORDS[metric] == "cartesian"
     params = jnp.stack([jnp.asarray(mass, dtype), jnp.asarray(spin, dtype)])
 
     obs_pos = jnp.stack([obs_x, jnp.zeros_like(obs_x), jnp.zeros_like(obs_x)])
-    q0, p0, alpha0 = camera_rays_unfolded(
-        obs_pos, fov, height, width, params=params, g_inv_fn=g_inv_fn,
-        dtype=dtype)
+    camera = camera_rays_cartesian if cartesian else camera_rays_unfolded
+    q0, p0, alpha0 = camera(obs_pos, fov, height, width, params=params,
+                            g_inv_fn=g_inv_fn, dtype=dtype)
 
     n = height * width
     final_q, final_p, status, n_steps = integrate_batch_generic(
         q0.reshape(n, 4), p0.reshape(n, 4), steps, delta, params,
         boundary_radius, omega, order=order, metric=metric)
     final_q = final_q.reshape(height, width, 4)
+
+    if cartesian:
+        # classify in spherical terms: (t, x, y, z) -> (t, rho, th, ph).
+        # rho is the flat embedding radius — the boundary sphere the escape
+        # test used — so the classifier's radius thresholds line up.
+        # Captured rays stopped at the Kerr-Schild r_+ where rho reaches up
+        # to sqrt(r_+^2 + a^2) (> the classifier's capture threshold at
+        # high spin), so their radius is pinned to 0 from the integrator
+        # status — capture is the integrator's verdict, not a re-derivation.
+        rho, th, ph = cartesian_to_spherical(
+            final_q[..., 1], final_q[..., 2], final_q[..., 3])
+        from .integrate import STATUS_CAPTURED
+        rho = jnp.where(status.reshape(height, width) == STATUS_CAPTURED,
+                        jnp.zeros_like(rho), rho)
+        final_q = jnp.stack([final_q[..., 0], rho, th, ph], axis=-1)
 
     # classify with beta = 0 (no fold) and the analytic capture shortcut
     # disabled: alpha0 := pi never satisfies alpha0 <= bh_angle, and

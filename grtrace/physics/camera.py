@@ -186,6 +186,55 @@ def camera_rays_unfolded(obs_pos, fov, height, width, *, params, g_inv_fn,
     return q0, p0, alpha0
 
 
+def camera_rays_cartesian(obs_pos, fov, height, width, *, params, g_inv_fn,
+                          dtype=jnp.float32):
+    """Camera for Cartesian-chart metrics (Kerr-Schild): the ray direction
+    IS the spatial covector (affine gauge), p_t closes the exact null
+    quadratic with all g^{t i} cross terms.  Far from the hole the chart is
+    Minkowski + O(M/r), so the pixel->direction map needs no basis algebra
+    at all — the simplest camera in the framework.
+
+    Returns (q0, p0, alpha0): q0 = (0, x, y, z), p0 = (p_t, n_x, n_y, n_z).
+    alpha0 is the flat angle off the optical axis (for diagnostics only;
+    the generic render path never uses the analytic capture shortcut).
+    """
+    from .spacetime import null_p_t as generic_null_p_t
+    import jax
+
+    pix = pixel_grid(obs_pos, fov, height, width, dtype=dtype)
+    obs = jnp.asarray(obs_pos, dtype=dtype)
+    ray = pix - obs
+    ray = ray / jnp.linalg.norm(ray, axis=-1, keepdims=True)
+
+    shape = ray.shape[:-1]
+    q0 = jnp.concatenate([jnp.zeros(shape + (1,), dtype),
+                          jnp.broadcast_to(obs, shape + (3,))], axis=-1)
+
+    # reference camera convention transformed to Cartesian: the spherical
+    # camera scales the radial covector component by sqrt(1 - 2M/r)
+    # (utils.py:179-186); the covector transform of
+    # (n_r sqrt(f), n_th r, n_ph r) to Cartesian is exactly
+    # n + (sqrt(f) - 1)(n . rhat) rhat.  Keeping this makes the pixel ->
+    # viewing-angle map — hence the apparent shadow size — identical across
+    # the spherical and Cartesian chart cameras.
+    params_arr = jnp.asarray(params, dtype)
+    r_obs = jnp.linalg.norm(obs)
+    rhat = obs / r_obs
+    f_r = jnp.sqrt(1.0 - 2.0 * params_arr[0] / r_obs)
+    n_r = ray @ rhat
+    p_sp = ray + (f_r - 1.0) * n_r[..., None] * rhat
+
+    flat_p = p_sp.reshape(-1, 3)
+    flat_q = q0.reshape(-1, 4)
+    p_t = jax.vmap(lambda p, q: generic_null_p_t(p, q, params_arr, g_inv_fn,
+                                                 future=True))(flat_p, flat_q)
+    p0 = jnp.concatenate([p_t.reshape(shape)[..., None], p_sp], axis=-1)
+
+    axis = -obs / jnp.linalg.norm(obs)
+    alpha0 = jnp.arccos(jnp.clip(ray @ axis, -1.0, 1.0))
+    return q0, p0, alpha0
+
+
 def pixel_positions_for_indices(obs_pos, fov, height, width, flat_idx,
                                 dtype=jnp.float32):
     """Pixel positions for a slice of flat indices (i*W + j).

@@ -73,9 +73,67 @@ def kerr_g_inv(q, params):
     ])
 
 
+def ks_radius(x, y, z, a):
+    """Boyer-Lindquist radius from Kerr-Schild Cartesian coordinates:
+    the positive root of r^4 - (rho^2 - a^2) r^2 - a^2 z^2 = 0."""
+    rho2 = x * x + y * y + z * z
+    b = rho2 - a * a
+    r2 = 0.5 * (b + jnp.sqrt(b * b + 4.0 * a * a * z * z))
+    return jnp.sqrt(r2)
+
+
+def kerr_schild_g_inv(q, params):
+    """Contravariant Kerr metric in (ingoing) Kerr-Schild CARTESIAN
+    coordinates.
+
+    q = (t, x, y, z), params = (M, a).  g^{mu nu} = eta^{mu nu}
+    - 2H l^mu l^nu with H = M r^3 / (r^4 + a^2 z^2),
+    l_mu = (1, (rx+ay)/(r^2+a^2), (ry-ax)/(r^2+a^2), z/r), l^mu = eta l.
+
+    Why this chart exists here (TPU-first design, not in the reference or
+    EinsteinPy): it is regular at the horizon (no 1/Delta blow-up — the
+    stiff kicks that force the Boyer-Lindquist blow-up guard simply don't
+    exist) and Cartesian (no polar 1/sin(theta) singularity), so fixed-step
+    float32 integration — what the chip natively runs — stays
+    well-conditioned everywhere outside the ring singularity.
+
+    Capture semantics: the *backward*-traced camera ray that "came from the
+    hole" asymptotes to the PAST horizon, which no future-regular chart
+    covers at finite affine parameter — it freezes exponentially at r_+ in
+    this chart exactly as in BL.  The capture surface is therefore
+    (1+eps) r_+ with eps = 0.05 (engine.integrate_generic), tighter than
+    the reference's BL 1.1 factor and numerically benign here because
+    nothing diverges at r_+.  At a = 0 the spatial coordinates coincide
+    with Schwarzschild's (only t is sheared), so escape directions agree
+    exactly.
+    """
+    mass, a = params[0], params[1]
+    t, x, y, z = q[0], q[1], q[2], q[3]
+    r = ks_radius(x, y, z, a)
+    r2 = r * r
+    r2a2 = r2 + a * a
+    H = mass * r * r2 / (r2 * r2 + a * a * z * z)
+    lx = (r * x + a * y) / r2a2
+    ly = (r * y - a * x) / r2a2
+    lz = z / r
+    # l^mu = eta^{mu nu} l_nu with eta = diag(-1, 1, 1, 1)
+    l_up = jnp.stack([-1.0 * jnp.ones_like(r), lx, ly, lz])
+    eta = jnp.diag(jnp.array([-1.0, 1.0, 1.0, 1.0], dtype=l_up.dtype))
+    return eta - 2.0 * H * jnp.outer(l_up, l_up)
+
+
 METRICS = {
     "Schwarzschild": schwarzschild_g_inv,
     "Kerr": kerr_g_inv,
+    "KerrSchild": kerr_schild_g_inv,
+}
+
+# coordinate chart per metric: 'spherical' q = (t, r, th, ph),
+# 'cartesian' q = (t, x, y, z)
+COORDS = {
+    "Schwarzschild": "spherical",
+    "Kerr": "spherical",
+    "KerrSchild": "cartesian",
 }
 
 
@@ -83,7 +141,7 @@ def horizon_radius(metric: str, mass, a=0.0):
     """Outer event-horizon radius r_+ (capture surface for classification)."""
     if metric == "Schwarzschild":
         return 2.0 * mass
-    if metric == "Kerr":
+    if metric in ("Kerr", "KerrSchild"):
         return mass + jnp.sqrt(jnp.maximum(mass * mass - a * a, 0.0))
     raise KeyError(metric)
 
@@ -99,20 +157,19 @@ def hamiltonian(q, p, params, g_inv_fn):
 
 
 def null_p_t(p_sph, q, params, g_inv_fn, future=True):
-    """Solve g^{ab} p_a p_b = 0 for p_t with a possible g^{t phi} cross term.
+    """Solve g^{ab} p_a p_b = 0 for p_t, general cross terms.
 
-    p_sph: (3,) spatial (p_r, p_th, p_ph).  Quadratic
-    A p_t^2 + B p_t + C = 0 with A = g^tt, B = 2 g^{t phi} p_phi,
-    C = g^rr p_r^2 + g^thth p_th^2 + g^phph p_phi^2.  future=True picks the
-    root that reduces to the reference's positive root in the Schwarzschild
-    limit (B = 0: p_t = +sqrt(-C/A); reference simulation/utils.py:84-88).
+    p_sph: (3,) spatial covector components in the metric's own chart.
+    Quadratic A p_t^2 + B p_t + C = 0 with A = g^tt,
+    B = 2 g^{t i} p_i, C = g^{i j} p_i p_j.  future=True picks the root that
+    reduces to the reference's positive root in the Schwarzschild limit
+    (B = 0: p_t = +sqrt(-C/A); reference simulation/utils.py:84-88).
     """
     q4 = jnp.asarray(q)
     g = g_inv_fn(q4, params)
     A = g[0, 0]
-    B = 2.0 * g[0, 3] * p_sph[2]
-    C = (g[1, 1] * p_sph[0] ** 2 + g[2, 2] * p_sph[1] ** 2
-         + g[3, 3] * p_sph[2] ** 2)
+    B = 2.0 * g[0, 1:] @ p_sph
+    C = p_sph @ g[1:, 1:] @ p_sph
     disc = jnp.sqrt(jnp.maximum(B * B - 4.0 * A * C, 0.0))
     # A < 0 outside the ergosphere: (-B - disc)/(2A) is the positive branch
     root = (-B - disc) / (2.0 * A) if future else (-B + disc) / (2.0 * A)

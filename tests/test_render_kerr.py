@@ -95,5 +95,7 @@ def test_cli_spin_requires_kerr():
     with pytest.raises(SystemExit):
         scene_from_args(parse_args(["--spin", "0.5"]))
     sc = scene_from_args(parse_args(["--metric", "kerr", "--spin", "0.5"]))
-    assert sc.metric == "Kerr"
+    assert sc.metric == "KerrSchild"   # kerr maps to the best-numerics chart
     assert sc.spin == 0.5
+    sc = scene_from_args(parse_args(["--metric", "kerr-bl", "--spin", "0.5"]))
+    assert sc.metric == "Kerr"
