@@ -101,6 +101,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help='Skip matplotlib scene diagnostics')
     p.add_argument('--seed', type=int, default=0,
                    help='Sampling seed (reference used unseeded random)')
+    p.add_argument('--profile', action='store_true',
+                   help='Write a jax.profiler trace to <out-dir>/jax_trace')
+    p.add_argument('--print-metrics', action='store_true',
+                   help='Print per-stage timings and throughput as JSON')
     return p
 
 

@@ -70,9 +70,17 @@ def main(argv=None):
     # --- curved render (main.py:67-99) ---
     logging.info("Starting manual ray tracing simulation...")
     t0 = time.time()
-    result = render(scene, bg_array=bg_array, seed=args.seed)
+    from ..engine.metrics import RenderMetrics, trace
+    rm = RenderMetrics() if args.print_metrics else None
+    with trace(os.path.join(out, "jax_trace") if args.profile else None):
+        result = render(scene, bg_array=bg_array, seed=args.seed, metrics=rm)
     logging.info("Curved render finished in %.2fs (%s backend)",
                  time.time() - t0, scene.integrator.backend)
+    if rm is not None:
+        print(rm)
+    if args.profile:
+        logging.info("jax.profiler trace written to %s/jax_trace "
+                     "(view with TensorBoard/xprof)", out)
     artifacts.save_image(result.image,
                          os.path.join(images_dir, "manual_output.png"))
     logging.info("Saved manual_output.png")

@@ -204,6 +204,65 @@ def integrate_batch_generic(q0s, p0s, steps, delta, params, r_max, omega,
     return q1, p1, status, ns
 
 
+@partial(jax.jit, static_argnames=("steps", "order", "metric", "n_keep"))
+def trajectory_batch_decimated(q0s, p0s, steps, delta, params, r_max, omega,
+                               order=2, metric="Kerr", n_keep=1000):
+    """(K, 4) batch trajectories decimated on the fly to <= n_keep points.
+
+    Generic-metric twin of engine.integrate.integrate_batch_full: positions
+    are stored every `stride` steps, rays freeze at capture/escape (masked
+    stepping) and rows after a ray's exit stay zero, matching the reference
+    trajectory-buffer semantics (cuda_geodesic.py:604-625).  Used for the
+    sampled-ray diagnostics of Kerr renders.
+    """
+    g_inv_fn = METRICS[metric]
+    step1 = make_step(g_inv_fn)
+    cartesian = COORDS[metric] == "cartesian"
+
+    dtype = q0s.dtype
+    delta = jnp.asarray(delta, dtype)
+    params = jnp.asarray(params, dtype)
+    r_max = jnp.asarray(r_max, dtype)
+    subs = substep_schedule(delta, jnp.asarray(omega, dtype), order)
+    r_cap = _capture_radius(metric, params)
+
+    stride = -(-steps // n_keep) if steps > n_keep else 1
+    blocks = -(-steps // stride)
+
+    vstep = jax.vmap(lambda q1, p1, q2, p2: step1(q1, p1, q2, p2, params,
+                                                  subs))
+
+    def cap_radius(q1):
+        if cartesian:
+            return ks_radius(q1[:, 1], q1[:, 2], q1[:, 3], params[1])
+        return q1[:, 1]
+
+    def esc_radius(q1):
+        if cartesian:
+            return jnp.linalg.norm(q1[:, 1:], axis=1)
+        return q1[:, 1]
+
+    def one(c, _):
+        q1, p1, q2, p2, alive = c
+        act = (cap_radius(q1) > r_cap) & (esc_radius(q1) < r_max) \
+            & jnp.isfinite(q1).all(axis=1)
+        nq1, np1, nq2, np2 = vstep(q1, p1, q2, p2)
+        m = act[:, None]
+        return (jnp.where(m, nq1, q1), jnp.where(m, np1, p1),
+                jnp.where(m, nq2, q2), jnp.where(m, np2, p2),
+                alive & act), None
+
+    def block(c, _):
+        q1_pre = c[0] * c[4][:, None]      # zero rows after exit
+        c, _ = jax.lax.scan(one, c, None, length=stride)
+        return c, q1_pre
+
+    alive0 = jnp.ones(q0s.shape[0], dtype=bool)
+    _, qs = jax.lax.scan(block, (q0s, p0s, q0s, p0s, alive0), None,
+                         length=blocks)
+    return jnp.swapaxes(qs, 0, 1)          # (K, blocks, 4)
+
+
 @partial(jax.jit, static_argnames=("steps", "order", "metric"))
 def trajectory_generic(q0, p0, steps, delta, params, omega, order=2,
                        metric="Kerr"):

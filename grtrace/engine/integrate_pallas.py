@@ -41,7 +41,12 @@ from .integrate import STATUS_ALIVE, STATUS_CAPTURED, STATUS_ESCAPED
 LANES = 128
 SUBLANES = 8
 TILE = SUBLANES * LANES  # 1024 rays per grid step
-UNROLL = 4               # masked steps between early-exit checks
+# Masked steps between early-exit checks.  Swept on a real v5e chip at the
+# 400x400/200k-step headline workload: 16 beats 4 by ~35% (the any(active)
+# reduction + loop bookkeeping amortize over more flow work) and 64 gains
+# nothing further; the waste is <= UNROLL-1 masked steps per tile exit,
+# noise against 10^3..10^5-step budgets.
+UNROLL = 16
 
 
 def _active(q1r, rs, r_max):

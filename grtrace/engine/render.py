@@ -185,7 +185,9 @@ def render(scene: SceneConfig, *, bg_array=None, n_samples=None, seed=0,
         from .render_generic import render_generic
         metric = "Kerr" if scene_metric == "kerr" else "KerrSchild"
         return render_generic(scene, spin=scene.spin, metric=metric,
-                              bg_array=bg_array, dtype=dtype)
+                              bg_array=bg_array, dtype=dtype,
+                              n_samples=n_samples, seed=seed,
+                              metrics=metrics)
 
     from .metrics import RenderMetrics
     want_metrics = metrics is not None

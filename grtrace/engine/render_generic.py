@@ -122,15 +122,55 @@ def render_pixels_generic(bg_array, obs_x, fov, mass, spin, boundary_radius,
     }
 
 
+def _sample_trajectories_generic(q0, p0, scene, spin, metric, dtype, seed,
+                                 n_samples):
+    """Sampled-ray diagnostics for the generic path: (ij indices, list of
+    (n_pts, 3) Cartesian arrays) — same surface as the Schwarzschild
+    sampler (engine.render._sample_trajectories)."""
+    from ..physics.coords import spherical_to_cartesian
+    from .integrate_generic import trajectory_batch_decimated
+    from .render import MAX_TRAJ_POINTS
+
+    h, w = scene.image_size
+    rng = np.random.default_rng(seed)
+    flat = rng.choice(h * w, size=min(n_samples, h * w), replace=False)
+    sampled_ij = np.stack([flat // w, flat % w], axis=-1)
+
+    integ = scene.integrator
+    q0s = jnp.asarray(q0.reshape(-1, 4)[flat], dtype)
+    p0s = jnp.asarray(p0.reshape(-1, 4)[flat], dtype)
+    traj = trajectory_batch_decimated(
+        q0s, p0s, integ.steps, integ.delta,
+        jnp.asarray([scene.bh_mass, spin], dtype), scene.boundary_radius,
+        integ.omega, order=integ.order, metric=metric,
+        n_keep=min(MAX_TRAJ_POINTS, integ.steps))
+    traj = np.asarray(traj, dtype=np.float64)
+
+    out = []
+    for k in range(traj.shape[0]):
+        pts = traj[k]
+        if COORDS[metric] == "cartesian":
+            out.append(pts[:, 1:4])
+        else:
+            x, y, z = spherical_to_cartesian(pts[:, 1], pts[:, 2], pts[:, 3])
+            out.append(np.stack([np.asarray(x), np.asarray(y),
+                                 np.asarray(z)], axis=-1))
+    return sampled_ij, out
+
+
 def render_generic(scene, *, spin=0.0, metric="Kerr", bg_array=None,
-                   dtype=None):
+                   dtype=None, n_samples=None, seed=0, metrics=None):
     """SceneConfig-driven generic-metric render -> engine.render.RenderResult.
 
-    Mirrors engine.render.render's surface for the Kerr path (no sampled
-    trajectories — use engine.integrate_generic.trajectory_generic for ray
-    diagnostics).
+    Mirrors engine.render.render's surface for the Kerr path, including
+    sampled-trajectory diagnostics and RenderMetrics support.
     """
+    from .metrics import RenderMetrics
     from .render import RenderResult
+
+    want_metrics = metrics is not None
+    if metrics is None:
+        metrics = RenderMetrics()
 
     h, w = scene.image_size
     integ = scene.integrator
@@ -140,6 +180,8 @@ def render_generic(scene, *, spin=0.0, metric="Kerr", bg_array=None,
     bg_dev = (jnp.asarray(bg_array, dtype=jnp.uint8) if has_bg
               else jnp.zeros((1, 1, 3), dtype=jnp.uint8))
 
+    stage = metrics.stage("device_pipeline")
+    stage.__enter__()
     out = render_pixels_generic(
         bg_dev,
         jnp.asarray(scene.observer_distance, dtype),
@@ -160,10 +202,25 @@ def render_generic(scene, *, spin=0.0, metric="Kerr", bg_array=None,
         order=integ.order)
 
     cv = np.asarray(out.pop("count_vec"))
+    stage.__exit__(None, None, None)
     counts = {"captured": int(cv[0]), "in_domain": int(cv[1]),
               "escaped": int(cv[2]), "background": int(cv[3]),
               "numerical_error": int(cv[4])}
+    metrics.rays = h * w
+    if want_metrics:
+        metrics.geodesic_steps = int(np.asarray(out["n_steps"],
+                                                np.int64).sum())
     # the folded-camera fields beta/heading do not exist on this path
     out["beta"] = jnp.zeros((h, w), dtype)
     out["heading"] = jnp.zeros((h, w, 3), dtype)
-    return RenderResult(out, counts)
+
+    n_samples = scene.n_samples if n_samples is None else n_samples
+    sampled_ij = None
+    sampled_trajs = None
+    if n_samples and n_samples > 0:
+        with metrics.stage("sample_trajectories"):
+            sampled_ij, sampled_trajs = _sample_trajectories_generic(
+                np.asarray(out["q0"]), np.asarray(out["p0"]), scene, spin,
+                metric, dtype, seed, n_samples)
+    return RenderResult(out, counts, sampled_indices=sampled_ij,
+                        sampled_trajectories=sampled_trajs)

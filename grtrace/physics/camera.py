@@ -198,11 +198,18 @@ def camera_rays_cartesian(obs_pos, fov, height, width, *, params, g_inv_fn,
     alpha0 is the flat angle off the optical axis (for diagnostics only;
     the generic render path never uses the analytic capture shortcut).
     """
+    pix = pixel_grid(obs_pos, fov, height, width, dtype=dtype)
+    return cartesian_ics_from_pixels(jnp.asarray(obs_pos, dtype=dtype), pix,
+                                     params=params, g_inv_fn=g_inv_fn)
+
+
+def cartesian_ics_from_pixels(obs, pix, *, params, g_inv_fn):
+    """Core of the Cartesian-chart camera for arbitrary pixel positions
+    (used directly by the sharded renderer on per-device index slices)."""
     from .spacetime import null_p_t as generic_null_p_t
     import jax
 
-    pix = pixel_grid(obs_pos, fov, height, width, dtype=dtype)
-    obs = jnp.asarray(obs_pos, dtype=dtype)
+    dtype = pix.dtype
     ray = pix - obs
     ray = ray / jnp.linalg.norm(ray, axis=-1, keepdims=True)
 

@@ -99,3 +99,19 @@ def test_cli_spin_requires_kerr():
     assert sc.spin == 0.5
     sc = scene_from_args(parse_args(["--metric", "kerr-bl", "--spin", "0.5"]))
     assert sc.metric == "Kerr"
+
+
+def test_kerr_sampled_trajectories():
+    """Sampled-ray diagnostics on the generic path: same surface as the
+    Schwarzschild sampler (list of (n_pts, 3) Cartesian trajectories)."""
+    res = render(_scene(0.9, size=16, steps=2000), n_samples=4, seed=1)
+    assert res.sampled_indices.shape == (4, 2)
+    assert len(res.sampled_trajectories) == 4
+    for t in res.sampled_trajectories:
+        assert t.ndim == 2 and t.shape[1] == 3
+        assert np.isfinite(t).all()
+        keep = ~np.all(t == 0, axis=1)
+        pts = t[keep]
+        assert len(pts) > 2
+        r0 = np.linalg.norm(pts[0])
+        assert 29.0 < r0 < 31.0          # starts at the observer

@@ -83,3 +83,39 @@ def test_graft_dryrun_multichip():
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)
     ge.dryrun_multichip(4)
+
+
+def test_render_kerr_sharded_matches_single_device():
+    """Kerr frames over the full 8-device mesh == unsharded generic render."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from grtrace.engine.render import render
+    from grtrace.io.scene import IntegratorConfig, PatchConfig, SceneConfig
+    from grtrace.sharding.mesh import make_mesh, render_kerr_sharded
+
+    size, steps, delta, spin = 16, 1500, 0.05, 0.8
+    rng = np.random.default_rng(3)
+    bg = rng.integers(0, 255, (size, size, 3), dtype=np.uint8)
+
+    mesh = make_mesh(2, 4)
+    f32 = jnp.float64
+    out = render_kerr_sharded(
+        mesh, jnp.asarray(bg), jnp.full(2, 30.0, jnp.float64),
+        f32(np.radians(80.0)), f32(1.0), f32(spin), f32(31.0), steps,
+        f32(delta), f32(1.0), f32(np.pi / 2), jnp.full(2, np.pi, jnp.float64),
+        f32(np.pi), f32(2 * np.pi),
+        height=size, width=size, dtype=jnp.float64)
+    assert out["image"].shape == (2, size, size, 3)
+    # both frames identical parameters -> identical output
+    assert (np.asarray(out["cls"][0]) == np.asarray(out["cls"][1])).all()
+
+    scene = SceneConfig(
+        size=size, fov_deg=80.0, observer_distance=30.0, boundary_radius=31.0,
+        metric="KerrSchild", spin=spin,
+        integrator=IntegratorConfig(steps=steps, delta=delta, omega=1.0,
+                                    backend="xla", dtype="float64"),
+        patch=PatchConfig(), n_samples=0)
+    res = render(scene, bg_array=bg)
+    assert (np.asarray(out["cls"][0]) == np.asarray(res.cls)).all()
+    assert (np.asarray(out["image"][0]) == np.asarray(res.image)).all()
