@@ -1,0 +1,173 @@
+"""Analytic FANTASY flows for Kerr in Cartesian Kerr-Schild coordinates.
+
+Component-tuple twin of physics.hamiltonian (Schwarzschild) for the
+Kerr-Schild chart of physics.spacetime.kerr_schild_g_inv: the same flow
+algebra the generic autodiff engine derives with `jax.grad`, here written
+out by hand as pure elementwise array ops so the hot loop can run inside a
+lane-major Pallas TPU kernel (autodiff-built per-ray flows would force a
+(N, 4, 4) metric layout; these run on sixteen (8, 128) component registers).
+
+The reference has no Kerr support at all — its GPU kernel hand-codes
+Schwarzschild only (reference: simulation/cuda_geodesic.py:432-474); the
+generic engine (grtrace.physics.spacetime) is the capability superset and
+this module is its speed-of-light specialization.  Tests pin these formulas
+against the autodiff flows to float64 roundoff.
+
+Geometry (all elementwise; q = (t, x, y, z), params M, a):
+    rho^2 = x^2 + y^2 + z^2,  b = rho^2 - a^2
+    s = sqrt(b^2 + 4 a^2 z^2),  r^2 = (b + s)/2          (BL radius)
+    D == s = 2 r^2 - b = r^2 + a^2 z^2 / r^2
+    w = r^2 + a^2,   H = M r^3 / (r^4 + a^2 z^2) = M r / D
+    l_x = (r x + a y)/w,  l_y = (r y - a x)/w,  l_z = z/r,  l^t = -1
+    S = l^a p_a = -p_t + l_x p_x + l_y p_y + l_z p_z
+    Ham = 1/2 eta^{ab} p_a p_b - H S^2
+
+Hand-derived gradients (the simplifications below use D = 2 r^2 - b):
+    dr/dx = x r / D,  dr/dy = y r / D,  dr/dz = z w / (r D)
+    dD/dx = 2 x b / D,  dD/dy = 2 y b / D,  dD/dz = 2 z (b + 2 a^2) / D
+    dH/dx_i = H (r_i / r - D_i / D)
+    dS/dx_i = r_i G + chart term,  with
+    G = (x p_x + y p_y - 2 r (l_x p_x + l_y p_y))/w - z p_z / r^2
+    chart terms: (r p_x - a p_y)/w, (a p_x + r p_y)/w, p_z / r
+    dHam/dx_i = -H_i S^2 - 2 H S S_i          (dHam/dt = 0: stationary)
+    dHam/dp_a = eta^{ab} p_b - 2 H S l^a
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .hamiltonian import _flow_mixed
+
+N_STATE = 16
+
+
+def _geom(x, y, z, mass, a):
+    """Shared Kerr-Schild geometry at one spatial point (elementwise)."""
+    rho2 = x * x + y * y + z * z
+    b = rho2 - a * a
+    az = a * z
+    s = jnp.sqrt(b * b + 4.0 * az * az)
+    r2 = 0.5 * (b + s)
+    r = jnp.sqrt(r2)
+    inv_r = 1.0 / r
+    inv_D = 1.0 / s
+    w = r2 + a * a
+    inv_w = 1.0 / w
+    H = mass * r * inv_D
+    lx = (r * x + a * y) * inv_w
+    ly = (r * y - a * x) * inv_w
+    lz = z * inv_r
+    return r, inv_r, inv_D, b, w, inv_w, H, lx, ly, lz
+
+
+def _kick_drift(x, y, z, pt, px, py, pz, mass, a):
+    """dHam/dq (x, y, z slots) and dHam/dp (all 4) at one phase point.
+
+    Returns (kx, ky, kz, dt_, dx_, dy_, dz_): the kick covector components
+    (dHam/dx_i, to be SUBTRACTED scaled by dt) and the drift vector
+    (dHam/dp_a, to be ADDED scaled by dt).
+    """
+    r, inv_r, inv_D, b, w, inv_w, H, lx, ly, lz = _geom(x, y, z, mass, a)
+
+    S = -pt + lx * px + ly * py + lz * pz
+    HS2 = 2.0 * H * S
+
+    # drifts: eta^{ab} p_b - 2 H S l^a  (l^t = -1)
+    dt_ = -pt + HS2
+    dx_ = px - HS2 * lx
+    dy_ = py - HS2 * ly
+    dz_ = pz - HS2 * lz
+
+    # dr/dx_i and dD/dx_i (see module docstring)
+    r_x = x * r * inv_D
+    r_y = y * r * inv_D
+    r_z = z * w * inv_r * inv_D
+    D_x = 2.0 * x * b * inv_D
+    D_y = 2.0 * y * b * inv_D
+    D_z = 2.0 * z * (b + 2.0 * a * a) * inv_D
+
+    # dH/dx_i = H (r_i / r - D_i / D)
+    H_x = H * (r_x * inv_r - D_x * inv_D)
+    H_y = H * (r_y * inv_r - D_y * inv_D)
+    H_z = H * (r_z * inv_r - D_z * inv_D)
+
+    # dS/dx_i = r_i * G + chart term
+    inv_r2 = inv_r * inv_r
+    G = (x * px + y * py - 2.0 * r * (lx * px + ly * py)) * inv_w \
+        - z * pz * inv_r2
+    S_x = r_x * G + (r * px - a * py) * inv_w
+    S_y = r_y * G + (a * px + r * py) * inv_w
+    S_z = r_z * G + pz * inv_r
+
+    S2 = S * S
+    kx = -H_x * S2 - HS2 * S_x
+    ky = -H_y * S2 - HS2 * S_y
+    kz = -H_z * S2 - HS2 * S_z
+    return kx, ky, kz, dt_, dx_, dy_, dz_
+
+
+def _flow_a_ks(state, dt, mass, a):
+    """Flow A: metric at q1, kick p1 spatial slots, drift q2 (all 4).
+
+    Same split as the Schwarzschild _flow_a (p_t is an exact invariant of
+    A and B: the chart is stationary)."""
+    (q1t, q1x, q1y, q1z, p1t, p1x, p1y, p1z,
+     q2t, q2x, q2y, q2z, p2t, p2x, p2y, p2z) = state
+    kx, ky, kz, dt_, dx_, dy_, dz_ = _kick_drift(
+        q1x, q1y, q1z, p2t, p2x, p2y, p2z, mass, a)
+    p1x = p1x - dt * kx
+    p1y = p1y - dt * ky
+    p1z = p1z - dt * kz
+    q2t = q2t + dt * dt_
+    q2x = q2x + dt * dx_
+    q2y = q2y + dt * dy_
+    q2z = q2z + dt * dz_
+    return (q1t, q1x, q1y, q1z, p1t, p1x, p1y, p1z,
+            q2t, q2x, q2y, q2z, p2t, p2x, p2y, p2z)
+
+
+def _flow_b_ks(state, dt, mass, a):
+    """Flow B: metric at q2, kick p2 spatial slots, drift q1 (all 4)."""
+    (q1t, q1x, q1y, q1z, p1t, p1x, p1y, p1z,
+     q2t, q2x, q2y, q2z, p2t, p2x, p2y, p2z) = state
+    kx, ky, kz, dt_, dx_, dy_, dz_ = _kick_drift(
+        q2x, q2y, q2z, p1t, p1x, p1y, p1z, mass, a)
+    p2x = p2x - dt * kx
+    p2y = p2y - dt * ky
+    p2z = p2z - dt * kz
+    q1t = q1t + dt * dt_
+    q1x = q1x + dt * dx_
+    q1y = q1y + dt * dy_
+    q1z = q1z + dt * dz_
+    return (q1t, q1x, q1y, q1z, p1t, p1x, p1y, p1z,
+            q2t, q2x, q2y, q2z, p2t, p2x, p2y, p2z)
+
+
+def fantasy_step_ord2_ks(state, delta, mass, a, cos_w, sin_w):
+    """One order-2 FANTASY step in the Kerr-Schild chart:
+    A(d/2) B(d/2) M(d) B(d/2) A(d/2), mixing rotation shared with the
+    Schwarzschild path (physics.hamiltonian._flow_mixed)."""
+    half = 0.5 * delta
+    state = _flow_a_ks(state, half, mass, a)
+    state = _flow_b_ks(state, half, mass, a)
+    state = _flow_mixed(state, cos_w, sin_w)
+    state = _flow_b_ks(state, half, mass, a)
+    state = _flow_a_ks(state, half, mass, a)
+    return state
+
+
+def hamiltonian_ks(x, y, z, pt, px, py, pz, mass, a):
+    """Ham = 1/2 eta^{ab} p_a p_b - H S^2, elementwise — the null invariant
+    used by the blow-up guard (0 at the camera, destroyed immediately by an
+    under-resolved kick; see engine.integrate_generic.guard_cartesian)."""
+    _, _, _, _, _, _, H, lx, ly, lz = _geom(x, y, z, mass, a)
+    S = -pt + lx * px + ly * py + lz * pz
+    return 0.5 * (-pt * pt + px * px + py * py + pz * pz) - H * S * S
+
+
+def ks_radius_c(x, y, z, a):
+    """BL radius from KS Cartesian coords, elementwise (component twin of
+    physics.spacetime.ks_radius)."""
+    rho2 = x * x + y * y + z * z
+    b = rho2 - a * a
+    return jnp.sqrt(0.5 * (b + jnp.sqrt(b * b + 4.0 * a * a * z * z)))
