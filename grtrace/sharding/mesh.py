@@ -127,14 +127,14 @@ def render_frames_sharded(mesh, bg_array, obs_x, fov, mass, boundary_radius,
 @partial(jax.jit,
          static_argnames=("mesh", "height", "width", "steps", "flip_theta",
                           "flip_phi", "has_background", "dtype", "metric",
-                          "order"))
+                          "order", "backend"))
 def render_kerr_sharded(mesh, bg_array, obs_x, fov, mass, spin,
                         boundary_radius, steps, delta, omega,
                         patch_center_theta, patch_center_phi,
                         patch_size_theta, patch_size_phi,
                         *, height, width, flip_theta=False, flip_phi=False,
                         has_background=True, dtype=jnp.float32,
-                        metric="KerrSchild", order=2):
+                        metric="KerrSchild", order=2, backend="xla"):
     """Kerr frames over the ('frames', 'rays') mesh — the generic-metric
     twin of render_frames_sharded.
 
@@ -172,9 +172,15 @@ def render_kerr_sharded(mesh, bg_array, obs_x, fov, mass, spin,
                                           flat_idx, dtype=dtype)
         q0, p0, alpha0 = cartesian_ics_from_pixels(
             obs_pos, pix, params=params, g_inv_fn=g_inv_fn)
-        final_q, final_p, status, n_steps = integrate_batch_generic(
-            q0, p0, steps, delta, params, boundary_radius, omega,
-            order=order, metric=metric)
+        if backend == "pallas":
+            from ..engine.integrate_pallas_ks import integrate_batch_pallas_ks
+            final_q, final_p, status, n_steps = integrate_batch_pallas_ks(
+                q0, p0, steps, delta, params, boundary_radius, omega,
+                order=order)
+        else:
+            final_q, final_p, status, n_steps = integrate_batch_generic(
+                q0, p0, steps, delta, params, boundary_radius, omega,
+                order=order, metric=metric)
         rho, th, ph = cartesian_to_spherical(
             final_q[:, 1], final_q[:, 2], final_q[:, 3])
         rho = jnp.where(status == STATUS_CAPTURED, jnp.zeros_like(rho), rho)
