@@ -70,6 +70,11 @@ def build_parser() -> argparse.ArgumentParser:
                         'Boyer-Lindquist (physics cross-check engine)')
     p.add_argument('--spin', type=float, default=0.0,
                    help='Kerr spin a in [0, M] (requires --metric kerr)')
+    p.add_argument('--charge', type=float, default=0.0,
+                   help='Electric charge Q with a^2 + Q^2 <= M^2 '
+                        '(Kerr-Newman; Q with spin 0 = Reissner-Nordstrom; '
+                        'works with any --metric, always rendered by the '
+                        'generic engine)')
     p.add_argument('--boundary-radius', type=float, default=31,
                    help='Simulation boundary radius')
     p.add_argument('--observer-distance', type=float, default=30,
@@ -122,6 +127,8 @@ def scene_from_args(args) -> SceneConfig:
     omega = args.omega if args.fix_omega else 1.0
     if args.spin and args.metric not in ('kerr', 'kerr-bl'):
         raise SystemExit("--spin requires --metric kerr (or kerr-bl)")
+    if args.spin ** 2 + args.charge ** 2 > args.bh_mass ** 2:
+        raise SystemExit("naked singularity: need a^2 + Q^2 <= M^2")
     metric = {'schwarzschild': 'Schwarzschild', 'kerr': 'KerrSchild',
               'kerr-bl': 'Kerr'}[args.metric]
     return SceneConfig(
@@ -131,6 +138,7 @@ def scene_from_args(args) -> SceneConfig:
         bh_mass=args.bh_mass,
         metric=metric,
         spin=args.spin,
+        charge=args.charge,
         boundary_radius=args.boundary_radius,
         observer_distance=args.observer_distance,
         integrator=IntegratorConfig(

@@ -59,8 +59,9 @@ class Nulllike:
     Parameters follow EinsteinPy: position=(r, th, ph), momentum=
     (p_r, p_th, p_ph), steps, delta, omega, order, return_cartesian,
     suppress_warnings (accepted, unused), metric in
-    {"Schwarzschild", "Kerr"} with metric_params=(a,) — the spin.
-    Schwarzschild runs the specialized fast path; Kerr (and
+    {"Schwarzschild", "Kerr", "KerrNewman"} with metric_params=(a,) —
+    the spin — or (a, Q) for KerrNewman, exactly EinsteinPy's convention.
+    Schwarzschild runs the specialized fast path; Kerr/KerrNewman (and
     Schwarzschild-with-nonzero-a requests) run the generic autodiff engine
     (engine.integrate_generic), which EinsteinPy matches with its own
     metric-generic FANTASY integrator.
@@ -72,17 +73,21 @@ class Nulllike:
                  steps=50, delta=0.5, omega=1.0, order=2,
                  return_cartesian=True,
                  suppress_warnings=False, time_like=False, mass=1.0):
-        if metric not in ("Schwarzschild", "Kerr"):
+        if metric not in ("Schwarzschild", "Kerr", "KerrNewman"):
             raise NotImplementedError(
-                f"metric {metric!r}: supported metrics are Schwarzschild "
-                "and Kerr")
+                f"metric {metric!r}: supported metrics are Schwarzschild, "
+                "Kerr and KerrNewman")
         if time_like:
             raise NotImplementedError("only null geodesics are supported")
         spin = float(metric_params[0]) if metric_params else 0.0
+        charge = (float(metric_params[1])
+                  if metric == "KerrNewman" and len(metric_params) > 1
+                  else 0.0)
         if metric == "Schwarzschild" and spin != 0.0:
             raise ValueError("Schwarzschild requires spin a == 0; "
                              "use metric='Kerr' for a != 0")
         self.spin = spin
+        self.charge = charge
 
         self.metric = metric
         self.steps = int(steps)
@@ -95,11 +100,11 @@ class Nulllike:
         pos = np.asarray(position, dtype=np.float64)
         mom = np.asarray(momentum, dtype=np.float64)
         # past-directed root, the EinsteinPy `_P()` choice
-        if metric == "Kerr":
+        if metric in ("Kerr", "KerrNewman"):
             from ..physics import spacetime
             p4 = np.asarray(spacetime.build_null_4momentum(
                 jnp.asarray(mom), jnp.asarray(pos),
-                jnp.asarray([self.mass, self.spin]),
+                jnp.asarray([self.mass, self.spin, self.charge]),
                 spacetime.kerr_g_inv, future=False))
         else:
             p4 = np.asarray(build_null_4momentum(
@@ -117,13 +122,14 @@ class Nulllike:
             # (documented side effect: affects subsequent jax tracing).
             if not jax.config.jax_enable_x64:
                 jax.config.update("jax_enable_x64", True)
-            if self.metric == "Kerr":
+            if self.metric in ("Kerr", "KerrNewman"):
                 from ..engine.integrate_generic import trajectory_generic
                 qs, ps = trajectory_generic(
                     jnp.asarray(self.position, jnp.float64),
                     jnp.asarray(self.momentum, jnp.float64),
                     self.steps, self.delta,
-                    jnp.asarray([self.mass, self.spin], jnp.float64),
+                    jnp.asarray([self.mass, self.spin, self.charge],
+                                jnp.float64),
                     self.omega, order=self.order, metric="Kerr")
             else:
                 qs, ps = _trajectory(

@@ -30,11 +30,15 @@ def _capture_radius(metric, params):
     (cuda_geodesic.py:598) — BL coordinates go stiff at Delta -> 0 so one
     must stop short.  Kerr-Schild is regular at r_+, but backward-traced
     rays freeze exponentially toward the PAST horizon in any future chart,
-    so capture at a thin 1.05 shell (see kerr_schild_g_inv docstring)."""
+    so capture at a thin 1.05 shell (see kerr_schild_g_inv docstring).
+    The optional third params slot is the Kerr-Newman charge."""
+    from ..physics.spacetime import _charge
     if metric == "KerrSchild":
-        return 1.05 * horizon_radius("Kerr", params[0], params[1])
+        return 1.05 * horizon_radius("Kerr", params[0], params[1],
+                                     _charge(params))
     if metric == "Kerr":
-        return 1.1 * horizon_radius("Kerr", params[0], params[1])
+        return 1.1 * horizon_radius("Kerr", params[0], params[1],
+                                    _charge(params))
     return 1.1 * horizon_radius("Schwarzschild", params[0])
 
 
@@ -106,6 +110,9 @@ def integrate_batch_generic(q0s, p0s, steps, delta, params, r_max, omega,
         # accumulator whose state has blueshifted past float precision —
         # overwhelmingly a plunger.  (BL keeps the tighter shell: its
         # explosions also happen spuriously at larger radii.)
+        # (Charge shrinks the photon region, so the uncharged-Kerr radius
+        # is a safe upper bound for the Kerr-Newman family — the zone only
+        # arbitrates captured-vs-numerical for already-terminated rays.)
         mass_, a_ = params[0], params[1]
         plunge_zone = 2.0 * mass_ * (1.0 + jnp.cos(
             (2.0 / 3.0) * jnp.arccos(-jnp.abs(a_) / mass_)))

@@ -44,7 +44,7 @@ from .integrate import STATUS_ALIVE, STATUS_CAPTURED, STATUS_ESCAPED
 from .integrate_pallas import LANES, SUBLANES, TILE, UNROLL
 
 N_ROWS = 16
-N_SCAL = 5  # mass, a, r_cap, r_max, plunge_zone (+ 3 per substep)
+N_SCAL = 6  # mass, a, charge, r_cap, r_max, plunge_zone (+ 3 per substep)
 
 
 def _active_ks(q1x, q1y, q1z, a, r_cap, r_max):
@@ -59,9 +59,10 @@ def _make_kernel_ks(steps, n_sub):
     def kernel(params_ref, state_ref, out_state_ref, ns_ref):
         mass = params_ref[0]
         a = params_ref[1]
-        r_cap = params_ref[2]
-        r_max = params_ref[3]
-        plunge_zone = params_ref[4]
+        charge = params_ref[2]
+        r_cap = params_ref[3]
+        r_max = params_ref[4]
+        plunge_zone = params_ref[5]
         subs = tuple((params_ref[N_SCAL + 3 * j],
                       params_ref[N_SCAL + 1 + 3 * j],
                       params_ref[N_SCAL + 2 + 3 * j]) for j in range(n_sub))
@@ -74,7 +75,8 @@ def _make_kernel_ks(steps, n_sub):
             act = _active_ks(comps[1], comps[2], comps[3], a, r_cap, r_max)
             new = comps
             for d_i, cos_i, sin_i in subs:
-                new = fantasy_step_ord2_ks(new, d_i, mass, a, cos_i, sin_i)
+                new = fantasy_step_ord2_ks(new, d_i, mass, a, cos_i, sin_i,
+                                           charge)
 
             # --- null-invariant blow-up guard (== guard_cartesian) ---
             finite = jnp.isfinite(new[1]) & jnp.isfinite(new[2]) \
@@ -84,7 +86,7 @@ def _make_kernel_ks(steps, n_sub):
             safe = tuple(jnp.where(finite, n, o)
                          for n, o in zip(new[:8], comps[:8]))
             h = hamiltonian_ks(safe[1], safe[2], safe[3], safe[4], safe[5],
-                               safe[6], safe[7], mass, a)
+                               safe[6], safe[7], mass, a, charge)
             p2n = safe[5] * safe[5] + safe[6] * safe[6] \
                 + safe[7] * safe[7] + 1.0
             exploded = (~finite) | (jnp.abs(h) > 3e-3 * p2n)
@@ -205,24 +207,27 @@ def integrate_batch_pallas_ks(q0s, p0s, steps, delta, params, r_max, omega,
     shell, parking coordinates and status codes, plus per-tile early exit
     and cost-sorted tiling for wall-clock.
 
-    params = (M, a) (traced); delta/r_max/omega traced; steps/order static.
+    params = (M, a) or (M, a, Q) (traced; the Kerr-Newman charge rides a
+    third slot); delta/r_max/omega traced; steps/order static.
     """
     dtype = q0s.dtype
     params = jnp.asarray(params, dtype)
     mass, a = params[0], params[1]
+    charge = params[2] if params.shape[0] > 2 else jnp.zeros((), dtype)
     delta = jnp.asarray(delta, dtype)
     r_max = jnp.asarray(r_max, dtype)
     omega = jnp.asarray(omega, dtype)
 
-    r_plus = horizon_radius("Kerr", mass, a)
+    r_plus = horizon_radius("Kerr", mass, a, charge)
     r_cap = 1.05 * r_plus
     # outer edge of the photon region (retrograde circular photon orbit,
     # Bardeen 1973) — the plunge zone of integrate_generic.guard_cartesian
+    # (uncharged-Kerr radius: a safe upper bound for Kerr-Newman, see there)
     plunge_zone = 2.0 * mass * (1.0 + jnp.cos(
         (2.0 / 3.0) * jnp.arccos(-jnp.abs(a) / mass)))
 
     gammas = yoshida_gammas(order)
-    scal = [mass, a, r_cap, r_max, plunge_zone]
+    scal = [mass, a, charge, r_cap, r_max, plunge_zone]
     for g in gammas:
         d_i = g * delta
         angle = 2.0 * omega * d_i

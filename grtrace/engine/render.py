@@ -181,13 +181,19 @@ def render(scene: SceneConfig, *, bg_array=None, n_samples=None, seed=0,
     timings and throughput counters.
     """
     scene_metric = getattr(scene, "metric", "Schwarzschild").lower()
-    if scene_metric in ("kerr", "kerrschild", "kerr-schild"):
+    charge = float(getattr(scene, "charge", 0.0))
+    # A charged hole (Reissner-Nordstrom / Kerr-Newman) always rides the
+    # generic engines — the Schwarzschild fast path's analytic metric and
+    # b_crit capture shortcut assume Q = 0.  Uncharged Schwarzschild keeps
+    # its specialized path.
+    if scene_metric in ("kerr", "kerrschild", "kerr-schild") or charge != 0.0:
         from .render_generic import render_generic
-        metric = "Kerr" if scene_metric == "kerr" else "KerrSchild"
+        metric = ("Kerr" if scene_metric == "kerr"
+                  else "KerrSchild")  # schwarzschild+Q -> RN in the KS chart
         return render_generic(scene, spin=scene.spin, metric=metric,
                               bg_array=bg_array, dtype=dtype,
                               n_samples=n_samples, seed=seed,
-                              metrics=metrics)
+                              metrics=metrics, charge=charge)
 
     from .metrics import RenderMetrics
     want_metrics = metrics is not None

@@ -43,11 +43,12 @@ def render_pixels_generic(bg_array, obs_x, fov, mass, spin, boundary_radius,
                           patch_size_theta, patch_size_phi,
                           *, height, width, flip_theta=False, flip_phi=False,
                           has_background=True, dtype=jnp.float32,
-                          metric="Kerr", order=2, backend="xla"):
+                          metric="Kerr", order=2, backend="xla", charge=0.0):
     """One compiled device program: camera -> integrate -> classify -> RGB."""
     g_inv_fn = METRICS[metric]
     cartesian = COORDS[metric] == "cartesian"
-    params = jnp.stack([jnp.asarray(mass, dtype), jnp.asarray(spin, dtype)])
+    params = jnp.stack([jnp.asarray(mass, dtype), jnp.asarray(spin, dtype),
+                        jnp.asarray(charge, dtype)])
 
     obs_pos = jnp.stack([obs_x, jnp.zeros_like(obs_x), jnp.zeros_like(obs_x)])
     camera = camera_rays_cartesian if cartesian else camera_rays_unfolded
@@ -86,7 +87,8 @@ def render_pixels_generic(bg_array, obs_x, fov, mass, spin, boundary_radius,
     # rs_classify is scaled so the radius test fires exactly at the
     # integrator's capture surface 1.1 * r_+.
     r_plus = horizon_radius(metric, params[0],
-                            params[1] if metric == "Kerr" else 0.0)
+                            params[1] if metric == "Kerr" else 0.0,
+                            params[2] if metric == "Kerr" else 0.0)
     rs_classify = (1.1 / 1.2) * r_plus
     beta0 = jnp.zeros((height, width), dtype)
     alpha_off = jnp.full((height, width), jnp.pi, dtype)
@@ -129,7 +131,7 @@ def render_pixels_generic(bg_array, obs_x, fov, mass, spin, boundary_radius,
 
 
 def _sample_trajectories_generic(q0, p0, scene, spin, metric, dtype, seed,
-                                 n_samples):
+                                 n_samples, charge=0.0):
     """Sampled-ray diagnostics for the generic path: (ij indices, list of
     (n_pts, 3) Cartesian arrays) — same surface as the Schwarzschild
     sampler (engine.render._sample_trajectories)."""
@@ -147,7 +149,8 @@ def _sample_trajectories_generic(q0, p0, scene, spin, metric, dtype, seed,
     p0s = jnp.asarray(p0.reshape(-1, 4)[flat], dtype)
     traj = trajectory_batch_decimated(
         q0s, p0s, integ.steps, integ.delta,
-        jnp.asarray([scene.bh_mass, spin], dtype), scene.boundary_radius,
+        jnp.asarray([scene.bh_mass, spin, charge], dtype),
+        scene.boundary_radius,
         integ.omega, order=integ.order, metric=metric,
         n_keep=min(MAX_TRAJ_POINTS, integ.steps))
     traj = np.asarray(traj, dtype=np.float64)
@@ -165,7 +168,8 @@ def _sample_trajectories_generic(q0, p0, scene, spin, metric, dtype, seed,
 
 
 def render_generic(scene, *, spin=0.0, metric="Kerr", bg_array=None,
-                   dtype=None, n_samples=None, seed=0, metrics=None):
+                   dtype=None, n_samples=None, seed=0, metrics=None,
+                   charge=0.0):
     """SceneConfig-driven generic-metric render -> engine.render.RenderResult.
 
     Mirrors engine.render.render's surface for the Kerr path, including
@@ -212,7 +216,8 @@ def render_generic(scene, *, spin=0.0, metric="Kerr", bg_array=None,
         height=h, width=w,
         flip_theta=scene.patch.flip_theta, flip_phi=scene.patch.flip_phi,
         has_background=has_bg, dtype=dtype, metric=metric,
-        order=integ.order, backend=backend)
+        order=integ.order, backend=backend,
+        charge=jnp.asarray(charge, dtype))
 
     cv = np.asarray(out.pop("count_vec"))
     stage.__exit__(None, None, None)
@@ -234,6 +239,6 @@ def render_generic(scene, *, spin=0.0, metric="Kerr", bg_array=None,
         with metrics.stage("sample_trajectories"):
             sampled_ij, sampled_trajs = _sample_trajectories_generic(
                 np.asarray(out["q0"]), np.asarray(out["p0"]), scene, spin,
-                metric, dtype, seed, n_samples)
+                metric, dtype, seed, n_samples, charge=charge)
     return RenderResult(out, counts, sampled_indices=sampled_ij,
                         sampled_trajectories=sampled_trajs)

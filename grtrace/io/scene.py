@@ -93,9 +93,13 @@ class SceneConfig:
     bh_mass: float = 1.0
     # beyond the reference: metric selection (engine.render_generic).
     # 'Schwarzschild' runs the specialized fast path; 'Kerr' the generic
-    # autodiff engine with frame dragging.  spin = a in [0, M].
+    # autodiff engine with frame dragging.  spin = a, charge = Q with
+    # a^2 + Q^2 <= M^2 (Kerr-Newman family; charge != 0 always routes to
+    # the generic engines — Reissner-Nordstrom is metric='Schwarzschild'
+    # with charge set).
     metric: str = "Schwarzschild"
     spin: float = 0.0
+    charge: float = 0.0
     boundary_radius: float = 31.0
     observer_distance: float = 30.0
     integrator: IntegratorConfig = dataclasses.field(default_factory=IntegratorConfig)

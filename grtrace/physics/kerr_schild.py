@@ -41,8 +41,11 @@ from .hamiltonian import _flow_mixed
 N_STATE = 16
 
 
-def _geom(x, y, z, mass, a):
-    """Shared Kerr-Schild geometry at one spatial point (elementwise)."""
+def _geom(x, y, z, mass, a, charge=0.0):
+    """Shared Kerr-Schild geometry at one spatial point (elementwise).
+
+    charge generalizes to Kerr-Newman: H = (M r - Q^2/2)/D (Debney-Kerr-
+    Schild form) — the l vector and every other quantity are unchanged."""
     rho2 = x * x + y * y + z * z
     b = rho2 - a * a
     az = a * z
@@ -53,21 +56,22 @@ def _geom(x, y, z, mass, a):
     inv_D = 1.0 / s
     w = r2 + a * a
     inv_w = 1.0 / w
-    H = mass * r * inv_D
+    H = (mass * r - 0.5 * charge * charge) * inv_D
     lx = (r * x + a * y) * inv_w
     ly = (r * y - a * x) * inv_w
     lz = z * inv_r
     return r, inv_r, inv_D, b, w, inv_w, H, lx, ly, lz
 
 
-def _kick_drift(x, y, z, pt, px, py, pz, mass, a):
+def _kick_drift(x, y, z, pt, px, py, pz, mass, a, charge=0.0):
     """dHam/dq (x, y, z slots) and dHam/dp (all 4) at one phase point.
 
     Returns (kx, ky, kz, dt_, dx_, dy_, dz_): the kick covector components
     (dHam/dx_i, to be SUBTRACTED scaled by dt) and the drift vector
     (dHam/dp_a, to be ADDED scaled by dt).
     """
-    r, inv_r, inv_D, b, w, inv_w, H, lx, ly, lz = _geom(x, y, z, mass, a)
+    r, inv_r, inv_D, b, w, inv_w, H, lx, ly, lz = _geom(x, y, z, mass, a,
+                                                        charge)
 
     S = -pt + lx * px + ly * py + lz * pz
     HS2 = 2.0 * H * S
@@ -86,10 +90,11 @@ def _kick_drift(x, y, z, pt, px, py, pz, mass, a):
     D_y = 2.0 * y * b * inv_D
     D_z = 2.0 * z * (b + 2.0 * a * a) * inv_D
 
-    # dH/dx_i = H (r_i / r - D_i / D)
-    H_x = H * (r_x * inv_r - D_x * inv_D)
-    H_y = H * (r_y * inv_r - D_y * inv_D)
-    H_z = H * (r_z * inv_r - D_z * inv_D)
+    # dH/dx_i = (M r_i - H D_i)/D  (Kerr-Newman general; at Q = 0 this is
+    # the Kerr H (r_i/r - D_i/D) since there H = M r / D)
+    H_x = (mass * r_x - H * D_x) * inv_D
+    H_y = (mass * r_y - H * D_y) * inv_D
+    H_z = (mass * r_z - H * D_z) * inv_D
 
     # dS/dx_i = r_i * G + chart term
     inv_r2 = inv_r * inv_r
@@ -106,7 +111,7 @@ def _kick_drift(x, y, z, pt, px, py, pz, mass, a):
     return kx, ky, kz, dt_, dx_, dy_, dz_
 
 
-def _flow_a_ks(state, dt, mass, a):
+def _flow_a_ks(state, dt, mass, a, charge=0.0):
     """Flow A: metric at q1, kick p1 spatial slots, drift q2 (all 4).
 
     Same split as the Schwarzschild _flow_a (p_t is an exact invariant of
@@ -114,7 +119,7 @@ def _flow_a_ks(state, dt, mass, a):
     (q1t, q1x, q1y, q1z, p1t, p1x, p1y, p1z,
      q2t, q2x, q2y, q2z, p2t, p2x, p2y, p2z) = state
     kx, ky, kz, dt_, dx_, dy_, dz_ = _kick_drift(
-        q1x, q1y, q1z, p2t, p2x, p2y, p2z, mass, a)
+        q1x, q1y, q1z, p2t, p2x, p2y, p2z, mass, a, charge)
     p1x = p1x - dt * kx
     p1y = p1y - dt * ky
     p1z = p1z - dt * kz
@@ -126,12 +131,12 @@ def _flow_a_ks(state, dt, mass, a):
             q2t, q2x, q2y, q2z, p2t, p2x, p2y, p2z)
 
 
-def _flow_b_ks(state, dt, mass, a):
+def _flow_b_ks(state, dt, mass, a, charge=0.0):
     """Flow B: metric at q2, kick p2 spatial slots, drift q1 (all 4)."""
     (q1t, q1x, q1y, q1z, p1t, p1x, p1y, p1z,
      q2t, q2x, q2y, q2z, p2t, p2x, p2y, p2z) = state
     kx, ky, kz, dt_, dx_, dy_, dz_ = _kick_drift(
-        q2x, q2y, q2z, p1t, p1x, p1y, p1z, mass, a)
+        q2x, q2y, q2z, p1t, p1x, p1y, p1z, mass, a, charge)
     p2x = p2x - dt * kx
     p2y = p2y - dt * ky
     p2z = p2z - dt * kz
@@ -143,24 +148,24 @@ def _flow_b_ks(state, dt, mass, a):
             q2t, q2x, q2y, q2z, p2t, p2x, p2y, p2z)
 
 
-def fantasy_step_ord2_ks(state, delta, mass, a, cos_w, sin_w):
+def fantasy_step_ord2_ks(state, delta, mass, a, cos_w, sin_w, charge=0.0):
     """One order-2 FANTASY step in the Kerr-Schild chart:
     A(d/2) B(d/2) M(d) B(d/2) A(d/2), mixing rotation shared with the
     Schwarzschild path (physics.hamiltonian._flow_mixed)."""
     half = 0.5 * delta
-    state = _flow_a_ks(state, half, mass, a)
-    state = _flow_b_ks(state, half, mass, a)
+    state = _flow_a_ks(state, half, mass, a, charge)
+    state = _flow_b_ks(state, half, mass, a, charge)
     state = _flow_mixed(state, cos_w, sin_w)
-    state = _flow_b_ks(state, half, mass, a)
-    state = _flow_a_ks(state, half, mass, a)
+    state = _flow_b_ks(state, half, mass, a, charge)
+    state = _flow_a_ks(state, half, mass, a, charge)
     return state
 
 
-def hamiltonian_ks(x, y, z, pt, px, py, pz, mass, a):
+def hamiltonian_ks(x, y, z, pt, px, py, pz, mass, a, charge=0.0):
     """Ham = 1/2 eta^{ab} p_a p_b - H S^2, elementwise — the null invariant
     used by the blow-up guard (0 at the camera, destroyed immediately by an
     under-resolved kick; see engine.integrate_generic.guard_cartesian)."""
-    _, _, _, _, _, _, H, lx, ly, lz = _geom(x, y, z, mass, a)
+    _, _, _, _, _, _, H, lx, ly, lz = _geom(x, y, z, mass, a, charge)
     S = -pt + lx * px + ly * py + lz * pz
     return 0.5 * (-pt * pt + px * px + py * py + pz * pz) - H * S * S
 

@@ -26,8 +26,17 @@ import jax.numpy as jnp
 
 
 # ---------------------------------------------------------------------------
-# Metric library: q = (t, r, theta, phi), params = (mass, spin a)
+# Metric library: q = (t, r, theta, phi), params = (mass, spin a[, charge Q])
+# The charge slot is optional (len(params) is static under jit): the Kerr
+# metrics below are really Kerr-Newman with Q defaulting to 0, so the whole
+# black-hole family {Schwarzschild, Reissner-Nordstrom, Kerr, Kerr-Newman}
+# rides the same two charts and the same engines.
 # ---------------------------------------------------------------------------
+
+def _charge(params):
+    """Q from an optional third params slot (static-shape dispatch)."""
+    return params[2] if params.shape[0] > 2 else jnp.zeros_like(params[0])
+
 
 def schwarzschild_g_inv(q, params):
     """Contravariant Schwarzschild metric at q; params = (M,) or (M, 0.0)."""
@@ -44,23 +53,28 @@ def schwarzschild_g_inv(q, params):
 
 
 def kerr_g_inv(q, params):
-    """Contravariant Kerr metric, Boyer-Lindquist, geometrized units.
+    """Contravariant Kerr(-Newman) metric, Boyer-Lindquist, geometrized
+    units.
 
-    params = (M, a) with 0 <= |a| <= M.  Nonzero g^{t phi} encodes frame
-    dragging.  Reduces exactly to schwarzschild_g_inv at a = 0.
+    params = (M, a) or (M, a, Q) with a^2 + Q^2 <= M^2.  Nonzero g^{t phi}
+    encodes frame dragging; the charge enters only through
+    Delta = r^2 - 2 M r + a^2 + Q^2 and the exact identity
+    r^2 + a^2 - Delta = 2 M r - Q^2 in the t-phi cross term.  Reduces
+    exactly to schwarzschild_g_inv at a = Q = 0.
     """
     mass, a = params[0], params[1]
+    qc = _charge(params)
     r, th = q[1], q[2]
     sin_th = jnp.sin(th)
     cos_th = jnp.cos(th)
     sin2 = sin_th * sin_th
     sigma = r * r + a * a * cos_th * cos_th
-    delta = r * r - 2.0 * mass * r + a * a
+    delta = r * r - 2.0 * mass * r + a * a + qc * qc
     r2a2 = r * r + a * a
 
     inv_sd = 1.0 / (sigma * delta)
     g_tt = -(r2a2 * r2a2 - a * a * delta * sin2) * inv_sd
-    g_tp = -(2.0 * mass * r * a) * inv_sd
+    g_tp = -(r2a2 - delta) * a * inv_sd
     g_rr = delta / sigma
     g_thth = 1.0 / sigma
     g_pp = (delta - a * a * sin2) * inv_sd / sin2
@@ -108,11 +122,14 @@ def kerr_schild_g_inv(q, params):
     exactly.
     """
     mass, a = params[0], params[1]
+    qc = _charge(params)
     t, x, y, z = q[0], q[1], q[2], q[3]
     r = ks_radius(x, y, z, a)
     r2 = r * r
     r2a2 = r2 + a * a
-    H = mass * r * r2 / (r2 * r2 + a * a * z * z)
+    # Kerr-Newman Kerr-Schild scalar (Debney-Kerr-Schild): the charge only
+    # shifts M r -> M r - Q^2/2 in the numerator of H.
+    H = (mass * r - 0.5 * qc * qc) * r2 / (r2 * r2 + a * a * z * z)
     lx = (r * x + a * y) / r2a2
     ly = (r * y - a * x) / r2a2
     lz = z / r
@@ -137,12 +154,16 @@ COORDS = {
 }
 
 
-def horizon_radius(metric: str, mass, a=0.0):
-    """Outer event-horizon radius r_+ (capture surface for classification)."""
+def horizon_radius(metric: str, mass, a=0.0, q=0.0):
+    """Outer event-horizon radius r_+ (capture surface for classification).
+
+    Kerr-Newman family: r_+ = M + sqrt(M^2 - a^2 - Q^2); a = Q = 0 gives
+    the Schwarzschild 2M."""
     if metric == "Schwarzschild":
         return 2.0 * mass
     if metric in ("Kerr", "KerrSchild"):
-        return mass + jnp.sqrt(jnp.maximum(mass * mass - a * a, 0.0))
+        return mass + jnp.sqrt(
+            jnp.maximum(mass * mass - a * a - q * q, 0.0))
     raise KeyError(metric)
 
 

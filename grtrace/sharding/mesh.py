@@ -134,9 +134,10 @@ def render_kerr_sharded(mesh, bg_array, obs_x, fov, mass, spin,
                         patch_size_theta, patch_size_phi,
                         *, height, width, flip_theta=False, flip_phi=False,
                         has_background=True, dtype=jnp.float32,
-                        metric="KerrSchild", order=2, backend="xla"):
-    """Kerr frames over the ('frames', 'rays') mesh — the generic-metric
-    twin of render_frames_sharded.
+                        metric="KerrSchild", order=2, backend="xla",
+                        charge=0.0):
+    """Kerr(-Newman) frames over the ('frames', 'rays') mesh — the
+    generic-metric twin of render_frames_sharded.
 
     Kerr is only axisymmetric, so the camera-orbit-equals-patch-rotation
     trick still holds for *equatorial* orbits about the spin axis (the
@@ -160,7 +161,8 @@ def render_kerr_sharded(mesh, bg_array, obs_x, fov, mass, spin,
 
     obs_x = jnp.asarray(obs_x, dtype)
     patch_center_phi = jnp.asarray(patch_center_phi, dtype)
-    params = jnp.stack([jnp.asarray(mass, dtype), jnp.asarray(spin, dtype)])
+    params = jnp.stack([jnp.asarray(mass, dtype), jnp.asarray(spin, dtype),
+                        jnp.asarray(charge, dtype)])
 
     def frame_body(obs_x_f, patch_phi_f, bg):
         shard = jax.lax.axis_index("rays")
@@ -187,7 +189,7 @@ def render_kerr_sharded(mesh, bg_array, obs_x, fov, mass, spin,
         fq_sph = jnp.stack([final_q[:, 0], rho, th, ph], axis=-1)
         from ..physics.spacetime import horizon_radius
         rs_classify = (1.1 / 1.2) * horizon_radius("Kerr", params[0],
-                                                   params[1])
+                                                   params[1], params[2])
         cls, th_csv, ph_csv, u01, v01 = _classify.classify_rays(
             fq_sph, jnp.full_like(rho, jnp.pi), jnp.zeros_like(rho),
             rs=rs_classify, r_obs_x=obs_x_f,

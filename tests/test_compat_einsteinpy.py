@@ -82,9 +82,10 @@ def test_nulllike_spherical_output():
 
 
 def test_nulllike_rejects_unsupported():
-    # Kerr is now supported (tests/test_spacetime_kerr.py); these stay out
+    # Kerr and KerrNewman are supported (tests/test_spacetime_kerr.py,
+    # tests/test_kerr_newman.py); anything else stays out
     with pytest.raises(NotImplementedError):
-        Nulllike(metric="KerrNewman")
+        Nulllike(metric="FRW")
     with pytest.raises(ValueError):
         Nulllike(metric="Schwarzschild", metric_params=(0.5,))
     with pytest.raises(NotImplementedError):

@@ -151,6 +151,6 @@ def test_compat_nulllike_kerr():
     assert np.abs(data - data0).max() > 1e-3
 
     with pytest.raises(NotImplementedError):
-        Nulllike(metric="KerrNewman")
+        Nulllike(metric="FRW")
     with pytest.raises(ValueError):
         Nulllike(metric="Schwarzschild", metric_params=(0.3,))
