@@ -6,6 +6,9 @@ The reference renders exactly one static view; this driver covers the
 configuration (BASELINE.json configs[4]).  Orbiting in the equatorial plane
 is, by spherical symmetry, a rotation of the background patch center
 (sharding/mesh.orbit_frames), so every frame reuses one compiled render.
+--metric kerr (with --spin/--charge) orbits the Kerr-Newman family: the
+equatorial orbit is about the spin axis, so axisymmetry keeps the trick
+exact (sharding/mesh.render_kerr_sharded).
 
 Checkpoint/resume: each completed frame is an on-disk PNG; a killed job
 rerun with the same --out-dir resumes after the last completed frame (the
@@ -34,6 +37,12 @@ def main(argv=None):
     p.add_argument('--observer-distance', type=float, default=30.0)
     p.add_argument('--bg-patch-size-theta', type=float, default=180.0)
     p.add_argument('--bg-patch-size-phi', type=float, default=350.0)
+    p.add_argument('--metric', type=str, default='schwarzschild',
+                   choices=['schwarzschild', 'kerr'],
+                   help='kerr orbits stay exact: equatorial orbits about '
+                        'the spin axis are the axisymmetry family')
+    p.add_argument('--spin', type=float, default=0.0)
+    p.add_argument('--charge', type=float, default=0.0)
     p.add_argument('--backend', type=str, default='auto')
     p.add_argument('--out-dir', type=str, default='orbit_out')
     p.add_argument('--gif', action='store_true',
@@ -83,18 +92,34 @@ def main(argv=None):
     if done:
         print(f"resuming: {len(done)} frames already rendered")
 
+    kerr = args.metric == 'kerr' or args.charge != 0.0
+    if kerr:
+        from ..engine.integrate import resolve_backend
+        from ..sharding.mesh import render_kerr_sharded
+        kerr_backend = resolve_backend(args.backend)
+
     batch = args.frames_per_batch or max(1, mesh.shape["frames"])
     bg_dev = jnp.asarray(bg, jnp.uint8)
     for start in range(0, len(todo), batch):
         ks = todo[start:start + batch]
-        out = render_frames_sharded(
-            mesh, bg_dev,
-            obs[ks], np.float32(scene.fov), scene.bh_mass,
-            scene.boundary_radius, args.steps, args.delta, 1.0,
-            np.pi / 2, phis[ks],
-            scene.patch.size_theta, scene.patch.size_phi,
-            height=args.size, width=args.size,
-            backend=args.backend)
+        if kerr:
+            out = render_kerr_sharded(
+                mesh, bg_dev,
+                obs[ks], np.float32(scene.fov), scene.bh_mass,
+                args.spin, scene.boundary_radius, args.steps, args.delta,
+                1.0, np.pi / 2, phis[ks],
+                scene.patch.size_theta, scene.patch.size_phi,
+                height=args.size, width=args.size,
+                backend=kerr_backend, charge=args.charge)
+        else:
+            out = render_frames_sharded(
+                mesh, bg_dev,
+                obs[ks], np.float32(scene.fov), scene.bh_mass,
+                scene.boundary_radius, args.steps, args.delta, 1.0,
+                np.pi / 2, phis[ks],
+                scene.patch.size_theta, scene.patch.size_phi,
+                height=args.size, width=args.size,
+                backend=args.backend)
         imgs = np.asarray(out["image"])
         for j, k in enumerate(ks):
             artifacts.save_image(

@@ -102,3 +102,16 @@ def test_orbit_cli_and_resume(tmp_path):
           "--delta", "0.1", "--out-dir", str(out), "--backend", "xla"])
     for p in pngs:
         assert os.path.getmtime(out / "frames" / p) == mtimes[p]
+
+
+def test_orbit_cli_kerr(tmp_path):
+    """Kerr(-Newman) camera orbits over the mesh: equatorial orbits about
+    the spin axis stay exact by axisymmetry."""
+    from grtrace.cli.orbit import main
+    out = tmp_path / "orbit_kerr"
+    main(["--frames", "2", "--size", "16", "--steps", "1200",
+          "--delta", "0.05", "--out-dir", str(out), "--backend", "xla",
+          "--metric", "kerr", "--spin", "0.8", "--charge", "0.3"])
+    import os
+    pngs = sorted(os.listdir(out / "frames"))
+    assert pngs == [f"frame_{k:04d}.png" for k in range(2)]
