@@ -52,6 +52,12 @@ def main(argv=None):
                         'batch per mesh frames-axis extent)')
     args = p.parse_args(argv)
 
+    # same physics validation as the main CLI (cli/args.py)
+    if args.spin and args.metric != 'kerr':
+        raise SystemExit("--spin requires --metric kerr")
+    if args.spin ** 2 + args.charge ** 2 > args.bh_mass ** 2:
+        raise SystemExit("naked singularity: need a^2 + Q^2 <= M^2")
+
     import jax
     import jax.numpy as jnp
     from .. import IntegratorConfig, PatchConfig, SceneConfig

@@ -42,29 +42,16 @@ def _capture_radius(metric, params):
     return 1.1 * horizon_radius("Schwarzschild", params[0])
 
 
-@partial(jax.jit, static_argnames=("steps", "order", "metric"))
-def integrate_batch_generic(q0s, p0s, steps, delta, params, r_max, omega,
-                            order=2, metric="Kerr"):
-    """Integrate an (N, 4) batch in the named metric to completion.
+def _domain_tools(metric, params, delta, r_max, dtype, g_inv_fn):
+    """Chart-dependent domain tests and the blow-up guard, shared by the
+    render integrator and the trajectory sampler (so diagnostics see
+    exactly the rays the image sees).
 
-    params: tuple/array of metric parameters — (M,) for Schwarzschild,
-    (M, a) for Kerr.  Returns (final_q, final_p, status, n_steps) with the
-    same status codes and early-exit semantics as engine.integrate.
+    Returns (cap_radius, esc_radius, active_mask, guard, r_cap); all
+    functions take/return (N, ...) batches.
     """
-    g_inv_fn = METRICS[metric]
-    step1 = make_step(g_inv_fn)
-
-    dtype = q0s.dtype
-    delta = jnp.asarray(delta, dtype)
-    params = jnp.asarray(params, dtype)
-    r_max = jnp.asarray(r_max, dtype)
-    subs = substep_schedule(delta, jnp.asarray(omega, dtype), order)
-    r_cap = _capture_radius(metric, params)
-
-    vstep = jax.vmap(lambda q1, p1, q2, p2: step1(q1, p1, q2, p2, params,
-                                                  subs))
-
     cartesian = COORDS[metric] == "cartesian"
+    r_cap = _capture_radius(metric, params)
 
     def cap_radius(q1):
         """Chart radius used for the capture test."""
@@ -81,9 +68,6 @@ def integrate_batch_generic(q0s, p0s, steps, delta, params, r_max, omega,
 
     def active_mask(q1):
         return (cap_radius(q1) > r_cap) & (esc_radius(q1) < r_max)
-
-    def masked(new, old, act):
-        return jnp.where(act[:, None], new, old)
 
     # Blow-up guard (fixed-step stiffness near Delta -> 0 and the BL poles).
     # Three terminal conditions a step can produce:
@@ -183,6 +167,35 @@ def integrate_batch_generic(q0s, p0s, steps, delta, params, r_max, omega,
         return bad, nq1
 
     guard = guard_cartesian if cartesian else guard_spherical
+    return cap_radius, esc_radius, active_mask, guard, r_cap
+
+
+@partial(jax.jit, static_argnames=("steps", "order", "metric"))
+def integrate_batch_generic(q0s, p0s, steps, delta, params, r_max, omega,
+                            order=2, metric="Kerr"):
+    """Integrate an (N, 4) batch in the named metric to completion.
+
+    params: tuple/array of metric parameters — (M,) for Schwarzschild,
+    (M, a) for Kerr, (M, a, Q) for Kerr-Newman.  Returns (final_q, final_p,
+    status, n_steps) with the same status codes and early-exit semantics as
+    engine.integrate.
+    """
+    g_inv_fn = METRICS[metric]
+    step1 = make_step(g_inv_fn)
+
+    dtype = q0s.dtype
+    delta = jnp.asarray(delta, dtype)
+    params = jnp.asarray(params, dtype)
+    r_max = jnp.asarray(r_max, dtype)
+    subs = substep_schedule(delta, jnp.asarray(omega, dtype), order)
+
+    vstep = jax.vmap(lambda q1, p1, q2, p2: step1(q1, p1, q2, p2, params,
+                                                  subs))
+    cap_radius, esc_radius, active_mask, guard, r_cap = _domain_tools(
+        metric, params, delta, r_max, dtype, g_inv_fn)
+
+    def masked(new, old, act):
+        return jnp.where(act[:, None], new, old)
 
     n_steps0 = jnp.zeros(q0s.shape[0], dtype=jnp.int32)
     carry0 = (q0s, p0s, q0s, p0s, n_steps0, jnp.int32(0))
@@ -221,52 +234,50 @@ def trajectory_batch_decimated(q0s, p0s, steps, delta, params, r_max, omega,
     stepping) and rows after a ray's exit stay zero, matching the reference
     trajectory-buffer semantics (cuda_geodesic.py:604-625).  Used for the
     sampled-ray diagnostics of Kerr renders.
+
+    Applies the same blow-up guard as integrate_batch_generic, so a ray the
+    image flags as 'numerical error' freezes at the failure point in the
+    diagnostic too (instead of recording its unphysical ejection), and the
+    step budget is exact (a global step counter gates the stride blocks).
     """
     g_inv_fn = METRICS[metric]
     step1 = make_step(g_inv_fn)
-    cartesian = COORDS[metric] == "cartesian"
 
     dtype = q0s.dtype
     delta = jnp.asarray(delta, dtype)
     params = jnp.asarray(params, dtype)
     r_max = jnp.asarray(r_max, dtype)
     subs = substep_schedule(delta, jnp.asarray(omega, dtype), order)
-    r_cap = _capture_radius(metric, params)
 
     stride = -(-steps // n_keep) if steps > n_keep else 1
     blocks = -(-steps // stride)
 
     vstep = jax.vmap(lambda q1, p1, q2, p2: step1(q1, p1, q2, p2, params,
                                                   subs))
-
-    def cap_radius(q1):
-        if cartesian:
-            return ks_radius(q1[:, 1], q1[:, 2], q1[:, 3], params[1])
-        return q1[:, 1]
-
-    def esc_radius(q1):
-        if cartesian:
-            return jnp.linalg.norm(q1[:, 1:], axis=1)
-        return q1[:, 1]
+    _, _, active_mask, guard, _ = _domain_tools(
+        metric, params, delta, r_max, dtype, g_inv_fn)
 
     def one(c, _):
-        q1, p1, q2, p2, alive = c
-        act = (cap_radius(q1) > r_cap) & (esc_radius(q1) < r_max) \
-            & jnp.isfinite(q1).all(axis=1)
+        q1, p1, q2, p2, alive, k = c
+        act = active_mask(q1) & (k < steps)
         nq1, np1, nq2, np2 = vstep(q1, p1, q2, p2)
+        bad, nq1 = guard(q1, p1, nq1, np1)
+        np1 = jnp.where(bad[:, None], p1, np1)
+        nq2 = jnp.where(bad[:, None], q2, nq2)
+        np2 = jnp.where(bad[:, None], p2, np2)
         m = act[:, None]
         return (jnp.where(m, nq1, q1), jnp.where(m, np1, p1),
                 jnp.where(m, nq2, q2), jnp.where(m, np2, p2),
-                alive & act), None
+                alive & act, k + 1), None
 
     def block(c, _):
-        q1_pre = c[0] * c[4][:, None]      # zero rows after exit
+        q1_pre = jnp.where(c[4][:, None], c[0], 0.0)  # zero rows after exit
         c, _ = jax.lax.scan(one, c, None, length=stride)
         return c, q1_pre
 
     alive0 = jnp.ones(q0s.shape[0], dtype=bool)
-    _, qs = jax.lax.scan(block, (q0s, p0s, q0s, p0s, alive0), None,
-                         length=blocks)
+    _, qs = jax.lax.scan(block, (q0s, p0s, q0s, p0s, alive0, jnp.int32(0)),
+                         None, length=blocks)
     return jnp.swapaxes(qs, 0, 1)          # (K, blocks, 4)
 
 

@@ -85,11 +85,15 @@ def render_pixels_generic(bg_array, obs_x, fov, mass, spin, boundary_radius,
     # classify with beta = 0 (no fold) and the analytic capture shortcut
     # disabled: alpha0 := pi never satisfies alpha0 <= bh_angle, and
     # rs_classify is scaled so the radius test fires exactly at the
-    # integrator's capture surface 1.1 * r_+.
-    r_plus = horizon_radius(metric, params[0],
-                            params[1] if metric == "Kerr" else 0.0,
-                            params[2] if metric == "Kerr" else 0.0)
-    rs_classify = (1.1 / 1.2) * r_plus
+    # integrator's capture surface (1.1 r_+ in BL, 1.05 r_+ in the
+    # Kerr-Schild chart) — a budget-exhausted ray frozen just above the
+    # shell stays 'in_domain', matching the integrator's ALIVE verdict.
+    # The sharded renderer (sharding.mesh.render_kerr_sharded) uses the
+    # same formula so both paths classify identically.
+    r_plus = horizon_radius("Kerr" if metric != "Schwarzschild" else metric,
+                            params[0], params[1], params[2])
+    shell = 1.1 if metric != "KerrSchild" else 1.05
+    rs_classify = (shell / 1.2) * r_plus
     beta0 = jnp.zeros((height, width), dtype)
     alpha_off = jnp.full((height, width), jnp.pi, dtype)
 
@@ -191,36 +195,34 @@ def render_generic(scene, *, spin=0.0, metric="Kerr", bg_array=None,
               else jnp.zeros((1, 1, 3), dtype=jnp.uint8))
 
     # The Kerr-Schild chart has a dedicated Pallas kernel (7x the XLA
-    # engine on a v5e); Boyer-Lindquist and any future spherical-chart
-    # metric stay on the generic autodiff path.
+    # engine at kernel level, 11x end-to-end on a v5e); Boyer-Lindquist
+    # and any future spherical-chart metric stay on the autodiff path.
     from .integrate import resolve_backend
     backend = (resolve_backend(integ.backend) if metric == "KerrSchild"
                else "xla")
 
-    stage = metrics.stage("device_pipeline")
-    stage.__enter__()
-    out = render_pixels_generic(
-        bg_dev,
-        jnp.asarray(scene.observer_distance, dtype),
-        jnp.asarray(scene.fov, dtype),
-        jnp.asarray(scene.bh_mass, dtype),
-        jnp.asarray(spin, dtype),
-        jnp.asarray(scene.boundary_radius, dtype),
-        integ.steps,
-        jnp.asarray(integ.delta, dtype),
-        jnp.asarray(integ.omega, dtype),
-        jnp.asarray(scene.patch.center_theta, dtype),
-        jnp.asarray(scene.patch.center_phi, dtype),
-        jnp.asarray(scene.patch.size_theta, dtype),
-        jnp.asarray(scene.patch.size_phi, dtype),
-        height=h, width=w,
-        flip_theta=scene.patch.flip_theta, flip_phi=scene.patch.flip_phi,
-        has_background=has_bg, dtype=dtype, metric=metric,
-        order=integ.order, backend=backend,
-        charge=jnp.asarray(charge, dtype))
-
-    cv = np.asarray(out.pop("count_vec"))
-    stage.__exit__(None, None, None)
+    with metrics.stage("device_pipeline"):
+        out = render_pixels_generic(
+            bg_dev,
+            jnp.asarray(scene.observer_distance, dtype),
+            jnp.asarray(scene.fov, dtype),
+            jnp.asarray(scene.bh_mass, dtype),
+            jnp.asarray(spin, dtype),
+            jnp.asarray(scene.boundary_radius, dtype),
+            integ.steps,
+            jnp.asarray(integ.delta, dtype),
+            jnp.asarray(integ.omega, dtype),
+            jnp.asarray(scene.patch.center_theta, dtype),
+            jnp.asarray(scene.patch.center_phi, dtype),
+            jnp.asarray(scene.patch.size_theta, dtype),
+            jnp.asarray(scene.patch.size_phi, dtype),
+            height=h, width=w,
+            flip_theta=scene.patch.flip_theta, flip_phi=scene.patch.flip_phi,
+            has_background=has_bg, dtype=dtype, metric=metric,
+            order=integ.order, backend=backend,
+            charge=jnp.asarray(charge, dtype))
+        # the counts fetch is the device sync, so it belongs to the stage
+        cv = np.asarray(out.pop("count_vec"))
     counts = {"captured": int(cv[0]), "in_domain": int(cv[1]),
               "escaped": int(cv[2]), "background": int(cv[3]),
               "numerical_error": int(cv[4])}

@@ -48,58 +48,22 @@ def make_mesh(n_frames_shards=1, n_ray_shards=None, devices=None) -> Mesh:
                 ("frames", "rays"))
 
 
-@partial(jax.jit,
-         static_argnames=("mesh", "height", "width", "steps", "flip_theta",
-                          "flip_phi", "has_background", "dtype", "backend"))
-def render_frames_sharded(mesh, bg_array, obs_x, fov, mass, boundary_radius,
-                          steps, delta, omega,
-                          patch_center_theta, patch_center_phi,
-                          patch_size_theta, patch_size_phi,
-                          *, height, width, flip_theta=False, flip_phi=False,
-                          has_background=True, dtype=jnp.float32,
-                          backend="xla"):
-    """Render F frames over the ('frames', 'rays') mesh.
-
-    Per-frame arrays (shape (F,)): obs_x, patch_center_phi.
-    Scalars: everything else.  F must be divisible by the 'frames' axis and
-    height*width by the 'rays' axis.
-
-    Returns dict with image (F, H, W, 3), cls (F, H, W), n_steps (F, H, W).
-    """
-    n = height * width
-    n_ray_shards = mesh.shape["rays"]
-    # pad the ray axis up to a multiple of the shard count; padding shards
-    # recompute the last pixel (harmless, cropped below)
+def _local_ray_indices(n, n_ray_shards):
+    """This device's flat pixel indices: the ray axis is padded up to a
+    multiple of the shard count; padding shards recompute the last pixel
+    (harmless, cropped by _run_sharded_frames)."""
     n_local = -(-n // n_ray_shards)
+    shard = jax.lax.axis_index("rays")
+    return jnp.minimum(shard * n_local + jax.lax.iota(jnp.int32, n_local),
+                       n - 1)
 
-    obs_x = jnp.asarray(obs_x, dtype)
-    patch_center_phi = jnp.asarray(patch_center_phi, dtype)
 
-    def frame_body(obs_x_f, patch_phi_f, bg):
-        """One frame, this device's ray slice."""
-        shard = jax.lax.axis_index("rays")
-        flat_idx = jnp.minimum(
-            shard * n_local + jax.lax.iota(jnp.int32, n_local), n - 1)
-        obs_pos = jnp.stack([obs_x_f, jnp.zeros_like(obs_x_f),
-                             jnp.zeros_like(obs_x_f)])
-        q0, p0, alpha0, heading, beta = camera_rays_for_indices(
-            obs_pos, fov, height, width, flat_idx, mass_bh=mass, dtype=dtype)
-        rs = 2.0 * mass
-        final_q, final_p, status, n_steps = integrate_dispatch(
-            q0, p0, steps, delta, rs, boundary_radius, omega,
-            backend=backend, equatorial=True)
-        cls, th_csv, ph_csv, u01, v01 = _classify.classify_rays(
-            final_q, alpha0, beta, rs=rs, r_obs_x=obs_x_f,
-            boundary_radius=boundary_radius,
-            patch_center_theta=patch_center_theta,
-            patch_center_phi=patch_phi_f,
-            patch_size_theta=patch_size_theta,
-            patch_size_phi=patch_size_phi,
-            flip_theta=flip_theta, flip_phi=flip_phi,
-            has_background=has_background)
-        image = _classify.composite(cls, u01, v01, bg)
-        return image, cls, n_steps
-
+def _run_sharded_frames(mesh, bg_array, obs_x, patch_center_phi, frame_body,
+                        n, height, width):
+    """Shared driver for the sharded renderers: runs
+    frame_body(obs_x_f, patch_phi_f, bg) -> (image, cls, n_steps) slices
+    over the ('frames', 'rays') mesh, then crops the padded ray axis and
+    reshapes to (F, H, W, ...)."""
     def shard_body(bg, obs_x_l, patch_phi_l):
         # obs_x_l: (F_local,) — map frames within the shard.
         return jax.vmap(lambda ox, pp: frame_body(ox, pp, bg))(
@@ -126,6 +90,57 @@ def render_frames_sharded(mesh, bg_array, obs_x, fov, mass, boundary_radius,
 
 @partial(jax.jit,
          static_argnames=("mesh", "height", "width", "steps", "flip_theta",
+                          "flip_phi", "has_background", "dtype", "backend"))
+def render_frames_sharded(mesh, bg_array, obs_x, fov, mass, boundary_radius,
+                          steps, delta, omega,
+                          patch_center_theta, patch_center_phi,
+                          patch_size_theta, patch_size_phi,
+                          *, height, width, flip_theta=False, flip_phi=False,
+                          has_background=True, dtype=jnp.float32,
+                          backend="xla"):
+    """Render F frames over the ('frames', 'rays') mesh.
+
+    Per-frame arrays (shape (F,)): obs_x, patch_center_phi.
+    Scalars: everything else.  F must be divisible by the 'frames' axis and
+    height*width by the 'rays' axis.
+
+    Returns dict with image (F, H, W, 3), cls (F, H, W), n_steps (F, H, W).
+    """
+    n = height * width
+    n_ray_shards = mesh.shape["rays"]
+
+    obs_x = jnp.asarray(obs_x, dtype)
+    patch_center_phi = jnp.asarray(patch_center_phi, dtype)
+
+    def frame_body(obs_x_f, patch_phi_f, bg):
+        """One frame, this device's ray slice."""
+        flat_idx = _local_ray_indices(n, n_ray_shards)
+        obs_pos = jnp.stack([obs_x_f, jnp.zeros_like(obs_x_f),
+                             jnp.zeros_like(obs_x_f)])
+        q0, p0, alpha0, heading, beta = camera_rays_for_indices(
+            obs_pos, fov, height, width, flat_idx, mass_bh=mass, dtype=dtype)
+        rs = 2.0 * mass
+        final_q, final_p, status, n_steps = integrate_dispatch(
+            q0, p0, steps, delta, rs, boundary_radius, omega,
+            backend=backend, equatorial=True)
+        cls, th_csv, ph_csv, u01, v01 = _classify.classify_rays(
+            final_q, alpha0, beta, rs=rs, r_obs_x=obs_x_f,
+            boundary_radius=boundary_radius,
+            patch_center_theta=patch_center_theta,
+            patch_center_phi=patch_phi_f,
+            patch_size_theta=patch_size_theta,
+            patch_size_phi=patch_size_phi,
+            flip_theta=flip_theta, flip_phi=flip_phi,
+            has_background=has_background)
+        image = _classify.composite(cls, u01, v01, bg)
+        return image, cls, n_steps
+
+    return _run_sharded_frames(mesh, bg_array, obs_x, patch_center_phi,
+                               frame_body, n, height, width)
+
+
+@partial(jax.jit,
+         static_argnames=("mesh", "height", "width", "steps", "flip_theta",
                           "flip_phi", "has_background", "dtype", "metric",
                           "order", "backend"))
 def render_kerr_sharded(mesh, bg_array, obs_x, fov, mass, spin,
@@ -143,31 +158,32 @@ def render_kerr_sharded(mesh, bg_array, obs_x, fov, mass, spin,
     trick still holds for *equatorial* orbits about the spin axis (the
     scene is invariant under rotations about +z), which is exactly the
     orbit family orbit_frames generates.  Uses the Cartesian Kerr-Schild
-    chart end-to-end: unfolded camera, generic autodiff integrator,
-    status-pinned classification.
+    chart end-to-end: unfolded camera, generic autodiff integrator (or the
+    KS Pallas kernel with backend='pallas'), status-pinned classification.
     """
     from ..engine.integrate import STATUS_CAPTURED
     from ..engine.integrate_generic import integrate_batch_generic
     from ..physics.camera import (cartesian_ics_from_pixels,
                                   pixel_positions_for_indices)
     from ..physics.coords import cartesian_to_spherical
-    from ..physics.spacetime import METRICS
+    from ..physics.spacetime import METRICS, horizon_radius
 
     assert metric == "KerrSchild", "sharded Kerr uses the Cartesian chart"
     g_inv_fn = METRICS[metric]
     n = height * width
     n_ray_shards = mesh.shape["rays"]
-    n_local = -(-n // n_ray_shards)
 
     obs_x = jnp.asarray(obs_x, dtype)
     patch_center_phi = jnp.asarray(patch_center_phi, dtype)
     params = jnp.stack([jnp.asarray(mass, dtype), jnp.asarray(spin, dtype),
                         jnp.asarray(charge, dtype)])
+    # same threshold formula as render_pixels_generic: the radius test
+    # fires exactly at the Kerr-Schild capture shell 1.05 r_+
+    rs_classify = (1.05 / 1.2) * horizon_radius("Kerr", params[0],
+                                                params[1], params[2])
 
     def frame_body(obs_x_f, patch_phi_f, bg):
-        shard = jax.lax.axis_index("rays")
-        flat_idx = jnp.minimum(
-            shard * n_local + jax.lax.iota(jnp.int32, n_local), n - 1)
+        flat_idx = _local_ray_indices(n, n_ray_shards)
         obs_pos = jnp.stack([obs_x_f, jnp.zeros_like(obs_x_f),
                              jnp.zeros_like(obs_x_f)])
         pix = pixel_positions_for_indices(obs_pos, fov, height, width,
@@ -187,9 +203,6 @@ def render_kerr_sharded(mesh, bg_array, obs_x, fov, mass, spin,
             final_q[:, 1], final_q[:, 2], final_q[:, 3])
         rho = jnp.where(status == STATUS_CAPTURED, jnp.zeros_like(rho), rho)
         fq_sph = jnp.stack([final_q[:, 0], rho, th, ph], axis=-1)
-        from ..physics.spacetime import horizon_radius
-        rs_classify = (1.1 / 1.2) * horizon_radius("Kerr", params[0],
-                                                   params[1], params[2])
         cls, th_csv, ph_csv, u01, v01 = _classify.classify_rays(
             fq_sph, jnp.full_like(rho, jnp.pi), jnp.zeros_like(rho),
             rs=rs_classify, r_obs_x=obs_x_f,
@@ -203,27 +216,8 @@ def render_kerr_sharded(mesh, bg_array, obs_x, fov, mass, spin,
         image = _classify.composite(cls, u01, v01, bg)
         return image, cls, n_steps
 
-    def shard_body(bg, obs_x_l, patch_phi_l):
-        return jax.vmap(lambda ox, pp: frame_body(ox, pp, bg))(
-            obs_x_l, patch_phi_l)
-
-    image, cls, n_steps = shard_map(
-        shard_body, mesh=mesh,
-        in_specs=(P(), P("frames"), P("frames")),
-        out_specs=(P("frames", "rays"), P("frames", "rays"),
-                   P("frames", "rays")),
-        check_rep=False,
-    )(bg_array, obs_x, patch_center_phi)
-
-    f = obs_x.shape[0]
-    image = image.reshape(f, -1, 3)[:, :n]
-    cls = cls.reshape(f, -1)[:, :n]
-    n_steps = n_steps.reshape(f, -1)[:, :n]
-    return {
-        "image": image.reshape(f, height, width, 3),
-        "cls": cls.reshape(f, height, width),
-        "n_steps": n_steps.reshape(f, height, width),
-    }
+    return _run_sharded_frames(mesh, bg_array, obs_x, patch_center_phi,
+                               frame_body, n, height, width)
 
 
 def orbit_frames(scene, n_frames):

@@ -101,6 +101,38 @@ def test_cli_spin_requires_kerr():
     assert sc.metric == "Kerr"
 
 
+def test_sampled_trajectories_respect_guard():
+    """The diagnostic sampler applies the SAME blow-up guard as the render
+    integrator: a ray the image flags 'numerical error' must freeze at the
+    parked sentinel (r = 150) in sampled_rays too, not record its
+    unphysical ejection."""
+    res = render(_scene(0.9, size=16, steps=3000, delta=0.05),
+                 n_samples=16 * 16, seed=0)
+    radii = [np.linalg.norm(t, axis=1).max() for t in res.sampled_trajectories]
+    assert max(radii) <= 150.5
+
+
+def test_alive_rays_never_classified_captured():
+    """On the generic path the capture verdict belongs to the INTEGRATOR
+    (status-pinned), never to the classifier's radius threshold: a
+    budget-exhausted ALIVE ray frozen just above the capture shell must
+    classify 'in_domain'.  Regression for the rs_classify band where the
+    single-device and sharded Kerr renderers used different thresholds."""
+    sc = SceneConfig(
+        size=32, fov_deg=80.0, observer_distance=30.0, boundary_radius=31.0,
+        metric="KerrSchild", spin=0.9,
+        integrator=IntegratorConfig(steps=700, delta=0.05, omega=1.0,
+                                    backend="xla", dtype="float64"),
+        patch=PatchConfig(), n_samples=0)
+    res = render(sc)
+    cls = np.asarray(res.cls)
+    status = np.asarray(res.status)
+    alive = status == 0
+    assert alive.any()                      # the budget does leave stragglers
+    assert (cls[alive] == 4).all()          # CLS_IN_DOMAIN
+    assert ((cls == 0) <= (status == 1)).all()   # BH pixels <=> captured
+
+
 def test_kerr_sampled_trajectories():
     """Sampled-ray diagnostics on the generic path: same surface as the
     Schwarzschild sampler (list of (n_pts, 3) Cartesian trajectories)."""
