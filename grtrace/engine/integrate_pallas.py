@@ -35,6 +35,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..physics.hamiltonian import (fantasy_step_ord2_eq,
+                                   fantasy_step_ord2_eqc,
                                    fantasy_step_ord2_fused, yoshida_gammas)
 from .integrate import STATUS_ALIVE, STATUS_CAPTURED, STATUS_ESCAPED
 
@@ -114,7 +115,8 @@ def _integrate_tiles(state, params, steps, interpret=False, n_rows=16,
     """state: (T, n_rows, 8, 128), params: (2+3*n_sub,) SMEM scalars."""
     num_tiles = state.shape[0]
     dtype = state.dtype
-    step2 = fantasy_step_ord2_fused if n_rows == 16 else fantasy_step_ord2_eq
+    step2 = {16: fantasy_step_ord2_fused, 12: fantasy_step_ord2_eq,
+             24: fantasy_step_ord2_eqc}[n_rows]
     kernel = _make_kernel(step2, n_rows, steps, n_sub)
     out_state, ns = pl.pallas_call(
         kernel,
@@ -137,12 +139,13 @@ def _integrate_tiles(state, params, steps, interpret=False, n_rows=16,
     return out_state, ns
 
 
-def _pack_tiles(q0s, p0s, r_max, equatorial=False):
+def _pack_tiles(q0s, p0s, r_max, equatorial=False, compensated=False):
     """(N, 4) q/p -> (T, n_rows, 8, 128) tiled state + padding bookkeeping.
 
     Padding rays are parked outside the domain (r = 2*r_max) so they are
     born inactive and never cost a flow evaluation.  equatorial=True drops
-    the theta rows (12-row layout, see hamiltonian equatorial section).
+    the theta rows (12-row layout, see hamiltonian equatorial section);
+    compensated=True appends 12 zero Kahan-deficit rows (24-row layout).
     """
     n = q0s.shape[0]
     num_tiles = -(-n // TILE)
@@ -152,9 +155,12 @@ def _pack_tiles(q0s, p0s, r_max, equatorial=False):
         half = jnp.stack([q0s[:, 0], q0s[:, 1], q0s[:, 3],
                           p0s[:, 0], p0s[:, 1], p0s[:, 3]], axis=0)  # (6, N)
         comp = jnp.concatenate([half, half], axis=0)                 # (12, N)
-        n_rows = 12
+        if compensated:
+            comp = jnp.concatenate([comp, jnp.zeros_like(comp)], axis=0)
+        n_rows = comp.shape[0]
         r_rows = (1, 7)
     else:
+        assert not compensated, "compensated path requires equatorial=True"
         comp = jnp.concatenate([q0s.T, p0s.T, q0s.T, p0s.T], axis=0)
         n_rows = 16
         r_rows = (1, 9)
@@ -180,6 +186,9 @@ def _unpack_tiles(out_state, ns, n, q0s=None, p0s=None):
     """
     n_rows = out_state.shape[1]
     comp = out_state.transpose(1, 0, 2, 3).reshape(n_rows, -1)[:, :n]
+    if n_rows == 24:  # compensated: fold the Kahan deficits (true = s - c)
+        comp = comp[:12] - comp[12:]
+        n_rows = 12
     if n_rows == 12:
         final_q = jnp.stack([comp[0], comp[1], q0s[:, 2], comp[2]], axis=-1)
         final_p = jnp.stack([comp[3], comp[4], p0s[:, 2], comp[5]], axis=-1)
@@ -210,10 +219,10 @@ def _cost_sort_key(q0s, p0s, rs):
 
 
 @partial(jax.jit, static_argnames=("steps", "interpret", "sort_rays",
-                                   "equatorial", "order"))
+                                   "equatorial", "order", "compensated"))
 def integrate_batch_pallas(q0s, p0s, steps, delta, rs, r_max, omega,
                            interpret=False, sort_rays=True,
-                           equatorial=False, order=2):
+                           equatorial=False, order=2, compensated=False):
     """Drop-in replacement for engine.integrate.integrate_batch on TPU.
 
     Returns (final_q, final_p, status, n_steps), identical semantics to the
@@ -223,6 +232,12 @@ def integrate_batch_pallas(q0s, p0s, steps, delta, rs, r_max, omega,
     compilation serves every scene with the same image size and step budget.
     order in {2,4,6,8} selects the Yoshida-composed step; the static substep
     fractions ride in SMEM as (delta_i, cos_i, sin_i) triples.
+
+    compensated=True (equatorial only) runs the Kahan double-float32 kernel
+    (hamiltonian compensated section): float32 state with per-component
+    deficit rows, pinning escape directions to ~1e-7 of the float64 oracle
+    at the 200k-step headline budget instead of the ~1e-4 tail of the plain
+    float32 kernel.  The SMEM triples carry one_minus_cos in the cos slot.
     """
     dtype = q0s.dtype
     delta = jnp.asarray(delta, dtype)
@@ -233,17 +248,25 @@ def integrate_batch_pallas(q0s, p0s, steps, delta, rs, r_max, omega,
     scal = [rs, r_max]
     for g in gammas:
         d_i = g * delta
-        angle = 2.0 * omega * d_i
-        scal += [d_i, jnp.cos(angle), jnp.sin(angle)]
+        if compensated:
+            sh = jnp.sin(omega * d_i)
+            scal += [d_i, 2.0 * sh * sh, jnp.sin(2.0 * omega * d_i)]
+        else:
+            angle = 2.0 * omega * d_i
+            scal += [d_i, jnp.cos(angle), jnp.sin(angle)]
     params = jnp.stack(scal)
     if sort_rays:
         sort_idx = jnp.argsort(_cost_sort_key(q0s, p0s, rs))
         q0s = q0s[sort_idx]
         p0s = p0s[sort_idx]
-    state, n = _pack_tiles(q0s, p0s, r_max, equatorial=equatorial)
+    if compensated and not equatorial:
+        raise ValueError("compensated=True requires equatorial=True")
+    n_rows = 24 if compensated else (12 if equatorial else 16)
+    state, n = _pack_tiles(q0s, p0s, r_max, equatorial=equatorial,
+                           compensated=compensated)
     out_state, ns = _integrate_tiles(state, params, steps,
                                      interpret=interpret,
-                                     n_rows=12 if equatorial else 16,
+                                     n_rows=n_rows,
                                      n_sub=len(gammas))
     final_q, final_p, n_steps = _unpack_tiles(out_state, ns, n, q0s, p0s)
     if sort_rays:

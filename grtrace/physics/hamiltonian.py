@@ -338,6 +338,145 @@ def fantasy_step_ord2_eq(state, delta, rs, cos_w, sin_w):
 
 
 # ---------------------------------------------------------------------------
+# Compensated (Kahan double-float32) equatorial specialization
+# ---------------------------------------------------------------------------
+# Plain float32 integration accumulates O(sqrt(n) * eps * |state|) rounding
+# drift: adding a ~1e-4 step increment to a ~3-radian phi rounds at
+# eps*|phi| ~ 2e-7 per step, which random-walks to ~1.5e-5 over the ~10^4
+# steps of an escaping headline ray — right at the 1e-5 escape-direction
+# target (BASELINE.md), measured on chip against the float64 oracle.  The
+# fix is classic compensated summation with FEEDBACK (Kahan): every state
+# component carries a deficit row c, and each flow is rewritten in
+# *increment form* so its contribution is added via
+#     y = inc - c;  t = s + y;  c = (t - s) - y;  s = t
+# The dynamics read s, which now stays within ~1 ulp of the true sum instead
+# of drifting, so the remaining error is the per-step increment rounding
+# (~eps * |inc|), which random-walks to ~1e-8 — two orders of magnitude
+# inside the target.  Cost: 4 extra VPU ops per accumulated component
+# (~1.5x the flow flops), no extra divisions, no transcendentals.
+#
+# The mixing rotation is reformulated with one_minus_cos = 2*sin^2(omega*d)
+# (computed ONCE per trace, outside the loop) so that its increments
+#     dq1 = 0.5*(sin_w*p_dif - omc*q_dif) = -dq2
+#     dp1 = 0.5*(-sin_w*q_dif - omc*p_dif) = -dp2
+# are small quantities: the catastrophic 1-ulp loss of computing
+# 0.5*(q_sum + q_dif*cos + ...) at |q| magnitude never happens.
+#
+# Compensated state layout: a 24-tuple — the 12-row equatorial layout
+# followed by its 12 deficit rows, so the Pallas tile machinery (packing,
+# masking, early exit) is shared with the uncompensated kernels.
+
+N_STATE_EQC = 24
+
+
+def _kahan_add(s, c, inc):
+    """One compensated accumulate: returns (s', c') with s' ~ s + inc and
+    the rounding deficit carried in c' (subtract c' to recover the true
+    sum).  MUST stay exactly this op sequence — do not 'simplify'."""
+    y = inc - c
+    t = s + y
+    c_new = (t - s) - y
+    return t, c_new
+
+
+def pack_state_eqc(q0, p0):
+    """(N,4) q0/p0 -> 24-tuple: equatorial 12-tuple + zero deficit rows."""
+    hi = pack_state_eq(q0, p0)
+    zero = jnp.zeros_like(hi[0])
+    return hi + tuple(zero for _ in range(N_STATE_EQ))
+
+
+def unpack_eqc(state):
+    """Best-estimate 12-tuple from a compensated 24-tuple (s - c)."""
+    return tuple(state[i] - state[N_STATE_EQ + i] for i in range(N_STATE_EQ))
+
+
+def _flow_a_eqc(state, dt, rs):
+    """Increment-form flow A with Kahan accumulation (metric at q1,
+    kick p1r, drift q2) — same physics as _flow_a_eq."""
+    (q1t, q1r, q1ph, p1t, p1r, p1ph,
+     q2t, q2r, q2ph, p2t, p2r, p2ph) = state[:12]
+    c = list(state[12:])
+
+    r = q1r
+    inv_r = 1.0 / r
+    inv_r2 = inv_r * inv_r
+    inv_rms = 1.0 / (r - rs)
+    dH_r = (0.5 * rs) * (inv_rms * inv_rms * p2t * p2t
+                         + inv_r2 * p2r * p2r) - inv_r2 * inv_r * (p2ph * p2ph)
+
+    p1r, c[4] = _kahan_add(p1r, c[4], -dt * dH_r)
+    q2t, c[6] = _kahan_add(q2t, c[6], -(dt * r * inv_rms) * p2t)
+    q2r, c[7] = _kahan_add(q2r, c[7], dt * (1.0 - rs * inv_r) * p2r)
+    q2ph, c[8] = _kahan_add(q2ph, c[8], (dt * inv_r2) * p2ph)
+
+    return (q1t, q1r, q1ph, p1t, p1r, p1ph,
+            q2t, q2r, q2ph, p2t, p2r, p2ph) + tuple(c)
+
+
+def _flow_b_eqc(state, dt, rs):
+    """Increment-form flow B with Kahan accumulation (metric at q2,
+    kick p2r, drift q1)."""
+    (q1t, q1r, q1ph, p1t, p1r, p1ph,
+     q2t, q2r, q2ph, p2t, p2r, p2ph) = state[:12]
+    c = list(state[12:])
+
+    r = q2r
+    inv_r = 1.0 / r
+    inv_r2 = inv_r * inv_r
+    inv_rms = 1.0 / (r - rs)
+    dH_r = (0.5 * rs) * (inv_rms * inv_rms * p1t * p1t
+                         + inv_r2 * p1r * p1r) - inv_r2 * inv_r * (p1ph * p1ph)
+
+    p2r, c[10] = _kahan_add(p2r, c[10], -dt * dH_r)
+    q1t, c[0] = _kahan_add(q1t, c[0], -(dt * r * inv_rms) * p1t)
+    q1r, c[1] = _kahan_add(q1r, c[1], dt * (1.0 - rs * inv_r) * p1r)
+    q1ph, c[2] = _kahan_add(q1ph, c[2], (dt * inv_r2) * p1ph)
+
+    return (q1t, q1r, q1ph, p1t, p1r, p1ph,
+            q2t, q2r, q2ph, p2t, p2r, p2ph) + tuple(c)
+
+
+def _flow_mixed_eqc(state, omc_w, sin_w):
+    """Mixing rotation in increment form: omc_w = 1 - cos(2*omega*delta).
+
+    The true copy difference includes the deficits (true value = s - c), so
+    the dif terms fold them in — the mixing flow is exactly the place where
+    sub-ulp copy separation is physically meaningful.
+    """
+    hi = state[:12]
+    c = list(state[12:])
+    q1, p1 = hi[0:3], hi[3:6]
+    q2, p2 = hi[6:9], hi[9:12]
+    new = list(hi)
+    for a in range(3):
+        q_dif = (q1[a] - q2[a]) - (c[a] - c[6 + a])
+        p_dif = (p1[a] - p2[a]) - (c[3 + a] - c[9 + a])
+        dq1 = 0.5 * (sin_w * p_dif - omc_w * q_dif)
+        dp1 = 0.5 * (-sin_w * q_dif - omc_w * p_dif)
+        new[a], c[a] = _kahan_add(q1[a], c[a], dq1)
+        new[3 + a], c[3 + a] = _kahan_add(p1[a], c[3 + a], dp1)
+        new[6 + a], c[6 + a] = _kahan_add(q2[a], c[6 + a], -dq1)
+        new[9 + a], c[9 + a] = _kahan_add(p2[a], c[9 + a], -dp1)
+    return tuple(new) + tuple(c)
+
+
+def fantasy_step_ord2_eqc(state, delta, rs, omc_w, sin_w):
+    """Compensated equatorial order-2 step: A(d/2) B(d/2) M(d) B(d/2) A(d/2).
+
+    NOTE the third trig argument is ONE-MINUS-COS of the mixing angle (use
+    substep_schedule(..., omc=True)), not cos as in the uncompensated steps.
+    """
+    half = 0.5 * delta
+    state = _flow_a_eqc(state, half, rs)
+    state = _flow_b_eqc(state, half, rs)
+    state = _flow_mixed_eqc(state, omc_w, sin_w)
+    state = _flow_b_eqc(state, half, rs)
+    state = _flow_a_eqc(state, half, rs)
+    return state
+
+
+# ---------------------------------------------------------------------------
 # Higher-order composition (orders 4, 6, 8)
 # ---------------------------------------------------------------------------
 # The reference CLI accepts --order {2,4,6,8} (reference config.py:14) but
@@ -368,18 +507,26 @@ def yoshida_gammas(order: int):
     return tuple(gammas)
 
 
-def substep_schedule(delta, omega, order: int):
+def substep_schedule(delta, omega, order: int, omc=False):
     """Per-substep (delta_i, cos_i, sin_i) triples for a composed step.
 
     delta/omega may be traced scalars; the gammas are static.  cos/sin of
     the mixing angle 2*omega*delta_i are hoisted here, once per trace, so
     the integration loop body stays transcendental-free for any order.
+
+    omc=True replaces cos_i with one_minus_cos_i = 2*sin^2(omega*delta_i)
+    (computed without the catastrophic 1-cos cancellation) — the form the
+    compensated steps (fantasy_step_ord2_eqc) need.
     """
     subs = []
     for g in yoshida_gammas(order):
         d_i = g * delta
-        angle = 2.0 * omega * d_i
-        subs.append((d_i, jnp.cos(angle), jnp.sin(angle)))
+        if omc:
+            sh = jnp.sin(omega * d_i)
+            subs.append((d_i, 2.0 * sh * sh, jnp.sin(2.0 * omega * d_i)))
+        else:
+            angle = 2.0 * omega * d_i
+            subs.append((d_i, jnp.cos(angle), jnp.sin(angle)))
     return tuple(subs)
 
 
