@@ -118,28 +118,40 @@ class Nulllike:
 
     def _integrate(self):
         if self._qs is None:
-            # EinsteinPy is float64-only; enable x64 if the session has not
-            # (documented side effect: affects subsequent jax tracing).
-            if not jax.config.jax_enable_x64:
+            # EinsteinPy is float64-only.  Enable x64 only for the scope of
+            # this integration and restore the caller's setting after —
+            # flipping it globally would silently change dtype promotion for
+            # every subsequent trace in the process (jit caches are keyed on
+            # the flag, so toggling is safe for compiled functions).
+            prev_x64 = bool(jax.config.jax_enable_x64)
+            if not prev_x64:
                 jax.config.update("jax_enable_x64", True)
-            if self.metric in ("Kerr", "KerrNewman"):
-                from ..engine.integrate_generic import trajectory_generic
-                qs, ps = trajectory_generic(
-                    jnp.asarray(self.position, jnp.float64),
-                    jnp.asarray(self.momentum, jnp.float64),
-                    self.steps, self.delta,
-                    jnp.asarray([self.mass, self.spin, self.charge],
-                                jnp.float64),
-                    self.omega, order=self.order, metric="Kerr")
-            else:
-                qs, ps = _trajectory(
-                    jnp.asarray(self.position, jnp.float64),
-                    jnp.asarray(self.momentum, jnp.float64),
-                    self.steps, self.delta, 2.0 * self.mass, self.omega,
-                    order=self.order)
-            self._qs = np.asarray(qs)
-            self._ps = np.asarray(ps)
+            try:
+                self._integrate_x64()
+            finally:
+                if not prev_x64:
+                    jax.config.update("jax_enable_x64", False)
         return self._qs, self._ps
+
+    def _integrate_x64(self):
+        """Integration body; caller guarantees jax_enable_x64 is on."""
+        if self.metric in ("Kerr", "KerrNewman"):
+            from ..engine.integrate_generic import trajectory_generic
+            qs, ps = trajectory_generic(
+                jnp.asarray(self.position, jnp.float64),
+                jnp.asarray(self.momentum, jnp.float64),
+                self.steps, self.delta,
+                jnp.asarray([self.mass, self.spin, self.charge],
+                            jnp.float64),
+                self.omega, order=self.order, metric="Kerr")
+        else:
+            qs, ps = _trajectory(
+                jnp.asarray(self.position, jnp.float64),
+                jnp.asarray(self.momentum, jnp.float64),
+                self.steps, self.delta, 2.0 * self.mass, self.omega,
+                order=self.order)
+        self._qs = np.asarray(qs)
+        self._ps = np.asarray(ps)
 
     @property
     def trajectory(self):

@@ -104,6 +104,12 @@ def _domain_tools(metric, params, delta, r_max, dtype, g_inv_fn):
         jump_cap = jnp.maximum(jnp.asarray(5.0, dtype), 20.0 * delta)
         plunge_zone = r_cap + 0.5 * params[0]
 
+    # Numerical-error park radius: outside the active domain (so the ray
+    # terminates even when r_max > 150 — direct API calls; scenes validate
+    # boundary_radius < 100) and past the reference's r >= 100 sentinel
+    # (raytracing.py:213-215) so classification flags it.
+    err_park = jnp.maximum(jnp.asarray(150.0, dtype), 2.0 * r_max)
+
     def guard_spherical(q_old, p_old, nq1, np1):
         r_b = q_old[:, 1]
         finite = (jnp.isfinite(nq1).all(axis=1) & jnp.isfinite(np1).all(axis=1))
@@ -117,7 +123,7 @@ def _domain_tools(metric, params, delta, r_max, dtype, g_inv_fn):
         # so sign(p_r) suffices)
         inward = p_old[:, 1] < 0.0
         capture = crossed | (exploded & (inward | (r_b < plunge_zone)))
-        fix_r = jnp.where(capture, 0.99 * r_cap, jnp.asarray(150.0, dtype))
+        fix_r = jnp.where(capture, 0.99 * r_cap, err_park)
         bad = exploded | crossed
         fixed_q = q_old.at[:, 1].set(fix_r)
         nq1 = jnp.where(bad[:, None], fixed_q, nq1)
@@ -159,7 +165,7 @@ def _domain_tools(metric, params, delta, r_max, dtype, g_inv_fn):
                               jnp.full_like(q_old[:, 0], 0.5 * r_cap)],
                              axis=1)
         park_err = jnp.stack([q_old[:, 0],
-                              jnp.full_like(q_old[:, 0], 150.0),
+                              jnp.full_like(q_old[:, 0], err_park),
                               jnp.zeros_like(q_old[:, 0]),
                               jnp.zeros_like(q_old[:, 0])], axis=1)
         park = jnp.where(capture[:, None], park_cap, park_err)

@@ -108,6 +108,22 @@ class SceneConfig:
     suppress_warnings: bool = False
     no_flat_trajectories: bool = False
 
+    def __post_init__(self):
+        # The reference classifies r >= 100 as 'numerical error' BEFORE the
+        # boundary test (raytracing.py:213-215), and the blow-up guard parks
+        # failed rays outside the domain (engine.integrate_generic) — both
+        # implicitly require boundary_radius < 100.  Validate here instead
+        # of silently misclassifying every escaped ray.
+        if not (0.0 < self.boundary_radius < 100.0):
+            raise ValueError(
+                f"boundary_radius must be in (0, 100) (the reference's "
+                f"r >= 100 numerical-error sentinel caps the domain); got "
+                f"{self.boundary_radius}")
+        if self.observer_distance >= self.boundary_radius:
+            raise ValueError(
+                f"observer_distance ({self.observer_distance}) must be "
+                f"inside boundary_radius ({self.boundary_radius})")
+
     @property
     def fov(self) -> float:
         return float(np.radians(self.fov_deg))

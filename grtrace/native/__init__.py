@@ -46,8 +46,17 @@ def load():
         try:
             lib = ctypes.CDLL(_LIB)
         except OSError:
-            _build_failed = True
-            return None
+            # A stale/foreign-arch .so (e.g. restored by a checkout with a
+            # fresh mtime) fails to dlopen; rebuild from source once and
+            # retry before giving up.
+            if not _build():
+                _build_failed = True
+                return None
+            try:
+                lib = ctypes.CDLL(_LIB)
+            except OSError:
+                _build_failed = True
+                return None
         lib.grt_write_photon_csv.restype = ctypes.c_int
         lib.grt_write_photon_csv.argtypes = [
             ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,

@@ -30,7 +30,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
 
 from ..engine import classify as _classify
 from ..engine.integrate import integrate_dispatch
@@ -69,12 +68,12 @@ def _run_sharded_frames(mesh, bg_array, obs_x, patch_center_phi, frame_body,
         return jax.vmap(lambda ox, pp: frame_body(ox, pp, bg))(
             obs_x_l, patch_phi_l)
 
-    image, cls, n_steps = shard_map(
+    image, cls, n_steps = jax.shard_map(
         shard_body, mesh=mesh,
         in_specs=(P(), P("frames"), P("frames")),
         out_specs=(P("frames", "rays"), P("frames", "rays"),
                    P("frames", "rays")),
-        check_rep=False,
+        check_vma=False,
     )(bg_array, obs_x, patch_center_phi)
 
     f = obs_x.shape[0]

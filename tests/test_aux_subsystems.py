@@ -115,3 +115,16 @@ def test_orbit_cli_kerr(tmp_path):
     import os
     pngs = sorted(os.listdir(out / "frames"))
     assert pngs == [f"frame_{k:04d}.png" for k in range(2)]
+
+
+def test_scene_boundary_validation():
+    """boundary_radius >= 100 collides with the reference's r >= 100
+    numerical-error sentinel (raytracing.py:213-215) and must be rejected
+    at construction, not silently misclassified (ADVICE.md round 1)."""
+    import pytest
+    from grtrace.io.scene import SceneConfig
+    with pytest.raises(ValueError, match="boundary_radius"):
+        SceneConfig(boundary_radius=120.0)
+    with pytest.raises(ValueError, match="observer_distance"):
+        SceneConfig(boundary_radius=31.0, observer_distance=40.0)
+    SceneConfig(boundary_radius=31.0, observer_distance=30.0)  # default: ok
