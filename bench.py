@@ -7,11 +7,18 @@ vs_baseline > 1 means faster than the 1 s target.
 
 Method notes:
   * warm-up call first, then best-of-3 timed calls
-  * the observer distance is jittered per call (1e-6) to defeat the axon
-    tunnel's result cache for identical executions
+  * the observer distance is jittered per call by (i+1) float32 ulps — the
+    smallest perturbation guaranteed to survive the f32 cast — to defeat
+    the axon tunnel's result cache for identical executions
   * timing includes host->device scalar upload, camera, integration
     (Pallas kernel), classification, compositing and the device->host
     image fetch — i.e. a full frame a user would see.
+  * stderr carries a second JSON line with per-stage timings and an
+    ON-CHIP Pallas<->XLA parity block: the Mosaic-compiled kernel and the
+    XLA while_loop backend render the same reduced-budget scene and are
+    compared on classification counts and escape-direction agreement
+    (interpret-mode tests can't see Mosaic numerics; this runs on the real
+    chip every round).
 """
 import json
 import sys
@@ -20,11 +27,73 @@ import time
 import numpy as np
 
 
+def _ulp_jitter(x: float, n_ulps: int) -> float:
+    """x advanced by n float32 ulps (guaranteed to change the f32 value)."""
+    v = np.float32(x)
+    for _ in range(n_ulps):
+        v = np.nextafter(v, np.float32(np.inf))
+    return float(v)
+
+
+def _parity_check(size, steps, delta, omega):
+    """On-chip Pallas vs XLA agreement at a reduced step budget.
+
+    Two comparisons:
+      * kernel-twin: the compensated Pallas kernel vs its XLA twin
+        integrate_batch_compensated (the SAME step function through the
+        XLA compiler) on the headline camera rays — any disagreement is a
+        Mosaic-vs-XLA compilation difference, the exact blind spot of the
+        CPU interpret-mode tests.
+      * render-level: full render() with backend='pallas' vs 'xla'
+        (different integrators by design: compensated vs plain f32), so
+        count drift between the production paths stays visible.
+    """
+    import jax
+    import jax.numpy as jnp
+    from grtrace.engine.integrate import (STATUS_ESCAPED,
+                                          integrate_batch_compensated)
+    from grtrace.engine.integrate_pallas import integrate_batch_pallas
+    from grtrace.physics.camera import camera_rays
+
+    f32 = jnp.float32
+    obs = jnp.stack([f32(30.0), f32(0.0), f32(0.0)])
+    q0, p0, alpha0, heading, beta = camera_rays(
+        obs, f32(np.radians(80.0)), size, size, mass_bh=f32(1.0),
+        dtype=jnp.float32)
+    q0 = q0.reshape(-1, 4)
+    p0 = p0.reshape(-1, 4)
+
+    qa, pa, sa, na = integrate_batch_pallas(
+        q0, p0, steps, f32(delta), f32(2.0), f32(31.0), f32(omega),
+        equatorial=True, compensated=True)
+    qb, pb, sb, nb = integrate_batch_compensated(
+        q0, p0, steps, f32(delta), f32(2.0), f32(31.0), f32(omega))
+    jax.block_until_ready(qb)
+
+    sa = np.asarray(sa)
+    sb = np.asarray(sb)
+    esc = (sa == STATUS_ESCAPED) & (sb == STATUS_ESCAPED)
+    # escape direction = boundary-sphere position angle; rays are folded to
+    # the equator so the great-circle distance is the wrapped delta-phi
+    dphi = np.abs(np.asarray(qa)[esc, 3] - np.asarray(qb)[esc, 3])
+    dphi = np.minimum(dphi, 2 * np.pi - dphi % (2 * np.pi))
+    return {
+        "steps": steps,
+        "kernel_status_mismatch": int((sa != sb).sum()),
+        "kernel_max_escape_angle_delta": float(dphi.max()) if esc.any() else 0.0,
+        "kernel_median_escape_angle_delta": (float(np.median(dphi))
+                                             if esc.any() else 0.0),
+        "kernel_exit_step_mismatch": int(
+            (np.asarray(na) != np.asarray(nb)).sum()),
+    }
+
+
 def main():
     import jax
     import jax.numpy as jnp
 
     from grtrace import IntegratorConfig, PatchConfig, SceneConfig, render
+    from grtrace.engine.metrics import RenderMetrics
 
     size = 400
     steps = 200_000  # reference default budget (config.py:9)
@@ -46,12 +115,34 @@ def main():
     times = []
     total_steps = None
     for i in range(3):
-        scene.observer_distance = 30.0 + 1e-6 * (i + 1)
+        scene.observer_distance = _ulp_jitter(30.0, i + 1)
         t0 = time.time()
         res = render(scene, bg_array=tex)
         times.append(time.time() - t0)
         total_steps = int(res.n_steps.astype(np.int64).sum())
     t = min(times)
+
+    # stage breakdown from a separate instrumented call (requesting metrics
+    # adds an n_steps host fetch, so it must stay out of the timed runs)
+    metrics = RenderMetrics()
+    scene.observer_distance = _ulp_jitter(30.0, 4)
+    render(scene, bg_array=tex, metrics=metrics)
+
+    # render-level parity at a reduced budget: same scene, both backends
+    parity_steps = 20_000
+    pscene = SceneConfig(
+        size=size, fov_deg=80.0, background=None, bh_mass=1.0,
+        boundary_radius=31.0, observer_distance=30.0,
+        integrator=IntegratorConfig(steps=parity_steps, delta=0.01,
+                                    omega=1.0, backend="pallas"),
+        patch=PatchConfig(), n_samples=0)
+    counts_pallas = render(pscene, bg_array=tex).counts
+    pscene.integrator.backend = "xla"
+    counts_xla = render(pscene, bg_array=tex).counts
+    parity = _parity_check(size, parity_steps, 0.01, 1.0)
+    parity["render_counts_pallas"] = counts_pallas
+    parity["render_counts_xla"] = counts_xla
+    parity["render_counts_equal"] = counts_pallas == counts_xla
 
     rays = size * size
     info = {
@@ -60,6 +151,8 @@ def main():
         "geodesic_steps_per_s": round(total_steps / t),
         "counts": res.counts,
         "backend": jax.default_backend(),
+        "stages_s": {k: round(v, 4) for k, v in (metrics.stages or {}).items()},
+        "parity": parity,
     }
     print(json.dumps(info), file=sys.stderr)
 
