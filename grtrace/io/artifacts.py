@@ -24,12 +24,46 @@ import numpy as np
 from ..engine.classify import COLLISION_NAMES
 
 
+def resolve_background(spec):
+    """Resolve a background spec to a loadable path.
+
+    The reference's default --background is the repo-relative
+    'images/backgrounds/milky-way-equirec.jpg' (config.py:8), which only
+    loads when cwd happens to be the repo root.  Here a relative path that
+    doesn't exist in cwd is searched in, in order:
+      1. the repository root (parent of the grtrace package),
+      2. each directory in the GRTRACE_ASSET_PATH env var (colon-separated),
+      3. the read-only reference-asset mount /root/reference (this build
+         environment ships the reference's panoramas there).
+    Absolute paths, existing relative paths and procedural specs pass
+    through unchanged; an unresolvable spec is returned as-is (the caller's
+    background_available() check then reports it missing).
+    """
+    from . import textures
+    if not spec or textures.is_procedural(spec) or os.path.isabs(spec):
+        return spec
+    if os.path.exists(spec):
+        return spec
+    pkg_root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    roots = [pkg_root]
+    roots += [d for d in os.environ.get("GRTRACE_ASSET_PATH",
+                                        "").split(":") if d]
+    roots.append("/root/reference")
+    for root in roots:
+        cand = os.path.join(root, spec)
+        if os.path.exists(cand):
+            return cand
+    return spec
+
+
 def load_background(path: str, size: Optional[tuple] = None) -> np.ndarray:
     """Load an equirectangular texture as (h, w, 3) uint8.
 
     `path` is either an image file or a procedural spec
     ('procedural:<name>[:seed]', see io.textures — this replaces the
-    reference's binary panorama assets, SURVEY.md C17).
+    reference's binary panorama assets, SURVEY.md C17).  Relative file
+    paths are resolved via resolve_background().
 
     size=(w, h) resizes with LANCZOS exactly like the reference
     (raytracing.py:36, background.py:34 — the reference couples texture
@@ -41,7 +75,7 @@ def load_background(path: str, size: Optional[tuple] = None) -> np.ndarray:
         hw = (size[1], size[0]) if size is not None else None
         return textures.from_spec(path, size=hw)
     from PIL import Image
-    img = Image.open(path).convert("RGB")
+    img = Image.open(resolve_background(path)).convert("RGB")
     if size is not None:
         img = img.resize(size, Image.LANCZOS)
     return np.array(img)
@@ -52,7 +86,8 @@ def background_available(spec) -> bool:
     from . import textures
     if not spec:
         return False
-    return textures.is_procedural(spec) or os.path.exists(spec)
+    return textures.is_procedural(spec) or os.path.exists(
+        resolve_background(spec))
 
 
 def save_image(img: np.ndarray, path: str) -> None:
