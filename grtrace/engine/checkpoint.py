@@ -5,8 +5,12 @@ end (SURVEY.md section 5, checkpoint row).  Here the integrator state is a
 first-class value: `integrate_chunked` advances the phase-space-doubled
 state by bounded chunks, returning an `IntegrationState` that can be saved
 (np.savez) and fed back in — resume is literally re-entering the while loop
-with the loaded carry.  Multi-frame orbit jobs checkpoint per frame through
-orbax (grtrace.cli.orbit).
+with the loaded carry.  Both backends are resumable: `advance` routes
+through the XLA masked while_loop or the Pallas kernel
+(integrate_pallas.advance_state_pallas) with identical masked-step
+semantics, so exactly the long renders that need resume — 200k-step Pallas
+jobs — can use it.  Multi-frame orbit jobs resume at frame granularity via
+their on-disk frame artifacts (grtrace.cli.orbit).
 """
 from __future__ import annotations
 
@@ -121,14 +125,29 @@ def start(q0s, p0s, steps, delta, rs, r_max, omega,
         omega=float(omega), order=int(order))
 
 
-def advance(st: IntegrationState, chunk_steps: int) -> IntegrationState:
-    """Advance by at most chunk_steps (bounded wall-time per call)."""
+def advance(st: IntegrationState, chunk_steps: int, backend: str = "xla",
+            interpret: bool = False) -> IntegrationState:
+    """Advance by at most chunk_steps (bounded wall-time per call).
+
+    backend 'xla' runs the masked while_loop; 'pallas' the TPU kernel
+    (integrate_pallas.advance_state_pallas) — identical semantics, so a
+    job may even switch backends between chunks.  'auto' resolves by
+    platform.  interpret only applies to the Pallas path (CPU tests).
+    """
+    from .integrate import resolve_backend
     budget = min(chunk_steps, st.steps_total - st.steps_done)
     if budget <= 0:
         return st
-    state, n_steps = _advance(
-        jnp.asarray(st.state), jnp.asarray(st.n_steps), budget,
-        st.delta, st.rs, st.r_max, st.omega, order=st.order)
+    if resolve_backend(backend) == "pallas":
+        from .integrate_pallas import advance_state_pallas
+        state, applied = advance_state_pallas(
+            jnp.asarray(st.state), budget, st.delta, st.rs, st.r_max,
+            st.omega, order=st.order, interpret=interpret)
+        n_steps = jnp.asarray(st.n_steps) + applied
+    else:
+        state, n_steps = _advance(
+            jnp.asarray(st.state), jnp.asarray(st.n_steps), budget,
+            st.delta, st.rs, st.r_max, st.omega, order=st.order)
     return dataclasses.replace(
         st, state=np.asarray(state), n_steps=np.asarray(n_steps),
         steps_done=st.steps_done + budget)
@@ -137,13 +156,16 @@ def advance(st: IntegrationState, chunk_steps: int) -> IntegrationState:
 def integrate_chunked(q0s, p0s, steps, delta, rs, r_max, omega,
                       chunk_steps=10_000,
                       checkpoint_path: Optional[str] = None,
-                      resume: bool = False, order: int = 2):
+                      resume: bool = False, order: int = 2,
+                      backend: str = "xla", interpret: bool = False):
     """Chunked integration with optional on-disk checkpointing.
 
     Equivalent to engine.integrate.integrate_batch (identical masked-step
     semantics, so the result is the same trajectory), but interruptible:
     with checkpoint_path set, the state is saved after every chunk and a
-    killed job resumes from the last chunk with resume=True.
+    killed job resumes from the last chunk with resume=True.  backend
+    'pallas' runs the chunks through the TPU kernel (the production fast
+    path is therefore resumable too).
     """
     import os
     if resume and checkpoint_path and os.path.exists(checkpoint_path):
@@ -151,7 +173,7 @@ def integrate_chunked(q0s, p0s, steps, delta, rs, r_max, omega,
     else:
         st = start(q0s, p0s, steps, delta, rs, r_max, omega, order=order)
     while not st.done:
-        st = advance(st, chunk_steps)
+        st = advance(st, chunk_steps, backend=backend, interpret=interpret)
         if checkpoint_path:
             st.save(checkpoint_path)
     return st

@@ -60,14 +60,15 @@ def _read_subs(params_ref, n_sub):
                   params_ref[4 + 3 * j]) for j in range(n_sub))
 
 
-def _make_kernel(step2_fn, n_rows, steps, n_sub):
+def _make_kernel(step2_fn, n_rows, steps, n_sub, unroll=None):
     """Build the tile kernel for either layout (16-row generic / 12-row
     equatorial) and any composed order (n_sub = 3^((order-2)/2) substeps).
     The substep schedule is read from SMEM; the per-substep loop is a static
     python unroll so the loop body stays branch-free on the VPU."""
-    # Composed steps cost n_sub base steps; keep roughly UNROLL base steps
-    # between early-exit checks.
-    unroll = max(1, UNROLL // n_sub)
+    if unroll is None:
+        # Composed steps cost n_sub base steps; keep roughly UNROLL base
+        # steps between early-exit checks.
+        unroll = max(1, UNROLL // n_sub)
 
     def kernel(params_ref, state_ref, out_state_ref, ns_ref):
         rs = params_ref[0]
@@ -109,15 +110,21 @@ def _make_kernel(step2_fn, n_rows, steps, n_sub):
     return kernel
 
 
-@partial(jax.jit, static_argnames=("steps", "interpret", "n_rows", "n_sub"))
+@partial(jax.jit, static_argnames=("steps", "interpret", "n_rows", "n_sub",
+                                   "unroll"))
 def _integrate_tiles(state, params, steps, interpret=False, n_rows=16,
-                     n_sub=1):
-    """state: (T, n_rows, 8, 128), params: (2+3*n_sub,) SMEM scalars."""
+                     n_sub=1, unroll=None):
+    """state: (T, n_rows, 8, 128), params: (2+3*n_sub,) SMEM scalars.
+
+    unroll=None uses the chip-tuned UNROLL; interpret-mode callers pass 1
+    (bit-identical results — masked no-op steps and the exact-budget
+    remainder are unchanged — but a 16x smaller trace, which dominates
+    interpret-mode wall time on CPU)."""
     num_tiles = state.shape[0]
     dtype = state.dtype
     step2 = {16: fantasy_step_ord2_fused, 12: fantasy_step_ord2_eq,
              24: fantasy_step_ord2_eqc}[n_rows]
-    kernel = _make_kernel(step2, n_rows, steps, n_sub)
+    kernel = _make_kernel(step2, n_rows, steps, n_sub, unroll=unroll)
     out_state, ns = pl.pallas_call(
         kernel,
         grid=(num_tiles,),
@@ -218,6 +225,63 @@ def _cost_sort_key(q0s, p0s, rs):
     return jnp.abs(b - b_crit)
 
 
+def _substep_params(delta, rs, r_max, omega, order, compensated=False):
+    """SMEM parameter vector [rs, r_max, (d_i, cos_i|omc_i, sin_i)...]."""
+    gammas = yoshida_gammas(order)
+    scal = [rs, r_max]
+    for g in gammas:
+        d_i = g * delta
+        if compensated:
+            sh = jnp.sin(omega * d_i)
+            scal += [d_i, 2.0 * sh * sh, jnp.sin(2.0 * omega * d_i)]
+        else:
+            angle = 2.0 * omega * d_i
+            scal += [d_i, jnp.cos(angle), jnp.sin(angle)]
+    return jnp.stack(scal), len(gammas)
+
+
+@partial(jax.jit, static_argnames=("steps", "order", "interpret"))
+def advance_state_pallas(state16, steps, delta, rs, r_max, omega, order=2,
+                         interpret=False):
+    """Advance a (16, N) phase-space-doubled state by at most `steps` masked
+    steps through the Pallas kernel.
+
+    The resumable-checkpoint twin of integrate_batch_pallas: the carry is
+    the FULL doubled state (q1,p1,q2,p2 rows — engine.checkpoint layout,
+    which matches the kernel's 16-row tile layout), so a long render can be
+    advanced in bounded chunks and saved/restored between chunks without
+    losing the mid-trajectory copy-2 state.  Identical masked-step
+    semantics to checkpoint._advance (the XLA path).  No cost-sorting: the
+    caller owns ray order across chunks.
+
+    Returns (state16, n_steps_applied) with n_steps_applied (N,) int32 —
+    the count of steps each ray actually took within this chunk.
+    """
+    dtype = state16.dtype
+    delta = jnp.asarray(delta, dtype)
+    rs = jnp.asarray(rs, dtype)
+    r_max = jnp.asarray(r_max, dtype)
+    params, n_sub = _substep_params(delta, rs, r_max, omega, order)
+
+    n = state16.shape[1]
+    num_tiles = -(-n // TILE)
+    n_pad = num_tiles * TILE
+    # park padding rays outside the domain (born inactive), poles at pi/2
+    pad_col = jnp.zeros((16,), dtype).at[1].set(2.0 * r_max)
+    pad_col = pad_col.at[9].set(2.0 * r_max)
+    pad_col = pad_col.at[2].set(jnp.pi / 2).at[10].set(jnp.pi / 2)
+    comp = jnp.concatenate(
+        [state16, jnp.broadcast_to(pad_col[:, None], (16, n_pad - n))],
+        axis=1)
+    tiles = comp.reshape(16, num_tiles, SUBLANES, LANES).transpose(1, 0, 2, 3)
+
+    out, ns = _integrate_tiles(tiles, params, steps, interpret=interpret,
+                               n_rows=16, n_sub=n_sub,
+                               unroll=1 if interpret else None)
+    out16 = out.transpose(1, 0, 2, 3).reshape(16, -1)[:, :n]
+    return out16, ns.reshape(-1)[:n]
+
+
 @partial(jax.jit, static_argnames=("steps", "interpret", "sort_rays",
                                    "equatorial", "order", "compensated"))
 def integrate_batch_pallas(q0s, p0s, steps, delta, rs, r_max, omega,
@@ -244,17 +308,8 @@ def integrate_batch_pallas(q0s, p0s, steps, delta, rs, r_max, omega,
     rs = jnp.asarray(rs, dtype)
     r_max = jnp.asarray(r_max, dtype)
     omega = jnp.asarray(omega, dtype)
-    gammas = yoshida_gammas(order)
-    scal = [rs, r_max]
-    for g in gammas:
-        d_i = g * delta
-        if compensated:
-            sh = jnp.sin(omega * d_i)
-            scal += [d_i, 2.0 * sh * sh, jnp.sin(2.0 * omega * d_i)]
-        else:
-            angle = 2.0 * omega * d_i
-            scal += [d_i, jnp.cos(angle), jnp.sin(angle)]
-    params = jnp.stack(scal)
+    params, n_sub = _substep_params(delta, rs, r_max, omega, order,
+                                    compensated)
     if sort_rays:
         sort_idx = jnp.argsort(_cost_sort_key(q0s, p0s, rs))
         q0s = q0s[sort_idx]
@@ -267,7 +322,8 @@ def integrate_batch_pallas(q0s, p0s, steps, delta, rs, r_max, omega,
     out_state, ns = _integrate_tiles(state, params, steps,
                                      interpret=interpret,
                                      n_rows=n_rows,
-                                     n_sub=len(gammas))
+                                     n_sub=n_sub,
+                                     unroll=1 if interpret else None)
     final_q, final_p, n_steps = _unpack_tiles(out_state, ns, n, q0s, p0s)
     if sort_rays:
         inverse = jnp.argsort(sort_idx)

@@ -32,22 +32,33 @@ def test_chunked_equals_monolithic():
     np.testing.assert_allclose(st.final_q, np.asarray(fq), rtol=0, atol=0)
 
 
-def test_save_load_resume(tmp_path):
+@pytest.mark.parametrize("backend", ["xla", "pallas"])
+def test_save_load_resume(tmp_path, backend):
+    """Both backends are resumable — including the production fast path
+    (the Pallas kernel, interpret mode here; chunked advance must equal a
+    monolithic run of the same backend bit-for-bit)."""
+    interp = backend == "pallas"
     q0, p0 = _ics()
     path = str(tmp_path / "ck.npz")
     st = ckpt.start(q0, p0, **ARGS)
-    st = ckpt.advance(st, 500)
+    st = ckpt.advance(st, 500, backend=backend, interpret=interp)
     st.save(path)
 
     # "crash" and resume from disk
     st2 = ckpt.IntegrationState.load(path)
     assert st2.steps_done == 500
     while not st2.done:
-        st2 = ckpt.advance(st2, 1000)
+        st2 = ckpt.advance(st2, 1000, backend=backend, interpret=interp)
 
-    ref = ckpt.integrate_chunked(q0, p0, **ARGS, chunk_steps=10**9)
+    ref = ckpt.integrate_chunked(q0, p0, **ARGS, chunk_steps=10**9,
+                                 backend=backend, interpret=interp)
     np.testing.assert_allclose(st2.final_q, ref.final_q, rtol=0, atol=0)
     np.testing.assert_array_equal(st2.n_steps, ref.n_steps)
+    # cross-backend: same step counts and statuses (math identical modulo
+    # last-ulp cos/sin evaluation in the mixing rotation)
+    ref_x = ckpt.integrate_chunked(q0, p0, **ARGS, chunk_steps=10**9)
+    np.testing.assert_array_equal(st2.status, ref_x.status)
+    np.testing.assert_array_equal(st2.n_steps, ref_x.n_steps)
 
 
 def test_integrate_chunked_resume_flag(tmp_path):
