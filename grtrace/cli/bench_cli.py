@@ -41,7 +41,11 @@ def main(argv=None):
     warm = time.time() - t0
     times = []
     for i in range(args.iters):
-        scene.observer_distance = 30.0 + 1e-6 * (i + 1)
+        # anti-cache jitter: (i+1) float32 ulps survives the f32 cast
+        v = np.float32(30.0)
+        for _ in range(i + 1):
+            v = np.nextafter(v, np.float32(np.inf))
+        scene.observer_distance = float(v)
         t0 = time.time()
         res = render(scene, bg_array=tex)
         times.append(time.time() - t0)

@@ -24,7 +24,7 @@ import numpy as np
 
 from ..physics.hamiltonian import N_STATE, pack_state, substep_schedule
 from .integrate import (STATUS_ALIVE, STATUS_CAPTURED, STATUS_ESCAPED,
-                        _active_mask, _masked_step)
+                        _active_mask, _masked_step, jump_cap)
 
 
 @dataclasses.dataclass
@@ -95,6 +95,7 @@ def _advance(state16, n_steps, max_steps, delta, rs, r_max, omega, order=2):
     rs = jnp.asarray(rs, dtype)
     r_max = jnp.asarray(r_max, dtype)
     subs = substep_schedule(delta, jnp.asarray(omega, dtype), order)
+    cap = jump_cap(delta, dtype)
 
     comps = tuple(state16[i] for i in range(N_STATE))
 
@@ -105,7 +106,7 @@ def _advance(state16, n_steps, max_steps, delta, rs, r_max, omega, order=2):
     def body(carry):
         comps, ns, k = carry
         active = _active_mask(comps[1], rs, r_max)
-        comps = _masked_step(comps, active, subs, rs)
+        comps = _masked_step(comps, active, subs, rs, cap)
         return comps, ns + active.astype(jnp.int32), k + 1
 
     comps, n_steps, _ = jax.lax.while_loop(cond, body,

@@ -73,8 +73,49 @@ def _active_mask(q1r, rs, r_max):
     return (q1r > 1.1 * rs) & (q1r < r_max)
 
 
-def _masked_step(state, active, subs, rs):
-    new_state = fantasy_step(state, subs, rs)
+# Blow-up guard row indices per state layout: (q1_r, q2_r, *kahan_deficits).
+_R_ROWS = {16: (1, 9), 12: (1, 7), 24: (1, 7, 13, 19)}
+
+
+def jump_cap(delta, dtype):
+    """Max legitimate per-step |dr|.  Resolved rays move r by
+    ~(1 - rs/r) p_r delta <~ E delta per composed step (E ~ 1 in the
+    camera normalization); an unresolved horizon kick jumps by 10..10^4.
+    Same detector the generic engine uses (integrate_generic)."""
+    return jnp.maximum(jnp.asarray(5.0, dtype), 20.0 * jnp.abs(delta))
+
+
+def guard_state(old, new, rs, cap):
+    """Horizon blow-up guard for the Schwarzschild fast engines.
+
+    The capture check runs BETWEEN steps (reference cuda_geodesic.py:
+    598-599), so a fast plunge can overshoot the 1.1*rs shell into the
+    stiff zone where the 1/(r - rs)^2 kick overwhelms the fixed step and
+    ejects the ray to a garbage radius — the reference kernel has exactly
+    this failure mode and masks it downstream with the alpha0 capture
+    shortcut (raytracing.py:205-211).  Detect it by the radius jump
+    (non-finite or |dr| > cap: only possible for a ray standing in the
+    stiff horizon zone, i.e. a plunger), revert the ray to its last
+    resolved state and park it at r = rs, below the capture threshold —
+    so status/photon_data report CAPTURED with sane values instead of a
+    spurious escape.  Works on any of the three state layouts (16-row
+    generic, 12-row equatorial, 24-row Kahan-compensated).
+    """
+    rows = _R_ROWS[len(old)]
+    r_old = old[rows[0]]
+    r_new = new[rows[0]]
+    bad = ~jnp.isfinite(r_new) | (jnp.abs(r_new - r_old) > cap)
+    out = [jnp.where(bad, o, nw) for o, nw in zip(old, new)]
+    park = jnp.full_like(r_new, 1.0) * rs
+    for row in rows[:2]:
+        out[row] = jnp.where(bad, park, out[row])
+    for row in rows[2:]:  # compensated layout: zero the parked deficits
+        out[row] = jnp.where(bad, jnp.zeros_like(r_new), out[row])
+    return tuple(out)
+
+
+def _masked_step(state, active, subs, rs, cap):
+    new_state = guard_state(state, fantasy_step(state, subs, rs), rs, cap)
     return tuple(jnp.where(active, n, o) for n, o in zip(new_state, state))
 
 
@@ -92,6 +133,7 @@ def integrate_batch(q0s, p0s, steps, delta, rs, r_max, omega, order=2):
     rs = jnp.asarray(rs, dtype)
     r_max = jnp.asarray(r_max, dtype)
     subs = substep_schedule(delta, jnp.asarray(omega, dtype), order)
+    cap = jump_cap(delta, dtype)
 
     state0 = pack_state(q0s, p0s)
     n_steps0 = jnp.zeros(q0s.shape[:-1], dtype=jnp.int32)
@@ -103,7 +145,7 @@ def integrate_batch(q0s, p0s, steps, delta, rs, r_max, omega, order=2):
     def body(carry):
         state, n_steps, k = carry
         active = _active_mask(state[1], rs, r_max)
-        state = _masked_step(state, active, subs, rs)
+        state = _masked_step(state, active, subs, rs, cap)
         return state, n_steps + active.astype(jnp.int32), k + 1
 
     state, n_steps, _ = jax.lax.while_loop(cond, body, (state0, n_steps0, jnp.int32(0)))
@@ -131,6 +173,7 @@ def integrate_batch_compensated(q0s, p0s, steps, delta, rs, r_max, omega,
     rs = jnp.asarray(rs, dtype)
     r_max = jnp.asarray(r_max, dtype)
     subs = substep_schedule(delta, jnp.asarray(omega, dtype), order, omc=True)
+    cap = jump_cap(delta, dtype)
 
     state0 = pack_state_eqc(q0s, p0s)
     n_steps0 = jnp.zeros(q0s.shape[:-1], dtype=jnp.int32)
@@ -147,7 +190,7 @@ def integrate_batch_compensated(q0s, p0s, steps, delta, rs, r_max, omega,
     def body(carry):
         state, n_steps, k = carry
         active = _active_mask(state[1], rs, r_max)
-        new = step_all(state)
+        new = guard_state(state, step_all(state), rs, cap)
         state = tuple(jnp.where(active, nw, o) for nw, o in zip(new, state))
         return state, n_steps + active.astype(jnp.int32), k + 1
 
@@ -196,6 +239,7 @@ def integrate_batch_full(q0s, p0s, steps, delta, rs, r_max, omega, n_keep=None,
     rs = jnp.asarray(rs, dtype)
     r_max = jnp.asarray(r_max, dtype)
     subs = substep_schedule(delta, jnp.asarray(omega, dtype), order)
+    cap = jump_cap(delta, dtype)
 
     n = q0s.shape[0]
     traj0 = jnp.zeros((n, n_keep_eff, 4), dtype=dtype)
@@ -218,7 +262,7 @@ def integrate_batch_full(q0s, p0s, steps, delta, rs, r_max, omega, n_keep=None,
         traj = jax.lax.cond(store_now, do_store, lambda tr: tr, traj)
         # After the first inactive observation the ray is dead for storage too.
         alive_next = alive & active
-        state = _masked_step(state, active, subs, rs)
+        state = _masked_step(state, active, subs, rs, cap)
         return state, alive_next, traj
 
     _, _, traj = jax.lax.fori_loop(0, steps, body, (state0, alive0, traj0))

@@ -70,6 +70,11 @@ def _make_kernel(step2_fn, n_rows, steps, n_sub, unroll=None):
         # steps between early-exit checks.
         unroll = max(1, UNROLL // n_sub)
 
+    # blow-up guard rows (see engine.integrate.guard_state): q1_r is row 1
+    # in every layout; q2_r and the Kahan deficit rows depend on it
+    r2_row = {16: 9, 12: 7, 24: 7}[n_rows]
+    deficit_rows = (13, 19) if n_rows == 24 else ()
+
     def kernel(params_ref, state_ref, out_state_ref, ns_ref):
         rs = params_ref[0]
         r_max = params_ref[1]
@@ -77,12 +82,25 @@ def _make_kernel(step2_fn, n_rows, steps, n_sub, unroll=None):
 
         comps = tuple(state_ref[0, i] for i in range(n_rows))
         ns0 = jnp.zeros((SUBLANES, LANES), dtype=jnp.int32)
+        cap = jnp.maximum(jnp.asarray(5.0, comps[1].dtype),
+                          20.0 * jnp.abs(subs[0][0]))
 
         def masked_step(comps, ns):
             act = _active(comps[1], rs, r_max)
             new = comps
             for d_i, cos_i, sin_i in subs:
                 new = step2_fn(new, d_i, rs, cos_i, sin_i)
+            # horizon blow-up guard: an unresolved plunge kick jumps r by
+            # 10..10^4 in one step — revert the ray and park it at r = rs
+            # (captured) instead of letting it escape with garbage.  Two
+            # extra VPU selects per step; the kernel is latency-bound so
+            # this is free (same measurement as the Kahan rows).
+            bad = (~jnp.isfinite(new[1])) | (jnp.abs(new[1] - comps[1]) > cap)
+            new = [jnp.where(bad, o, nw) for o, nw in zip(comps, new)]
+            for row in (1, r2_row):
+                new[row] = jnp.where(bad, rs, new[row])
+            for row in deficit_rows:
+                new[row] = jnp.where(bad, 0.0, new[row])
             comps = tuple(jnp.where(act, n, o) for n, o in zip(new, comps))
             return comps, ns + act.astype(jnp.int32)
 
