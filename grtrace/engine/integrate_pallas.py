@@ -6,9 +6,10 @@ simulation/cuda_geodesic.py:579-602, one thread per ray, early `break`).
 
 Design (see /opt/skills/guides/pallas_guide.md):
   * Rays live on the VPU lane axis.  The phase-space state is laid out as
-    (16, 8, 128) per tile — 16 component rows (q1,p1,q2,p2 x 4) by a full
-    (8, 128) vector register of 1024 rays — so every elementwise flow op
-    runs at full vreg occupancy.
+    (16, SUBLANES, 128) per tile — 16 component rows (q1,p1,q2,p2 x 4) by
+    SUBLANES x 128 rays (two (8,128) vector registers per row) — so every
+    elementwise flow op runs at full vreg occupancy with enough
+    independent work to hide VPU op latency.
   * The grid iterates over ray tiles; each tile runs its own
     `lax.while_loop` that terminates as soon as *every* ray in the tile has
     been captured or escaped.  This is the CUDA per-thread `break` promoted
@@ -40,8 +41,15 @@ from ..physics.hamiltonian import (fantasy_step_ord2_eq,
 from .integrate import STATUS_ALIVE, STATUS_CAPTURED, STATUS_ESCAPED
 
 LANES = 128
-SUBLANES = 8
-TILE = SUBLANES * LANES  # 1024 rays per grid step
+# Tile height swept on a real v5e chip at the 400x400/200k-step headline
+# workload (raw integration, host-fetch timed): 8 sublanes -> 0.164 s,
+# 16 -> 0.142 s, 24 -> 0.147 s, 32 -> 0.148 s.  16 rows per tile give the
+# VPU twice the independent work per flow op (hides op latency in this
+# latency-bound kernel) while keeping the per-tile early exit fine enough
+# that masked-step waste stays small; taller tiles start paying coarser
+# exits.  Must stay a multiple of 8 (f32 sublane tiling).
+SUBLANES = 16
+TILE = SUBLANES * LANES  # 2048 rays per grid step
 # Masked steps between early-exit checks.  Swept on a real v5e chip at the
 # 400x400/200k-step headline workload: 16 beats 4 by ~35% (the any(active)
 # reduction + loop bookkeeping amortize over more flow work) and 64 gains
@@ -227,7 +235,7 @@ def _unpack_tiles(out_state, ns, n, q0s=None, p0s=None):
 def _cost_sort_key(q0s, p0s, rs):
     """Predicted integration cost key: |b - b_crit| ascending.
 
-    Tile runtime is the max step count over its 1024 rays; grouping rays by
+    Tile runtime is the max step count over its TILE rays; grouping rays by
     expected cost cuts the masked-step waste from ~16%% to ~1%% (measured on
     the 400x400 default scene).  The impact parameter follows from the
     camera momentum convention: cos(alpha) = -p_r / sqrt(f),
