@@ -50,12 +50,14 @@ LANES = 128
 # exits.  Must stay a multiple of 8 (f32 sublane tiling).
 SUBLANES = 16
 TILE = SUBLANES * LANES  # 2048 rays per grid step
-# Masked steps between early-exit checks.  Swept on a real v5e chip at the
-# 400x400/200k-step headline workload: 16 beats 4 by ~35% (the any(active)
-# reduction + loop bookkeeping amortize over more flow work) and 64 gains
-# nothing further; the waste is <= UNROLL-1 masked steps per tile exit,
+# Masked steps between early-exit checks.  Re-swept on a real v5e chip at
+# the 400x400/200k-step headline workload after the move to 16-sublane
+# tiles (interleaved runs; the tunnel drifts, so only within-run deltas
+# count): 8 -> 0.126 s, 16 -> 0.117-0.120 s, 32 -> 0.118 s, 64 -> 0.114-
+# 0.117 s, 128 -> 0.120 s.  64 amortizes the any(active) reduction + loop
+# bookkeeping best; the waste is <= UNROLL-1 masked steps per tile exit,
 # noise against 10^3..10^5-step budgets.
-UNROLL = 16
+UNROLL = 64
 
 
 def _active(q1r, rs, r_max):

@@ -41,10 +41,15 @@ from ..physics.kerr_schild import (fantasy_step_ord2_ks, hamiltonian_ks,
                                    ks_radius_c)
 from ..physics.spacetime import horizon_radius
 from .integrate import STATUS_ALIVE, STATUS_CAPTURED, STATUS_ESCAPED
-from .integrate_pallas import LANES, SUBLANES, TILE, UNROLL
+from .integrate_pallas import LANES, SUBLANES, TILE
 
 N_ROWS = 16
 N_SCAL = 6  # mass, a, charge, r_cap, r_max, plunge_zone (+ 3 per substep)
+# The KS step body is ~4x heavier than the equatorial Schwarzschild one, so
+# the any(active)/loop overhead amortizes sooner: interleaved on-chip A/B at
+# 256^2/30k-step spin-0.9 gave 16 -> 0.0794 s vs 64 -> 0.0813 s.  Unlike the
+# Schwarzschild kernel (UNROLL=64), 16 is the sweet spot here.
+UNROLL = 16
 
 
 def _active_ks(q1x, q1y, q1z, a, r_cap, r_max):
