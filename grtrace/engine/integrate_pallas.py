@@ -102,17 +102,20 @@ def _make_kernel(step2_fn, n_rows, steps, n_sub, unroll=None):
                 new = step2_fn(new, d_i, rs, cos_i, sin_i)
             # horizon blow-up guard: an unresolved plunge kick jumps r by
             # 10..10^4 in one step — revert the ray and park it at r = rs
-            # (captured) instead of letting it escape with garbage.  Two
-            # extra VPU selects per step; the kernel is latency-bound so
-            # this is free (same measurement as the Kahan rows).
-            bad = (~jnp.isfinite(new[1])) | (jnp.abs(new[1] - comps[1]) > cap)
-            new = [jnp.where(bad, o, nw) for o, nw in zip(comps, new)]
+            # (captured) instead of letting it escape with garbage.  The
+            # negated <= form makes NaN/Inf register as bad without a
+            # separate isfinite, and the guard + activity masks are fused
+            # into ONE select chain (n_rows + 4 selects per step instead
+            # of 2*n_rows + 4 — ~6% of the step budget at n_rows=24).
+            bad = ~(jnp.abs(new[1] - comps[1]) <= cap)
+            ok = act & ~bad
+            out = [jnp.where(ok, n, o) for n, o in zip(new, comps)]
+            park = act & bad
             for row in (1, r2_row):
-                new[row] = jnp.where(bad, rs, new[row])
+                out[row] = jnp.where(park, rs, out[row])
             for row in deficit_rows:
-                new[row] = jnp.where(bad, 0.0, new[row])
-            comps = tuple(jnp.where(act, n, o) for n, o in zip(new, comps))
-            return comps, ns + act.astype(jnp.int32)
+                out[row] = jnp.where(park, 0.0, out[row])
+            return tuple(out), ns + act.astype(jnp.int32)
 
         main_iters = steps // unroll
 

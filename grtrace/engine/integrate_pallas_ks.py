@@ -77,47 +77,50 @@ def _make_kernel_ks(steps, n_sub):
         ns0 = jnp.zeros((SUBLANES, LANES), dtype=jnp.int32)
 
         def masked_step(comps, ns):
-            act = _active_ks(comps[1], comps[2], comps[3], a, r_cap, r_max)
+            # inline _active_ks so r_old is computed once per step (it is
+            # reused by the plunge-zone test below)
+            r_old = ks_radius_c(comps[1], comps[2], comps[3], a)
+            rho2 = (comps[1] * comps[1] + comps[2] * comps[2]
+                    + comps[3] * comps[3])
+            act = (r_old > r_cap) & (rho2 < r_max * r_max)
             new = comps
             for d_i, cos_i, sin_i in subs:
                 new = fantasy_step_ord2_ks(new, d_i, mass, a, cos_i, sin_i,
                                            charge)
 
             # --- null-invariant blow-up guard (== guard_cartesian) ---
-            finite = jnp.isfinite(new[1]) & jnp.isfinite(new[2]) \
-                & jnp.isfinite(new[3]) & jnp.isfinite(new[0])
-            for i in range(4, 8):
-                finite = finite & jnp.isfinite(new[i])
-            safe = tuple(jnp.where(finite, n, o)
-                         for n, o in zip(new[:8], comps[:8]))
-            h = hamiltonian_ks(safe[1], safe[2], safe[3], safe[4], safe[5],
-                               safe[6], safe[7], mass, a, charge)
-            p2n = safe[5] * safe[5] + safe[6] * safe[6] \
-                + safe[7] * safe[7] + 1.0
-            exploded = (~finite) | (jnp.abs(h) > 3e-3 * p2n)
-            r_new = ks_radius_c(safe[1], safe[2], safe[3], a)
+            # finiteness of all 8 (q1,p1) rows via one aggregate sum: any
+            # NaN/Inf component makes the sum non-finite (finite overflow
+            # to Inf only happens for ~1e38 garbage, which must trip the
+            # guard anyway).  The |h| test is written in negated-<= form so
+            # a NaN Hamiltonian also registers as exploded.
+            agg = new[0] + new[1] + new[2] + new[3] \
+                + new[4] + new[5] + new[6] + new[7]
+            finite = jnp.isfinite(agg)
+            h = hamiltonian_ks(new[1], new[2], new[3], new[4], new[5],
+                               new[6], new[7], mass, a, charge)
+            p2n = new[5] * new[5] + new[6] * new[6] \
+                + new[7] * new[7] + 1.0
+            exploded = ~(finite & (jnp.abs(h) <= 3e-3 * p2n))
+            r_new = ks_radius_c(new[1], new[2], new[3], a)
             crossed = finite & (r_new < r_plus) & ~exploded
-            r_old = ks_radius_c(comps[1], comps[2], comps[3], a)
             inward = (comps[1] * comps[5] + comps[2] * comps[6]
                       + comps[3] * comps[7]) < 0.0
             capture = crossed | (exploded & (inward | (r_old < plunge_zone)))
             bad = exploded | crossed
+            # fused guard + activity select chain (one pass over the rows;
+            # bad rays keep old values except the parked q1 coordinates):
             # parked q1: captured -> (t, 0, 0, 0.5 r_cap) on-axis point
             # (ks_radius == |z|); numerical -> (t, 150, 0, 0) sentinel
+            ok = act & ~bad
+            park = act & bad
+            out = [jnp.where(ok, n, o) for n, o in zip(new, comps)]
             park_x = jnp.where(capture, 0.0, 150.0)
             park_z = jnp.where(capture, 0.5 * r_cap, 0.0)
-            zero = jnp.zeros_like(comps[0])
-            guarded = (
-                jnp.where(bad, comps[0], new[0]),          # q1t: old t
-                jnp.where(bad, park_x, new[1]),
-                jnp.where(bad, zero, new[2]),
-                jnp.where(bad, park_z, new[3]),
-            ) + tuple(jnp.where(bad, o, n)                 # p1,q2,p2 revert
-                      for n, o in zip(new[4:], comps[4:]))
-
-            comps = tuple(jnp.where(act, g, o)
-                          for g, o in zip(guarded, comps))
-            return comps, ns + act.astype(jnp.int32)
+            out[1] = jnp.where(park, park_x, out[1])
+            out[2] = jnp.where(park, 0.0, out[2])
+            out[3] = jnp.where(park, park_z, out[3])
+            return tuple(out), ns + act.astype(jnp.int32)
 
         main_iters = steps // unroll
 
