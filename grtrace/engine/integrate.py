@@ -24,8 +24,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from ..physics.hamiltonian import (fantasy_step, fantasy_step_ord2_eqc,
-                                   pack_state, pack_state_eqc,
+from ..physics.hamiltonian import (bridge_sizes, fantasy_step, pack_state,
+                                   pack_state_eqc, staggered_eqc,
                                    substep_schedule, unpack_p1, unpack_q1)
 
 STATUS_ALIVE = 0
@@ -161,9 +161,9 @@ def integrate_batch_compensated(q0s, p0s, steps, delta, rs, r_max, omega,
                                 order=2):
     """XLA twin of the compensated Pallas kernel (equatorial rays only).
 
-    Runs the EXACT step function the Pallas kernel compiles
-    (physics.hamiltonian.fantasy_step_ord2_eqc) through a lax.while_loop, so
-    CPU tests can validate the compensated math at the full headline step
+    Runs the EXACT staggered step functions the Pallas kernel compiles
+    (physics.hamiltonian.staggered_eqc) through a lax.while_loop, so CPU
+    tests can validate the compensated math at the full headline step
     budget without interpret-mode cost, and kernel-vs-XLA parity checks
     share one source of truth.  Requires theta == pi/2, p_theta == 0 for
     every ray (the camera beta-fold guarantees this).
@@ -173,14 +173,21 @@ def integrate_batch_compensated(q0s, p0s, steps, delta, rs, r_max, omega,
     rs = jnp.asarray(rs, dtype)
     r_max = jnp.asarray(r_max, dtype)
     subs = substep_schedule(delta, jnp.asarray(omega, dtype), order, omc=True)
+    bridges = bridge_sizes([s[0] for s in subs])
     cap = jump_cap(delta, dtype)
+    open_fn, core_fn, close_fn = staggered_eqc
+    d0 = subs[0][0]
 
     state0 = pack_state_eqc(q0s, p0s)
     n_steps0 = jnp.zeros(q0s.shape[:-1], dtype=jnp.int32)
 
+    act0 = _active_mask(state0[1], rs, r_max)
+    opened = open_fn(state0, d0, rs)
+    state0 = tuple(jnp.where(act0, o, s) for o, s in zip(opened, state0))
+
     def step_all(state):
-        for d_i, omc_i, sin_i in subs:
-            state = fantasy_step_ord2_eqc(state, d_i, rs, omc_i, sin_i)
+        for (d_i, omc_i, sin_i), br_i in zip(subs, bridges):
+            state = core_fn(state, d_i, rs, omc_i, sin_i, br_i)
         return state
 
     def cond(carry):
@@ -196,6 +203,11 @@ def integrate_batch_compensated(q0s, p0s, steps, delta, rs, r_max, omega,
 
     state, n_steps, _ = jax.lax.while_loop(cond, body,
                                            (state0, n_steps0, jnp.int32(0)))
+
+    # undo the pending half-A (skip rays the guard parked at exactly r==rs)
+    closed = close_fn(state, d0, rs)
+    close_mask = act0 & (state[1] != rs)
+    state = tuple(jnp.where(close_mask, c, s) for c, s in zip(closed, state))
 
     # fold deficits (true = s - c), rebuild 4-component q/p with the
     # invariant theta slots

@@ -37,7 +37,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..physics.hamiltonian import (fantasy_step_ord2_eq,
                                    fantasy_step_ord2_eqc,
-                                   fantasy_step_ord2_fused, yoshida_gammas)
+                                   fantasy_step_ord2_fused, staggered_eq,
+                                   staggered_eqc, yoshida_gammas)
 from .integrate import STATUS_ALIVE, STATUS_CAPTURED, STATUS_ESCAPED
 
 LANES = 128
@@ -64,17 +65,27 @@ def _active(q1r, rs, r_max):
     return (q1r > 1.1 * rs) & (q1r < r_max)
 
 
-def _read_subs(params_ref, n_sub):
-    """SMEM layout: [rs, r_max, d0, c0, s0, d1, c1, s1, ...]."""
-    return tuple((params_ref[2 + 3 * j], params_ref[3 + 3 * j],
-                  params_ref[4 + 3 * j]) for j in range(n_sub))
+def _read_subs(params_ref, n_sub, staggered=False):
+    """SMEM layout: [rs, r_max, (d_j, c_j, s_j[, bridge_j]) x n_sub] —
+    triples for the plain step, quadruples for the staggered one."""
+    w = 4 if staggered else 3
+    return tuple(tuple(params_ref[2 + w * j + k] for k in range(w))
+                 for j in range(n_sub))
 
 
-def _make_kernel(step2_fn, n_rows, steps, n_sub, unroll=None):
+def _make_kernel(step2_fn, n_rows, steps, n_sub, unroll=None,
+                 staggered_flows=None):
     """Build the tile kernel for either layout (16-row generic / 12-row
     equatorial) and any composed order (n_sub = 3^((order-2)/2) substeps).
     The substep schedule is read from SMEM; the per-substep loop is a static
-    python unroll so the loop body stays branch-free on the VPU."""
+    python unroll so the loop body stays branch-free on the VPU.
+
+    staggered_flows=(open, core, close) switches the loop body to the
+    half-A-fused staggered form (see hamiltonian.make_staggered_flows):
+    one masked opening half-A, cores of B M B A(bridge) in the loop, one
+    masked closing half-A — one flow-A evaluation per substep instead of
+    two.  Used for the equatorial layouts; requires quadruple SMEM params.
+    """
     if unroll is None:
         # Composed steps cost n_sub base steps; keep roughly UNROLL base
         # steps between early-exit checks.
@@ -88,18 +99,31 @@ def _make_kernel(step2_fn, n_rows, steps, n_sub, unroll=None):
     def kernel(params_ref, state_ref, out_state_ref, ns_ref):
         rs = params_ref[0]
         r_max = params_ref[1]
-        subs = _read_subs(params_ref, n_sub)
+        subs = _read_subs(params_ref, n_sub,
+                          staggered=staggered_flows is not None)
 
         comps = tuple(state_ref[0, i] for i in range(n_rows))
         ns0 = jnp.zeros((SUBLANES, LANES), dtype=jnp.int32)
         cap = jnp.maximum(jnp.asarray(5.0, comps[1].dtype),
                           20.0 * jnp.abs(subs[0][0]))
 
+        if staggered_flows is not None:
+            open_fn, core_fn, close_fn = staggered_flows
+            act0 = _active(comps[1], rs, r_max)
+            d0 = subs[0][0]
+            opened = open_fn(comps, d0, rs)
+            comps = tuple(jnp.where(act0, o, c)
+                          for o, c in zip(opened, comps))
+
         def masked_step(comps, ns):
             act = _active(comps[1], rs, r_max)
             new = comps
-            for d_i, cos_i, sin_i in subs:
-                new = step2_fn(new, d_i, rs, cos_i, sin_i)
+            if staggered_flows is not None:
+                for d_i, cw_i, sw_i, bridge_i in subs:
+                    new = core_fn(new, d_i, rs, cw_i, sw_i, bridge_i)
+            else:
+                for d_i, cos_i, sin_i in subs:
+                    new = step2_fn(new, d_i, rs, cos_i, sin_i)
             # horizon blow-up guard: an unresolved plunge kick jumps r by
             # 10..10^4 in one step — revert the ray and park it at r = rs
             # (captured) instead of letting it escape with garbage.  The
@@ -134,6 +158,15 @@ def _make_kernel(step2_fn, n_rows, steps, n_sub, unroll=None):
         for _ in range(steps % unroll):  # static remainder, preserves budget
             comps, ns = masked_step(comps, ns)
 
+        if staggered_flows is not None:
+            # undo the pending half-A for every ray that was opened, except
+            # those the guard parked at exactly r == rs (flow A divides by
+            # r - rs there; their p/q2 are reverted garbage anyway)
+            closed = close_fn(comps, d0, rs)
+            close_mask = act0 & (comps[1] != rs)
+            comps = tuple(jnp.where(close_mask, cl, c)
+                          for cl, c in zip(closed, comps))
+
         for i in range(n_rows):
             out_state_ref[0, i] = comps[i]
         ns_ref[0, 0] = ns
@@ -142,10 +175,11 @@ def _make_kernel(step2_fn, n_rows, steps, n_sub, unroll=None):
 
 
 @partial(jax.jit, static_argnames=("steps", "interpret", "n_rows", "n_sub",
-                                   "unroll"))
+                                   "unroll", "staggered"))
 def _integrate_tiles(state, params, steps, interpret=False, n_rows=16,
-                     n_sub=1, unroll=None):
-    """state: (T, n_rows, 8, 128), params: (2+3*n_sub,) SMEM scalars.
+                     n_sub=1, unroll=None, staggered=False):
+    """state: (T, n_rows, 8, 128), params: (2+w*n_sub,) SMEM scalars with
+    w=3 plain / w=4 staggered (see _substep_params).
 
     unroll=None uses the chip-tuned UNROLL; interpret-mode callers pass 1
     (bit-identical results — masked no-op steps and the exact-budget
@@ -155,7 +189,10 @@ def _integrate_tiles(state, params, steps, interpret=False, n_rows=16,
     dtype = state.dtype
     step2 = {16: fantasy_step_ord2_fused, 12: fantasy_step_ord2_eq,
              24: fantasy_step_ord2_eqc}[n_rows]
-    kernel = _make_kernel(step2, n_rows, steps, n_sub, unroll=unroll)
+    flows = ({12: staggered_eq, 24: staggered_eqc}[n_rows]
+             if staggered else None)
+    kernel = _make_kernel(step2, n_rows, steps, n_sub, unroll=unroll,
+                          staggered_flows=flows)
     out_state, ns = pl.pallas_call(
         kernel,
         grid=(num_tiles,),
@@ -256,18 +293,26 @@ def _cost_sort_key(q0s, p0s, rs):
     return jnp.abs(b - b_crit)
 
 
-def _substep_params(delta, rs, r_max, omega, order, compensated=False):
-    """SMEM parameter vector [rs, r_max, (d_i, cos_i|omc_i, sin_i)...]."""
+def _substep_params(delta, rs, r_max, omega, order, compensated=False,
+                    staggered=False):
+    """SMEM parameter vector [rs, r_max, (d_i, cos_i|omc_i, sin_i
+    [, bridge_i])...].  staggered=True appends the trailing-A bridge size
+    0.5*(d_i + d_{(i+1) mod n}) to each substep (hamiltonian.bridge_sizes
+    — computed identically here and in the XLA twin so the pair stays
+    bit-exact)."""
     gammas = yoshida_gammas(order)
+    deltas = [g * delta for g in gammas]
     scal = [rs, r_max]
-    for g in gammas:
-        d_i = g * delta
+    for j, d_i in enumerate(deltas):
         if compensated:
             sh = jnp.sin(omega * d_i)
-            scal += [d_i, 2.0 * sh * sh, jnp.sin(2.0 * omega * d_i)]
+            trip = [d_i, 2.0 * sh * sh, jnp.sin(2.0 * omega * d_i)]
         else:
             angle = 2.0 * omega * d_i
-            scal += [d_i, jnp.cos(angle), jnp.sin(angle)]
+            trip = [d_i, jnp.cos(angle), jnp.sin(angle)]
+        if staggered:
+            trip.append(0.5 * (d_i + deltas[(j + 1) % len(deltas)]))
+        scal += trip
     return jnp.stack(scal), len(gammas)
 
 
@@ -339,8 +384,12 @@ def integrate_batch_pallas(q0s, p0s, steps, delta, rs, r_max, omega,
     rs = jnp.asarray(rs, dtype)
     r_max = jnp.asarray(r_max, dtype)
     omega = jnp.asarray(omega, dtype)
+    # the equatorial layouts run the staggered (half-A-fused) loop; the
+    # 16-row generic layout stays plain so it remains the bit-exact twin of
+    # the XLA integrate_batch / checkpoint advance paths
+    staggered = bool(equatorial)
     params, n_sub = _substep_params(delta, rs, r_max, omega, order,
-                                    compensated)
+                                    compensated, staggered=staggered)
     if sort_rays:
         sort_idx = jnp.argsort(_cost_sort_key(q0s, p0s, rs))
         q0s = q0s[sort_idx]
@@ -354,7 +403,8 @@ def integrate_batch_pallas(q0s, p0s, steps, delta, rs, r_max, omega,
                                      interpret=interpret,
                                      n_rows=n_rows,
                                      n_sub=n_sub,
-                                     unroll=1 if interpret else None)
+                                     unroll=1 if interpret else None,
+                                     staggered=staggered)
     final_q, final_p, n_steps = _unpack_tiles(out_state, ns, n, q0s, p0s)
     if sort_rays:
         inverse = jnp.argsort(sort_idx)

@@ -37,14 +37,15 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..physics.hamiltonian import yoshida_gammas
-from ..physics.kerr_schild import (fantasy_step_ord2_ks, hamiltonian_ks,
-                                   ks_radius_c)
+from ..physics.kerr_schild import (close_ks, core_ks, hamiltonian_ks,
+                                   ks_radius_c, open_ks)
 from ..physics.spacetime import horizon_radius
 from .integrate import STATUS_ALIVE, STATUS_CAPTURED, STATUS_ESCAPED
 from .integrate_pallas import LANES, SUBLANES, TILE
 
 N_ROWS = 16
-N_SCAL = 6  # mass, a, charge, r_cap, r_max, plunge_zone (+ 3 per substep)
+N_SCAL = 6  # mass, a, charge, r_cap, r_max, plunge_zone (+ 4 per substep:
+#             d_j, cos_j, sin_j, bridge_j — staggered schedule)
 # The KS step body is ~4x heavier than the equatorial Schwarzschild one, so
 # the any(active)/loop overhead amortizes sooner: interleaved on-chip A/B at
 # 256^2/30k-step spin-0.9 gave 16 -> 0.0794 s vs 64 -> 0.0813 s.  Unlike the
@@ -68,13 +69,23 @@ def _make_kernel_ks(steps, n_sub):
         r_cap = params_ref[3]
         r_max = params_ref[4]
         plunge_zone = params_ref[5]
-        subs = tuple((params_ref[N_SCAL + 3 * j],
-                      params_ref[N_SCAL + 1 + 3 * j],
-                      params_ref[N_SCAL + 2 + 3 * j]) for j in range(n_sub))
+        subs = tuple((params_ref[N_SCAL + 4 * j],
+                      params_ref[N_SCAL + 1 + 4 * j],
+                      params_ref[N_SCAL + 2 + 4 * j],
+                      params_ref[N_SCAL + 3 + 4 * j]) for j in range(n_sub))
         r_plus = r_cap / 1.05
+        d0 = subs[0][0]
 
         comps = tuple(state_ref[0, i] for i in range(N_ROWS))
         ns0 = jnp.zeros((SUBLANES, LANES), dtype=jnp.int32)
+
+        # staggered loop (see physics.kerr_schild staggered section): one
+        # masked opening half-A, cores of B M B A(bridge), one closing
+        # half-A — one A (and its _kick_drift geometry evaluation) per
+        # substep instead of two
+        act0 = _active_ks(comps[1], comps[2], comps[3], a, r_cap, r_max)
+        opened = open_ks(comps, d0, mass, a, charge)
+        comps = tuple(jnp.where(act0, o, c) for o, c in zip(opened, comps))
 
         def masked_step(comps, ns):
             # inline _active_ks so r_old is computed once per step (it is
@@ -84,28 +95,31 @@ def _make_kernel_ks(steps, n_sub):
                     + comps[3] * comps[3])
             act = (r_old > r_cap) & (rho2 < r_max * r_max)
             new = comps
-            for d_i, cos_i, sin_i in subs:
-                new = fantasy_step_ord2_ks(new, d_i, mass, a, cos_i, sin_i,
-                                           charge)
+            for d_i, cos_i, sin_i, bridge_i in subs:
+                new = core_ks(new, d_i, mass, a, cos_i, sin_i, bridge_i,
+                              charge)
 
             # --- null-invariant blow-up guard (== guard_cartesian) ---
-            # finiteness of all 8 (q1,p1) rows via one aggregate sum: any
-            # NaN/Inf component makes the sum non-finite (finite overflow
-            # to Inf only happens for ~1e38 garbage, which must trip the
-            # guard anyway).  The |h| test is written in negated-<= form so
-            # a NaN Hamiltonian also registers as exploded.
+            # evaluated on the (q1, p2) rows: in the staggered state those
+            # hold the EXACT plain-composition boundary values (flow A
+            # never writes them), so the invariant test keeps its original
+            # sensitivity/threshold.  Finiteness of the 8 rows via one
+            # aggregate sum: any NaN/Inf component makes the sum
+            # non-finite (finite overflow to Inf only happens for ~1e38
+            # garbage, which must trip the guard anyway).  The |h| test is
+            # in negated-<= form so a NaN Hamiltonian also registers.
             agg = new[0] + new[1] + new[2] + new[3] \
-                + new[4] + new[5] + new[6] + new[7]
+                + new[12] + new[13] + new[14] + new[15]
             finite = jnp.isfinite(agg)
-            h = hamiltonian_ks(new[1], new[2], new[3], new[4], new[5],
-                               new[6], new[7], mass, a, charge)
-            p2n = new[5] * new[5] + new[6] * new[6] \
-                + new[7] * new[7] + 1.0
+            h = hamiltonian_ks(new[1], new[2], new[3], new[12], new[13],
+                               new[14], new[15], mass, a, charge)
+            p2n = new[13] * new[13] + new[14] * new[14] \
+                + new[15] * new[15] + 1.0
             exploded = ~(finite & (jnp.abs(h) <= 3e-3 * p2n))
             r_new = ks_radius_c(new[1], new[2], new[3], a)
             crossed = finite & (r_new < r_plus) & ~exploded
-            inward = (comps[1] * comps[5] + comps[2] * comps[6]
-                      + comps[3] * comps[7]) < 0.0
+            inward = (comps[1] * comps[13] + comps[2] * comps[14]
+                      + comps[3] * comps[15]) < 0.0
             capture = crossed | (exploded & (inward | (r_old < plunge_zone)))
             bad = exploded | crossed
             # fused guard + activity select chain (one pass over the rows;
@@ -139,6 +153,14 @@ def _make_kernel_ks(steps, n_sub):
                                           (jnp.int32(0), comps, ns0))
         for _ in range(steps % unroll):
             comps, ns = masked_step(comps, ns)
+
+        # undo the pending half-A for every opened ray.  Unlike the
+        # Schwarzschild kernel, no park exclusion is needed: the park
+        # points are regular chart points, flow A cannot move q1, and a
+        # parked ray's (p1, q2) are reverted bookkeeping values anyway.
+        closed = close_ks(comps, d0, mass, a, charge)
+        comps = tuple(jnp.where(act0, cl, c)
+                      for cl, c in zip(closed, comps))
 
         for i in range(N_ROWS):
             out_state_ref[0, i] = comps[i]
@@ -235,11 +257,12 @@ def integrate_batch_pallas_ks(q0s, p0s, steps, delta, params, r_max, omega,
         (2.0 / 3.0) * jnp.arccos(-jnp.abs(a) / mass)))
 
     gammas = yoshida_gammas(order)
+    deltas = [g * delta for g in gammas]
     scal = [mass, a, charge, r_cap, r_max, plunge_zone]
-    for g in gammas:
-        d_i = g * delta
+    for j, d_i in enumerate(deltas):
         angle = 2.0 * omega * d_i
-        scal += [d_i, jnp.cos(angle), jnp.sin(angle)]
+        scal += [d_i, jnp.cos(angle), jnp.sin(angle),
+                 0.5 * (d_i + deltas[(j + 1) % len(deltas)])]
     smem = jnp.stack(scal)
 
     if sort_rays:

@@ -477,6 +477,69 @@ def fantasy_step_ord2_eqc(state, delta, rs, omc_w, sin_w):
 
 
 # ---------------------------------------------------------------------------
+# Staggered (half-A-fused) step forms
+# ---------------------------------------------------------------------------
+# The composed sequence  A(d/2) B(d/2) M B(d/2) A(d/2) | A(d/2) B ...  has
+# adjacent A flows at every (sub)step boundary.  Flow A reads only q1 and p2
+# and writes only p1 and q2, so two back-to-back A flows see identical
+# inputs and  A(x) . A(y) == A(x+y)  exactly (in exact arithmetic; in
+# floating point the difference is one rounding of the increment).  The hot
+# integrators therefore evolve the STAGGERED state  w = A(d0/2)(s):
+#
+#     opening:   w_0 = A(d0/2)(s_0)                      (once, masked)
+#     core step: w   -> B(d_j/2) M_j B(d_j/2) A(bridge_j)(w)
+#                with bridge_j = (d_j + d_{(j+1) mod n})/2
+#     closing:   s_K = A(-d0/2)(w_K)                     (once, masked)
+#
+# which runs ONE A flow per substep instead of two — ~13% fewer VPU ops for
+# the equatorial layouts.  Every interior state coincides with the plain
+# composition in exact arithmetic, and because A never writes q1, the
+# capture/escape/guard tests (all functions of q1_r) see the same values at
+# every step boundary.  A kernel and its XLA twin built from the same
+# (open, core, close) functions remain bit-identical to each other.
+
+
+def make_staggered_flows(flow_a, flow_b, flow_m):
+    """(open, core, close) staggered-step functions for a flow family."""
+
+    def open_fn(state, d0, rs):
+        """s -> w: apply the pending opening half-A of the first substep."""
+        return flow_a(state, 0.5 * d0, rs)
+
+    def core_fn(state, delta, rs, cw, sw, bridge):
+        """One staggered (sub)step: B(d/2) M B(d/2) A(bridge).
+
+        cw is cos(2 omega d) for the plain families and one_minus_cos for
+        the compensated one — whatever the family's mixing flow expects."""
+        half = 0.5 * delta
+        state = flow_b(state, half, rs)
+        state = flow_m(state, cw, sw)
+        state = flow_b(state, half, rs)
+        return flow_a(state, bridge, rs)
+
+    def close_fn(state, d0, rs):
+        """w -> s: undo the pending half-A.  MUST be masked off for rays
+        parked at exactly r == rs (the guard's capture sentinel): flow A
+        divides by r - rs there."""
+        return flow_a(state, -0.5 * d0, rs)
+
+    return open_fn, core_fn, close_fn
+
+
+staggered_eq = make_staggered_flows(_flow_a_eq, _flow_b_eq, _flow_mixed_eq)
+staggered_eqc = make_staggered_flows(_flow_a_eqc, _flow_b_eqc,
+                                     _flow_mixed_eqc)
+
+
+def bridge_sizes(deltas):
+    """Trailing-A sizes for the staggered schedule: bridge_j spans this
+    substep's closing half and the NEXT substep's opening half (cyclically —
+    the last substep bridges into the next composed step's first)."""
+    n = len(deltas)
+    return tuple(0.5 * (deltas[j] + deltas[(j + 1) % n]) for j in range(n))
+
+
+# ---------------------------------------------------------------------------
 # Higher-order composition (orders 4, 6, 8)
 # ---------------------------------------------------------------------------
 # The reference CLI accepts --order {2,4,6,8} (reference config.py:14) but

@@ -161,6 +161,36 @@ def fantasy_step_ord2_ks(state, delta, mass, a, cos_w, sin_w, charge=0.0):
     return state
 
 
+# --- staggered (half-A-fused) step forms -----------------------------------
+# Same algebra as physics.hamiltonian.make_staggered_flows: flow A reads
+# only q1 and p2 and writes only p1 and q2, so the trailing and leading
+# half-A of consecutive (sub)steps fuse into one A(bridge).  A further
+# KS-specific consequence used by the kernel's blow-up guard: in the
+# staggered state the (q1, p2) rows hold the EXACT plain-composition
+# boundary values (A never writes them), so the null-invariant test runs
+# on true values with no extra work.
+
+
+def open_ks(state, d0, mass, a, charge=0.0):
+    """s -> w: apply the pending opening half-A of the first substep."""
+    return _flow_a_ks(state, 0.5 * d0, mass, a, charge)
+
+
+def core_ks(state, delta, mass, a, cos_w, sin_w, bridge, charge=0.0):
+    """One staggered (sub)step: B(d/2) M B(d/2) A(bridge)."""
+    half = 0.5 * delta
+    state = _flow_b_ks(state, half, mass, a, charge)
+    state = _flow_mixed(state, cos_w, sin_w)
+    state = _flow_b_ks(state, half, mass, a, charge)
+    return _flow_a_ks(state, bridge, mass, a, charge)
+
+
+def close_ks(state, d0, mass, a, charge=0.0):
+    """w -> s: undo the pending half-A.  Numerically safe even on parked
+    rays (the park points are regular chart points, and A cannot move q1)."""
+    return _flow_a_ks(state, -0.5 * d0, mass, a, charge)
+
+
 def hamiltonian_ks(x, y, z, pt, px, py, pz, mass, a, charge=0.0):
     """Ham = 1/2 eta^{ab} p_a p_b - H S^2, elementwise — the null invariant
     used by the blow-up guard (0 at the camera, destroyed immediately by an
