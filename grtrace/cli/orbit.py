@@ -48,8 +48,11 @@ def main(argv=None):
     p.add_argument('--gif', action='store_true',
                    help='also write orbit.gif')
     p.add_argument('--frames-per-batch', type=int, default=None,
-                   help='frames rendered per device batch (default: one '
-                        'batch per mesh frames-axis extent)')
+                   help='frames rendered per device call (default: sized '
+                        'to ~4M rays per call, 1..16 — batching frames '
+                        'amortizes the fixed per-execution host-device '
+                        'round trip, measured ~45 ms on the axon tunnel: '
+                        '256^2 orbits go from 17 to 34 frames/s)')
     args = p.parse_args(argv)
 
     # same physics validation as the main CLI (cli/args.py)
@@ -104,7 +107,11 @@ def main(argv=None):
         from ..sharding.mesh import render_kerr_sharded
         kerr_backend = resolve_backend(args.backend)
 
-    batch = args.frames_per_batch or max(1, mesh.shape["frames"])
+    fx = mesh.shape["frames"]
+    default_batch = min(16, max(1, 4_000_000 // (args.size * args.size)))
+    # keep the batch a multiple of the mesh frames-axis extent
+    default_batch = max(fx, (default_batch // fx) * fx)
+    batch = args.frames_per_batch or default_batch
     bg_dev = jnp.asarray(bg, jnp.uint8)
     for start in range(0, len(todo), batch):
         ks = todo[start:start + batch]
