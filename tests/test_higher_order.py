@@ -104,3 +104,43 @@ def test_pallas_interpret_matches_xla_order4():
     d = np.abs(np.asarray(fq1) - np.asarray(fq2)).max(axis=1)
     weak = np.asarray(fq1)[:, 1] > 3.0
     assert d[weak].max() < 1e-8
+
+
+def test_staggered_equatorial_order4_matches_generic():
+    """The STAGGERED equatorial kernel at order 4 exercises the cyclic
+    bridge schedule (bridge_j spans substeps j and j+1 mod 3) — it must
+    track the plain generic composition on weak-field f64 rays."""
+    q0, p0, *_ = camera_rays(np.array([30.0, 0.0, 0.0]), np.radians(80.0),
+                             8, 8, dtype=jnp.float64)
+    q0 = jnp.asarray(q0).reshape(-1, 4)
+    p0 = jnp.asarray(p0).reshape(-1, 4)
+    args = (500, 0.05, RS, 31.0, 1.0)
+    fq1, _, st1, ns1 = integrate_batch(q0, p0, *args, order=4)
+    fq2, _, st2, ns2 = integrate_batch_pallas(q0, p0, *args, interpret=True,
+                                              order=4, equatorial=True)
+    assert bool((st1 == st2).all())
+    assert bool((ns1 == ns2).all())
+    d = np.abs(np.asarray(fq1) - np.asarray(fq2)).max(axis=1)
+    weak = np.asarray(fq1)[:, 1] > 3.0
+    assert d[weak].max() < 1e-8
+
+
+def test_staggered_compensated_order4_twin_exact():
+    """Compensated kernel and its XLA twin share the staggered (open, core,
+    close) functions AND the bridge computation, so order-4 results must
+    agree to float32 roundoff (same contract the order-2 parity pins)."""
+    from grtrace.engine.integrate import integrate_batch_compensated
+
+    q0, p0, *_ = camera_rays(np.array([30.0, 0.0, 0.0], np.float32),
+                             np.radians(80.0), 6, 6, dtype=jnp.float32)
+    q0 = jnp.asarray(q0).reshape(-1, 4)
+    p0 = jnp.asarray(p0).reshape(-1, 4)
+    args = (256, 0.05, RS, 31.0, 1.0)
+    fq_x, _, st_x, ns_x = integrate_batch_compensated(q0, p0, *args, order=4)
+    fq_p, _, st_p, ns_p = integrate_batch_pallas(
+        q0, p0, *args, interpret=True, order=4, equatorial=True,
+        compensated=True)
+    np.testing.assert_array_equal(np.asarray(ns_x), np.asarray(ns_p))
+    assert bool((st_x == st_p).all())
+    np.testing.assert_allclose(np.asarray(fq_p), np.asarray(fq_x),
+                               rtol=0, atol=1e-6)
