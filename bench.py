@@ -12,7 +12,10 @@ Method notes:
     the axon tunnel's result cache for identical executions
   * timing includes host->device scalar upload, camera, integration
     (Pallas kernel), classification, compositing and the device->host
-    image fetch — i.e. a full frame a user would see.
+    classification-count fetch that synchronizes the whole pipeline.
+    The rendered image itself stays device-resident (RenderResult is
+    lazy); pulling the 480 KB image adds ~5 ms of tunnel bandwidth on
+    top of the reported number.
   * stderr carries a second JSON line with per-stage timings and an
     ON-CHIP Pallas<->XLA parity block: the Mosaic-compiled kernel and the
     XLA while_loop backend render the same reduced-budget scene and are
