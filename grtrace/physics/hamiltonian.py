@@ -365,6 +365,15 @@ def fantasy_step_ord2_eq(state, delta, rs, cos_w, sin_w):
 # Compensated state layout: a 24-tuple — the 12-row equatorial layout
 # followed by its 12 deficit rows, so the Pallas tile machinery (packing,
 # masking, early exit) is shared with the uncompensated kernels.
+#
+# EVERY row's compensation is load-bearing — including the t rows, whose
+# coordinate value never reaches any output.  The copies' q_t difference
+# feeds p_t through the mixing rotation (dp_t = -0.5(sin*qt_dif +
+# omc*pt_dif)) and p_t feeds dH_r quadratically, so uncompensated q_t
+# rounding (eps*|t| with |t| growing to ~10^3) random-walks the dynamics.
+# Measured on chip at the 200k-step headline budget vs the f64 oracle:
+# plain-t variant max escape error 1.6e-5 (BREAKS the 1e-5 target),
+# full compensation 2.8e-6.  Do not "optimize" the t rows away.
 
 N_STATE_EQC = 24
 
