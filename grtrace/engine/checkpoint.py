@@ -4,7 +4,8 @@ The reference has no resume story — all state is dumped as artifacts at the
 end (SURVEY.md section 5, checkpoint row).  Here the integrator state is a
 first-class value: `integrate_chunked` advances the phase-space-doubled
 state by bounded chunks, returning an `IntegrationState` that can be saved
-(np.savez) and fed back in — resume is literally re-entering the while loop
+(single-file np.savez for '.npz' paths, an orbax checkpoint directory
+otherwise) and fed back in — resume is literally re-entering the while loop
 with the loaded carry.  Both backends are resumable: `advance` routes
 through the XLA masked while_loop or the Pallas kernel
 (integrate_pallas.advance_state_pallas) with identical masked-step
@@ -25,6 +26,18 @@ import numpy as np
 from ..physics.hamiltonian import N_STATE, pack_state, substep_schedule
 from .integrate import (STATUS_ALIVE, STATUS_CAPTURED, STATUS_ESCAPED,
                         _active_mask, _masked_step, jump_cap)
+
+
+def _abs(path) -> str:
+    import os
+    return os.path.abspath(str(path))
+
+
+def _orbax_checkpointer():
+    """Lazy orbax PyTreeCheckpointer (imported only for directory-format
+    checkpoints, so the npz path has zero extra dependencies)."""
+    import orbax.checkpoint as ocp
+    return ocp.PyTreeCheckpointer()
 
 
 @dataclasses.dataclass
@@ -66,17 +79,29 @@ class IntegrationState:
         return (self.steps_done >= self.steps_total
                 or not bool((self.status == STATUS_ALIVE).any()))
 
+    def _tree(self) -> dict:
+        return dict(state=np.asarray(self.state),
+                    n_steps=np.asarray(self.n_steps),
+                    meta=np.array([self.steps_total, self.steps_done]),
+                    params=np.array([self.delta, self.rs, self.r_max,
+                                     self.omega, float(self.order)]))
+
     def save(self, path: str) -> None:
-        np.savez_compressed(
-            path, state=np.asarray(self.state),
-            n_steps=np.asarray(self.n_steps),
-            meta=np.array([self.steps_total, self.steps_done]),
-            params=np.array([self.delta, self.rs, self.r_max, self.omega,
-                             float(self.order)]))
+        """Persist the carry.  A '.npz' path saves a single compressed file;
+        any other path saves an orbax checkpoint directory (the multi-frame
+        job format the TPU plan names, SURVEY section 5 — async-friendly,
+        per-array files, safe atomic finalization)."""
+        if str(path).endswith(".npz"):
+            np.savez_compressed(path, **self._tree())
+        else:
+            _orbax_checkpointer().save(_abs(path), self._tree(), force=True)
 
     @staticmethod
     def load(path: str) -> "IntegrationState":
-        z = np.load(path)
+        if str(path).endswith(".npz"):
+            z = np.load(path)
+        else:
+            z = _orbax_checkpointer().restore(_abs(path))
         meta = z["meta"]
         p = z["params"]
         return IntegrationState(

@@ -61,6 +61,26 @@ def test_save_load_resume(tmp_path, backend):
     np.testing.assert_array_equal(st2.n_steps, ref_x.n_steps)
 
 
+def test_save_load_orbax_directory_format(tmp_path):
+    """Non-.npz checkpoint paths use the orbax directory format (the
+    multi-frame-job checkpointing SURVEY section 5 names) — round trip
+    must be bit-exact and interoperate with further advancing."""
+    q0, p0 = _ics()
+    st = ckpt.start(q0, p0, **ARGS)
+    st = ckpt.advance(st, 500)
+    path = str(tmp_path / "ck_orbax")
+    st.save(path)
+    st2 = ckpt.IntegrationState.load(path)
+    assert st2.steps_done == 500
+    np.testing.assert_allclose(st2.state, st.state, rtol=0, atol=0)
+    np.testing.assert_array_equal(st2.n_steps, st.n_steps)
+    while not st2.done:
+        st2 = ckpt.advance(st2, 1000)
+    ref = ckpt.integrate_chunked(q0, p0, **ARGS, chunk_steps=10**9)
+    np.testing.assert_allclose(st2.final_q, ref.final_q, rtol=0, atol=0)
+    np.testing.assert_array_equal(st2.status, ref.status)
+
+
 def test_integrate_chunked_resume_flag(tmp_path):
     q0, p0 = _ics(4)
     path = str(tmp_path / "c2.npz")
