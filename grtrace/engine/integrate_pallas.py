@@ -109,11 +109,12 @@ def _make_kernel(step2_fn, n_rows, steps, n_sub, unroll=None,
 
         if staggered_flows is not None:
             open_fn, core_fn, close_fn = staggered_flows
-            act0 = _active(comps[1], rs, r_max)
-            d0 = subs[0][0]
-            opened = open_fn(comps, d0, rs)
-            comps = tuple(jnp.where(act0, o, c)
-                          for o, c in zip(opened, comps))
+            if steps > 0:  # steps == 0 must be an exact no-op
+                act0 = _active(comps[1], rs, r_max)
+                d0 = subs[0][0]
+                opened = open_fn(comps, d0, rs)
+                comps = tuple(jnp.where(act0, o, c)
+                              for o, c in zip(opened, comps))
 
         def masked_step(comps, ns):
             act = _active(comps[1], rs, r_max)
@@ -158,7 +159,7 @@ def _make_kernel(step2_fn, n_rows, steps, n_sub, unroll=None,
         for _ in range(steps % unroll):  # static remainder, preserves budget
             comps, ns = masked_step(comps, ns)
 
-        if staggered_flows is not None:
+        if staggered_flows is not None and steps > 0:
             # undo the pending half-A for every ray that was opened, except
             # those the guard parked at exactly r == rs (flow A divides by
             # r - rs there; their p/q2 are reverted garbage anyway)
