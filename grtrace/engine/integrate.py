@@ -182,8 +182,10 @@ def integrate_batch_compensated(q0s, p0s, steps, delta, rs, r_max, omega,
     n_steps0 = jnp.zeros(q0s.shape[:-1], dtype=jnp.int32)
 
     act0 = _active_mask(state0[1], rs, r_max)
-    opened = open_fn(state0, d0, rs)
-    state0 = tuple(jnp.where(act0, o, s) for o, s in zip(opened, state0))
+    if steps > 0:  # steps == 0 must be an exact no-op (matches the kernel)
+        opened = open_fn(state0, d0, rs)
+        state0 = tuple(jnp.where(act0, o, s)
+                       for o, s in zip(opened, state0))
 
     def step_all(state):
         for (d_i, omc_i, sin_i), br_i in zip(subs, bridges):
@@ -205,9 +207,11 @@ def integrate_batch_compensated(q0s, p0s, steps, delta, rs, r_max, omega,
                                            (state0, n_steps0, jnp.int32(0)))
 
     # undo the pending half-A (skip rays the guard parked at exactly r==rs)
-    closed = close_fn(state, d0, rs)
-    close_mask = act0 & (state[1] != rs)
-    state = tuple(jnp.where(close_mask, c, s) for c, s in zip(closed, state))
+    if steps > 0:
+        closed = close_fn(state, d0, rs)
+        close_mask = act0 & (state[1] != rs)
+        state = tuple(jnp.where(close_mask, c, s)
+                      for c, s in zip(closed, state))
 
     # fold deficits (true = s - c), rebuild 4-component q/p with the
     # invariant theta slots

@@ -84,8 +84,10 @@ def _make_kernel_ks(steps, n_sub):
         # half-A — one A (and its _kick_drift geometry evaluation) per
         # substep instead of two
         act0 = _active_ks(comps[1], comps[2], comps[3], a, r_cap, r_max)
-        opened = open_ks(comps, d0, mass, a, charge)
-        comps = tuple(jnp.where(act0, o, c) for o, c in zip(opened, comps))
+        if steps > 0:  # steps == 0 must be an exact no-op
+            opened = open_ks(comps, d0, mass, a, charge)
+            comps = tuple(jnp.where(act0, o, c)
+                          for o, c in zip(opened, comps))
 
         def masked_step(comps, ns):
             # inline _active_ks so r_old is computed once per step (it is
@@ -158,9 +160,10 @@ def _make_kernel_ks(steps, n_sub):
         # Schwarzschild kernel, no park exclusion is needed: the park
         # points are regular chart points, flow A cannot move q1, and a
         # parked ray's (p1, q2) are reverted bookkeeping values anyway.
-        closed = close_ks(comps, d0, mass, a, charge)
-        comps = tuple(jnp.where(act0, cl, c)
-                      for cl, c in zip(closed, comps))
+        if steps > 0:
+            closed = close_ks(comps, d0, mass, a, charge)
+            comps = tuple(jnp.where(act0, cl, c)
+                          for cl, c in zip(closed, comps))
 
         for i in range(N_ROWS):
             out_state_ref[0, i] = comps[i]
