@@ -130,7 +130,7 @@ def main():
     # stage breakdown from a separate instrumented call (requesting metrics
     # adds an n_steps host fetch, so it must stay out of the timed runs)
     metrics = RenderMetrics()
-    scene.observer_distance = _ulp_jitter(30.0, 4)
+    scene.observer_distance = _ulp_jitter(30.0, 6)  # 1..5 used by the loop
     render(scene, bg_array=tex, metrics=metrics)
 
     # render-level parity at a reduced budget: same scene, both backends

@@ -30,7 +30,10 @@ def main(argv=None):
     argv = sys.argv[1:] if argv is None else argv
     out = argv[0] if argv else "einsteinpy_ray.png"
 
-    # the notebook's scenario (einsteinpy_ray.ipynb cells 1, 4)
+    # the notebook's scenario (einsteinpy_ray.ipynb cells 1, 4) — integrate
+    # ONCE in spherical coordinates; the Cartesian DataFrame columns are a
+    # trig conversion away (the same conversion `trajectory` itself does
+    # when return_cartesian=True)
     geod = Nulllike(
         metric="Schwarzschild",
         metric_params=(0.0,),
@@ -39,27 +42,26 @@ def main(argv=None):
         steps=10_000,
         delta=0.001,
         omega=0.01,                 # small omega -> stable integration
-        return_cartesian=True,
+        return_cartesian=False,
         suppress_warnings=True,
     )
     print(f"Starting geodesic integration... {geod!r}")
-    lambdas, traj = geod.trajectory
+    lambdas, sph = geod.trajectory  # rows: t, r, th, ph, pt, pr, pth, pph
 
+    t, r, th, ph = sph[:, 0], sph[:, 1], sph[:, 2], sph[:, 3]
+    sin_th = np.sin(th)
     # the notebook's DataFrame (cell 8): t,x,y,z,pt,pr,pth,pph + radius
-    df = pd.DataFrame(traj,
-                      columns=["t", "x", "y", "z", "pt", "pr", "pth", "pph"])
+    df = pd.DataFrame({
+        "t": t, "x": r * sin_th * np.cos(ph), "y": r * sin_th * np.sin(ph),
+        "z": r * np.cos(th), "pt": sph[:, 4], "pr": sph[:, 5],
+        "pth": sph[:, 6], "pph": sph[:, 7]})
     df["r"] = np.linalg.norm(df[["x", "y", "z"]], axis=1)
     print(df.head())
     print(f"\n{len(df)} samples; r range [{df.r.min():.4f}, {df.r.max():.4f}]"
           "  (tangential at r0=4: impact parameter b = 4/sqrt(1-2/4) = 5.66"
           " > b_crit = 3*sqrt(3) = 5.196, so the ray slowly spirals out)")
 
-    # 4-panel lambda-coloured figure (cells 10-11) from the spherical
-    # trajectory (plot_geodesic expects (t, r, th, ph) rows)
-    geod_sph = Nulllike(position=(4.0, np.pi / 2, 0.0),
-                        momentum=(0.0, 1.0, 0.0), steps=10_000, delta=0.001,
-                        omega=0.01, return_cartesian=False)
-    _, sph = geod_sph.trajectory
+    # 4-panel lambda-coloured figure (cells 10-11) from the spherical rows
     plot_geodesic(sph[:, :4], mass_bh=1.0, step=25, out_path=out)
     print(f"wrote {out}")
 

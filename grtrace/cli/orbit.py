@@ -112,6 +112,8 @@ def main(argv=None):
     # keep the batch a multiple of the mesh frames-axis extent
     default_batch = max(fx, (default_batch // fx) * fx)
     batch = args.frames_per_batch or default_batch
+    if batch <= 0:
+        raise SystemExit("--frames-per-batch must be >= 1")
     bg_dev = jnp.asarray(bg, jnp.uint8)
     for start in range(0, len(todo), batch):
         ks = todo[start:start + batch]

@@ -35,7 +35,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..physics.hamiltonian import (fantasy_step_ord2_eq,
+from ..physics.hamiltonian import (bridge_sizes, fantasy_step_ord2_eq,
                                    fantasy_step_ord2_eqc,
                                    fantasy_step_ord2_fused, staggered_eq,
                                    staggered_eqc, yoshida_gammas)
@@ -303,6 +303,7 @@ def _substep_params(delta, rs, r_max, omega, order, compensated=False,
     bit-exact)."""
     gammas = yoshida_gammas(order)
     deltas = [g * delta for g in gammas]
+    bridges = bridge_sizes(deltas)
     scal = [rs, r_max]
     for j, d_i in enumerate(deltas):
         if compensated:
@@ -312,7 +313,7 @@ def _substep_params(delta, rs, r_max, omega, order, compensated=False,
             angle = 2.0 * omega * d_i
             trip = [d_i, jnp.cos(angle), jnp.sin(angle)]
         if staggered:
-            trip.append(0.5 * (d_i + deltas[(j + 1) % len(deltas)]))
+            trip.append(bridges[j])
         scal += trip
     return jnp.stack(scal), len(gammas)
 

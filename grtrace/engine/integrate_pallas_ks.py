@@ -23,9 +23,13 @@ SMEM.  Two Kerr-specific additions:
     exactly as the XLA path parks it (captured shell / the reference's
     r >= 100 numerical sentinel, raytracing.py:213-215).
 
-Statuses and parked coordinates are bit-compatible with
-integrate_batch_generic so the classify/composite stage downstream cannot
-tell which backend integrated the batch.
+Status codes and parked coordinates use the same values as
+integrate_batch_generic, so the classify/composite stage downstream treats
+both backends identically.  Exact guard-trip TIMING can differ by a step
+on captured plungers — the staggered (half-A-fused) composition rounds
+differently at the last ulp and the horizon blow-up amplifies that
+chaotically (see tests/test_pallas_ks.py) — which never changes a healthy
+ray's classification.
 """
 from __future__ import annotations
 
@@ -36,7 +40,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..physics.hamiltonian import yoshida_gammas
+from ..physics.hamiltonian import bridge_sizes, yoshida_gammas
 from ..physics.kerr_schild import (close_ks, core_ks, hamiltonian_ks,
                                    ks_radius_c, open_ks)
 from ..physics.spacetime import horizon_radius
@@ -102,15 +106,20 @@ def _make_kernel_ks(steps, n_sub):
                               charge)
 
             # --- null-invariant blow-up guard (== guard_cartesian) ---
-            # evaluated on the (q1, p2) rows: in the staggered state those
-            # hold the EXACT plain-composition boundary values (flow A
-            # never writes them), so the invariant test keeps its original
-            # sensitivity/threshold.  Finiteness of the 8 rows via one
-            # aggregate sum: any NaN/Inf component makes the sum
-            # non-finite (finite overflow to Inf only happens for ~1e38
-            # garbage, which must trip the guard anyway).  The |h| test is
-            # in negated-<= form so a NaN Hamiltonian also registers.
+            # The invariant |h| test runs on the (q1, p2) rows: in the
+            # staggered state those hold the EXACT plain-composition
+            # boundary values (flow A never writes them), so the test
+            # keeps its original sensitivity/threshold.  Finiteness must
+            # ALSO cover the A-written rows (p1): a blueshifted plunge can
+            # overflow the A(bridge) kick into p1 one step before the
+            # invariant trips, and a parked ray must never carry Inf/NaN
+            # momenta into photon_data.  One aggregate sum over q1+p1+p2:
+            # any NaN/Inf component makes the sum non-finite (finite
+            # overflow to Inf only happens for ~1e38 garbage, which must
+            # trip the guard anyway).  The |h| test is in negated-<= form
+            # so a NaN Hamiltonian also registers.
             agg = new[0] + new[1] + new[2] + new[3] \
+                + new[4] + new[5] + new[6] + new[7] \
                 + new[12] + new[13] + new[14] + new[15]
             finite = jnp.isfinite(agg)
             h = hamiltonian_ks(new[1], new[2], new[3], new[12], new[13],
@@ -120,8 +129,10 @@ def _make_kernel_ks(steps, n_sub):
             exploded = ~(finite & (jnp.abs(h) <= 3e-3 * p2n))
             r_new = ks_radius_c(new[1], new[2], new[3], a)
             crossed = finite & (r_new < r_plus) & ~exploded
-            inward = (comps[1] * comps[13] + comps[2] * comps[14]
-                      + comps[3] * comps[15]) < 0.0
+            # pre-step radial heading, p1 copy — same heuristic and copy
+            # as integrate_generic.guard_cartesian (q_old . p_old)
+            inward = (comps[1] * comps[5] + comps[2] * comps[6]
+                      + comps[3] * comps[7]) < 0.0
             capture = crossed | (exploded & (inward | (r_old < plunge_zone)))
             bad = exploded | crossed
             # fused guard + activity select chain (one pass over the rows;
@@ -261,11 +272,11 @@ def integrate_batch_pallas_ks(q0s, p0s, steps, delta, params, r_max, omega,
 
     gammas = yoshida_gammas(order)
     deltas = [g * delta for g in gammas]
+    bridges = bridge_sizes(deltas)
     scal = [mass, a, charge, r_cap, r_max, plunge_zone]
     for j, d_i in enumerate(deltas):
         angle = 2.0 * omega * d_i
-        scal += [d_i, jnp.cos(angle), jnp.sin(angle),
-                 0.5 * (d_i + deltas[(j + 1) % len(deltas)])]
+        scal += [d_i, jnp.cos(angle), jnp.sin(angle), bridges[j]]
     smem = jnp.stack(scal)
 
     if sort_rays:
