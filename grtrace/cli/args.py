@@ -129,8 +129,12 @@ def scene_from_args(args) -> SceneConfig:
         raise SystemExit("--spin requires --metric kerr (or kerr-bl)")
     if args.spin ** 2 + args.charge ** 2 > args.bh_mass ** 2:
         raise SystemExit("naked singularity: need a^2 + Q^2 <= M^2")
+    # user string -> SceneConfig.metric (engine.render routing): 'kerr'
+    # renders through the horizon-regular Kerr-Schild chart; 'kerr-bl'
+    # keeps the Boyer-Lindquist chart (passed through verbatim so the
+    # routing in engine.render stays the single source of truth)
     metric = {'schwarzschild': 'Schwarzschild', 'kerr': 'KerrSchild',
-              'kerr-bl': 'Kerr'}[args.metric]
+              'kerr-bl': 'kerr-bl'}[args.metric]
     return SceneConfig(
         size=args.size,
         fov_deg=args.fov,

@@ -186,9 +186,16 @@ def render(scene: SceneConfig, *, bg_array=None, n_samples=None, seed=0,
     # generic engines — the Schwarzschild fast path's analytic metric and
     # b_crit capture shortcut assume Q = 0.  Uncharged Schwarzschild keeps
     # its specialized path.
-    if scene_metric in ("kerr", "kerrschild", "kerr-schild") or charge != 0.0:
+    #
+    # Chart routing matches the CLI (cli/args.py): 'kerr' renders through
+    # the horizon-regular Cartesian Kerr-Schild chart (no polar-axis
+    # coordinate singularity, Pallas fast path); 'kerr-bl' selects the
+    # Boyer-Lindquist chart explicitly (near-axis rays there can be
+    # flagged as numerical errors — the BL theta singularity).
+    if (scene_metric in ("kerr", "kerr-bl", "kerrbl", "kerrschild",
+                         "kerr-schild") or charge != 0.0):
         from .render_generic import render_generic
-        metric = ("Kerr" if scene_metric == "kerr"
+        metric = ("Kerr" if scene_metric in ("kerr-bl", "kerrbl")
                   else "KerrSchild")  # schwarzschild+Q -> RN in the KS chart
         return render_generic(scene, spin=scene.spin, metric=metric,
                               bg_array=bg_array, dtype=dtype,

@@ -91,12 +91,16 @@ class SceneConfig:
     fov_deg: float = 80.0
     background: Optional[str] = "images/backgrounds/milky-way-equirec.jpg"
     bh_mass: float = 1.0
-    # beyond the reference: metric selection (engine.render_generic).
-    # 'Schwarzschild' runs the specialized fast path; 'Kerr' the generic
-    # autodiff engine with frame dragging.  spin = a, charge = Q with
-    # a^2 + Q^2 <= M^2 (Kerr-Newman family; charge != 0 always routes to
-    # the generic engines — Reissner-Nordstrom is metric='Schwarzschild'
-    # with charge set).
+    # beyond the reference: metric selection (routing in engine.render,
+    # case-insensitive).  'Schwarzschild' runs the specialized fast path;
+    # 'kerr' (or 'KerrSchild') renders spinning holes through the
+    # horizon-regular Cartesian Kerr-Schild chart — the production Kerr
+    # path, matching the CLI's --metric kerr; 'kerr-bl' selects the
+    # Boyer-Lindquist chart explicitly (its polar-axis coordinate
+    # singularity can flag near-axis rays as numerical errors).  spin = a,
+    # charge = Q with a^2 + Q^2 <= M^2 (Kerr-Newman family; charge != 0
+    # always routes to the generic engines — Reissner-Nordstrom is
+    # metric='Schwarzschild' with charge set).
     metric: str = "Schwarzschild"
     spin: float = 0.0
     charge: float = 0.0

@@ -86,7 +86,7 @@ def test_kn_cross_chart_agreement():
                                         backend="xla", dtype="float64"),
             patch=PatchConfig(), n_samples=0)
 
-    r_bl = render(scene("Kerr"))
+    r_bl = render(scene("kerr-bl"))
     r_ks = render(scene("KerrSchild"))
     cap_bl = np.asarray(r_bl.cls) == 0
     cap_ks = np.asarray(r_ks.cls) == 0

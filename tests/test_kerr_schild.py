@@ -71,7 +71,7 @@ def test_ks_render_shadow_matches_bl():
     """Shadow size must agree across charts at a = 0 within an edge pixel
     ring (the two engines differ only in near-critical edge handling)."""
     res_ks = render(_scene("KerrSchild", 0.0))
-    res_bl = render(_scene("Kerr", 0.0))
+    res_bl = render(_scene("kerr-bl", 0.0))
     cap_ks = np.asarray(res_ks.cls) == 0
     cap_bl = np.asarray(res_bl.cls) == 0
     assert res_ks.counts["numerical_error"] == 0
@@ -94,7 +94,7 @@ def test_ks_asymmetry_matches_bl_direction():
 
     size = 32
     s_ks = shift(render(_scene("KerrSchild", 0.9, size=size)), size)
-    s_bl = shift(render(_scene("Kerr", 0.9, size=size)), size)
+    s_bl = shift(render(_scene("kerr-bl", 0.9, size=size)), size)
     assert s_ks * s_bl > 0          # same side
     assert abs(s_ks) > 0.3          # and actually displaced
 
@@ -115,4 +115,4 @@ def test_cli_metric_mapping():
     sc = scene_from_args(parse_args(["--metric", "kerr", "--spin", "0.7"]))
     assert sc.metric == "KerrSchild"
     sc = scene_from_args(parse_args(["--metric", "kerr-bl", "--spin", "0.7"]))
-    assert sc.metric == "Kerr"
+    assert sc.metric == "kerr-bl"

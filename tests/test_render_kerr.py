@@ -15,7 +15,7 @@ def _scene(spin, size=24, steps=8000, delta=0.02):
     # the r>=100 failure detector, reference raytracing.py:213-215).
     return SceneConfig(
         size=size, fov_deg=80.0, observer_distance=30.0, boundary_radius=31.0,
-        metric="Kerr", spin=spin,
+        metric="kerr-bl", spin=spin,
         integrator=IntegratorConfig(steps=steps, delta=delta, omega=1.0,
                                     backend="xla", dtype="float64"),
         patch=PatchConfig(), n_samples=0)
@@ -98,7 +98,7 @@ def test_cli_spin_requires_kerr():
     assert sc.metric == "KerrSchild"   # kerr maps to the best-numerics chart
     assert sc.spin == 0.5
     sc = scene_from_args(parse_args(["--metric", "kerr-bl", "--spin", "0.5"]))
-    assert sc.metric == "Kerr"
+    assert sc.metric == "kerr-bl"
 
 
 def test_sampled_trajectories_respect_guard():
