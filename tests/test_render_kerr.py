@@ -101,6 +101,40 @@ def test_cli_spin_requires_kerr():
     assert sc.metric == "kerr-bl"
 
 
+def test_library_metric_kerr_routes_to_ks_chart(monkeypatch):
+    """SceneConfig(metric='kerr') must render through the Kerr-Schild
+    chart exactly like the CLI's --metric kerr; 'kerr-bl' opts into the
+    Boyer-Lindquist chart.  Routing is observed directly (a spy on
+    render_generic's metric argument) plus a pixel-identity check against
+    the explicit 'KerrSchild' spelling."""
+    import grtrace.engine.render_generic as rg
+    from grtrace.io.scene import IntegratorConfig, PatchConfig, SceneConfig
+
+    routed = []
+    orig = rg.render_generic
+
+    def spy(scene, *, metric, **kw):
+        routed.append(metric)
+        return orig(scene, metric=metric, **kw)
+
+    monkeypatch.setattr(rg, "render_generic", spy)
+
+    def scene(metric):
+        return SceneConfig(
+            size=16, fov_deg=60.0, observer_distance=30.0,
+            boundary_radius=31.0, metric=metric, spin=0.8,
+            integrator=IntegratorConfig(steps=3000, delta=0.05, omega=1.0,
+                                        backend="xla", dtype="float64"),
+            patch=PatchConfig(), n_samples=0)
+
+    r_kerr = render(scene("kerr"))
+    r_ks = render(scene("KerrSchild"))
+    render(scene("kerr-bl"))
+    assert routed == ["KerrSchild", "KerrSchild", "Kerr"]
+    assert r_kerr.counts == r_ks.counts
+    np.testing.assert_array_equal(r_kerr.cls, r_ks.cls)
+
+
 def test_sampled_trajectories_respect_guard():
     """The diagnostic sampler applies the SAME blow-up guard as the render
     integrator: a ray the image flags 'numerical error' must freeze at the
