@@ -79,7 +79,10 @@ def _parity_check(size, steps, delta, omega):
     # escape direction = boundary-sphere position angle; rays are folded to
     # the equator so the great-circle distance is the wrapped delta-phi
     dphi = np.abs(np.asarray(qa)[esc, 3] - np.asarray(qb)[esc, 3])
-    dphi = np.minimum(dphi, 2 * np.pi - dphi % (2 * np.pi))
+    # wrap FIRST so |dphi| > 2*pi (differing winding counts) still reports
+    # the great-circle difference, then fold to [0, pi]
+    dphi = dphi % (2 * np.pi)
+    dphi = np.minimum(dphi, 2 * np.pi - dphi)
     return {
         "steps": steps,
         "kernel_status_mismatch": int((sa != sb).sum()),
@@ -95,8 +98,14 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    import grtrace
     from grtrace import IntegratorConfig, PatchConfig, SceneConfig, render
     from grtrace.engine.metrics import RenderMetrics
+
+    # persistent compilation cache: the warm-up number reflects a cold
+    # process but not (after the first ever run on a machine) cold Mosaic
+    # compiles — the deeply-unrolled kernels cost minutes to rebuild
+    grtrace.enable_compilation_cache()
 
     size = 400
     steps = 200_000  # reference default budget (config.py:9)

@@ -39,7 +39,8 @@ from ..physics.hamiltonian import (bridge_sizes, fantasy_step_ord2_eq,
                                    fantasy_step_ord2_eqc,
                                    fantasy_step_ord2_fused, staggered_eq,
                                    staggered_eqc, yoshida_gammas)
-from .integrate import STATUS_ALIVE, STATUS_CAPTURED, STATUS_ESCAPED
+from .integrate import (STATUS_ALIVE, STATUS_CAPTURED, STATUS_ESCAPED,
+                        jump_cap)
 
 LANES = 128
 # Tile height swept on a real v5e chip at the 400x400/200k-step headline
@@ -66,10 +67,10 @@ def _active(q1r, rs, r_max):
 
 
 def _read_subs(params_ref, n_sub, staggered=False):
-    """SMEM layout: [rs, r_max, (d_j, c_j, s_j[, bridge_j]) x n_sub] —
-    triples for the plain step, quadruples for the staggered one."""
+    """SMEM layout: [rs, r_max, cap, (d_j, c_j, s_j[, bridge_j]) x n_sub]
+    — triples for the plain step, quadruples for the staggered one."""
     w = 4 if staggered else 3
-    return tuple(tuple(params_ref[2 + w * j + k] for k in range(w))
+    return tuple(tuple(params_ref[3 + w * j + k] for k in range(w))
                  for j in range(n_sub))
 
 
@@ -99,13 +100,16 @@ def _make_kernel(step2_fn, n_rows, steps, n_sub, unroll=None,
     def kernel(params_ref, state_ref, out_state_ref, ns_ref):
         rs = params_ref[0]
         r_max = params_ref[1]
+        # blow-up jump cap, computed host-side from the COMPOSED step delta
+        # (integrate.jump_cap) so the kernel guard matches the XLA twin's
+        # at every order (substep sizes gamma_j*delta differ from delta
+        # for order > 2)
+        cap = params_ref[2]
         subs = _read_subs(params_ref, n_sub,
                           staggered=staggered_flows is not None)
 
         comps = tuple(state_ref[0, i] for i in range(n_rows))
         ns0 = jnp.zeros((SUBLANES, LANES), dtype=jnp.int32)
-        cap = jnp.maximum(jnp.asarray(5.0, comps[1].dtype),
-                          20.0 * jnp.abs(subs[0][0]))
 
         if staggered_flows is not None:
             open_fn, core_fn, close_fn = staggered_flows
@@ -296,7 +300,7 @@ def _cost_sort_key(q0s, p0s, rs):
 
 def _substep_params(delta, rs, r_max, omega, order, compensated=False,
                     staggered=False):
-    """SMEM parameter vector [rs, r_max, (d_i, cos_i|omc_i, sin_i
+    """SMEM parameter vector [rs, r_max, cap, (d_i, cos_i|omc_i, sin_i
     [, bridge_i])...].  staggered=True appends the trailing-A bridge size
     0.5*(d_i + d_{(i+1) mod n}) to each substep (hamiltonian.bridge_sizes
     — computed identically here and in the XLA twin so the pair stays
@@ -304,7 +308,7 @@ def _substep_params(delta, rs, r_max, omega, order, compensated=False,
     gammas = yoshida_gammas(order)
     deltas = [g * delta for g in gammas]
     bridges = bridge_sizes(deltas)
-    scal = [rs, r_max]
+    scal = [rs, r_max, jump_cap(delta, delta.dtype)]
     for j, d_i in enumerate(deltas):
         if compensated:
             sh = jnp.sin(omega * d_i)

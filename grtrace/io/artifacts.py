@@ -32,12 +32,14 @@ def resolve_background(spec):
     loads when cwd happens to be the repo root.  Here a relative path that
     doesn't exist in cwd is searched in, in order:
       1. the repository root (parent of the grtrace package),
-      2. each directory in the GRTRACE_ASSET_PATH env var (colon-separated),
-      3. the read-only reference-asset mount /root/reference (this build
-         environment ships the reference's panoramas there).
-    Absolute paths, existing relative paths and procedural specs pass
-    through unchanged; an unresolvable spec is returned as-is (the caller's
-    background_available() check then reports it missing).
+      2. each directory in the GRTRACE_ASSET_PATH env var (colon-separated).
+    Asset search is therefore entirely env/config-driven — no machine-
+    specific paths are baked into the library (e.g. point
+    GRTRACE_ASSET_PATH at a mount of the reference repo to pick up its
+    shipped panoramas).  Absolute paths, existing relative paths and
+    procedural specs pass through unchanged; an unresolvable spec is
+    returned as-is (the caller's background_available() check then reports
+    it missing).
     """
     from . import textures
     if not spec or textures.is_procedural(spec) or os.path.isabs(spec):
@@ -49,7 +51,6 @@ def resolve_background(spec):
     roots = [pkg_root]
     roots += [d for d in os.environ.get("GRTRACE_ASSET_PATH",
                                         "").split(":") if d]
-    roots.append("/root/reference")
     for root in roots:
         cand = os.path.join(root, spec)
         if os.path.exists(cand):

@@ -8,8 +8,14 @@ NOTE: in this environment the axon TPU plugin ignores the JAX_PLATFORMS
 environment variable, so the platform must be forced through jax.config
 *before* any backend is initialized.
 """
+import os
+
 import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_enable_x64", True)
+
+# Asset resolution is env-driven (io.artifacts.resolve_background); this
+# build environment mounts the reference repo's panoramas at /root/reference.
+os.environ.setdefault("GRTRACE_ASSET_PATH", "/root/reference")
