@@ -16,12 +16,16 @@ Method notes:
     The rendered image itself stays device-resident (RenderResult is
     lazy); pulling the 480 KB image adds ~5 ms of tunnel bandwidth on
     top of the reported number.
-  * stderr carries a second JSON line with per-stage timings and an
-    ON-CHIP Pallas<->XLA parity block: the Mosaic-compiled kernel and the
-    XLA while_loop backend render the same reduced-budget scene and are
-    compared on classification counts and escape-direction agreement
-    (interpret-mode tests can't see Mosaic numerics; this runs on the real
-    chip every round).
+  * stderr carries a second JSON line with per-stage timings, an ON-CHIP
+    Pallas<->XLA parity block (the Mosaic-compiled kernel and the XLA
+    while_loop backend render the same reduced-budget scene and are
+    compared on classification counts and escape-direction agreement —
+    interpret-mode tests can't see Mosaic numerics; this runs on the real
+    chip every round), and an on-chip float32 VALIDATION block
+    (engine.validate): shadow boundaries vs closed-form GR (Schwarzschild
+    arcsin + Kerr Bardeen through the compensated Kerr-Schild kernel) and
+    KS kernel<->XLA-twin parity, so the accuracy claims are reproduced in
+    every round's driver artifact.
 """
 import json
 import sys
@@ -158,6 +162,19 @@ def main():
     parity["render_counts_xla"] = counts_xla
     parity["render_counts_equal"] = counts_pallas == counts_xla
 
+    # on-chip float32 validation vs closed-form GR (engine.validate):
+    # Schwarzschild arcsin boundary, Kerr a=0.9 Bardeen boundary through
+    # the compensated KS kernel, and KS kernel<->XLA-twin parity — the
+    # results the README quotes, reproduced in every driver artifact
+    from grtrace.engine import validate as val
+    t0 = time.time()
+    onchip = {
+        "schw": val.schwarzschild_shadow_error(),
+        "kerr": val.kerr_shadow_errors(),
+        "ks_parity": val.ks_kernel_parity(),
+    }
+    onchip["validate_s"] = round(time.time() - t0, 1)
+
     rays = size * size
     info = {
         "warmup_s": round(warm, 2),
@@ -167,6 +184,7 @@ def main():
         "backend": jax.default_backend(),
         "stages_s": {k: round(v, 4) for k, v in (metrics.stages or {}).items()},
         "parity": parity,
+        "onchip_validation": onchip,
     }
     print(json.dumps(info), file=sys.stderr)
 

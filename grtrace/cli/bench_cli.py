@@ -23,6 +23,9 @@ def main(argv=None):
     p.add_argument("--dtype", type=str, default="float32",
                    choices=["float32", "float64"])
     p.add_argument("--iters", type=int, default=3)
+    p.add_argument("--out", type=str, default=None,
+                   help="also write the JSON line to this file (the "
+                        "driver-artifact pattern: BENCH4K_r*.json)")
     args = p.parse_args(argv)
 
     from grtrace import IntegratorConfig, PatchConfig, SceneConfig, render
@@ -51,14 +54,27 @@ def main(argv=None):
         times.append(time.time() - t0)
     t = min(times)
     total_steps = int(res.n_steps.astype(np.int64).sum())
-    print(json.dumps({
-        "size": args.size, "steps_budget": args.steps,
+    # vs_baseline scales the driver's 1 s / 400^2 north-star target by ray
+    # count (same per-ray time budget), so e.g. the 4K config's target is
+    # (4096/400)^2 = 104.9 s and vs_baseline > 1 still means faster
+    target_s = (args.size / 400.0) ** 2
+    out = {
+        "metric": f"render_{args.size}x{args.size}_wall_s",
+        "value": round(t, 4),
+        "unit": "s",
+        "vs_baseline": round(target_s / t, 2),
+        "steps_budget": args.steps,
         "backend": args.backend, "dtype": args.dtype,
-        "warmup_s": round(warm, 2), "wall_s": round(t, 4),
+        "warmup_s": round(warm, 2),
         "rays_per_s": round(args.size * args.size / t),
         "geodesic_steps_per_s": round(total_steps / t),
         "counts": res.counts,
-    }))
+    }
+    line = json.dumps(out)
+    print(line)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(line + "\n")
 
 
 def console(argv=None):

@@ -53,6 +53,13 @@ def main(argv=None):
                         'amortizes the fixed per-execution host-device '
                         'round trip, measured ~45 ms on the axon tunnel: '
                         '256^2 orbits go from 17 to 34 frames/s)')
+    p.add_argument('--bench', action='store_true',
+                   help='after rendering, re-render every frame timed '
+                        '(compile already warm) and print one JSON line '
+                        'with steady-state frames/s')
+    p.add_argument('--out-json', type=str, default=None,
+                   help='with --bench: also write the JSON line here '
+                        '(the driver-artifact pattern: ORBIT_r*.json)')
     args = p.parse_args(argv)
 
     # same physics validation as the main CLI (cli/args.py)
@@ -115,31 +122,68 @@ def main(argv=None):
     if batch <= 0:
         raise SystemExit("--frames-per-batch must be >= 1")
     bg_dev = jnp.asarray(bg, jnp.uint8)
-    for start in range(0, len(todo), batch):
-        ks = todo[start:start + batch]
+
+    def render_batch(ks, obs_batch):
         if kerr:
-            out = render_kerr_sharded(
+            return render_kerr_sharded(
                 mesh, bg_dev,
-                obs[ks], np.float32(scene.fov), scene.bh_mass,
+                obs_batch, np.float32(scene.fov), scene.bh_mass,
                 args.spin, scene.boundary_radius, args.steps, args.delta,
                 1.0, np.pi / 2, phis[ks],
                 scene.patch.size_theta, scene.patch.size_phi,
                 height=args.size, width=args.size,
                 backend=kerr_backend, charge=args.charge)
-        else:
-            out = render_frames_sharded(
-                mesh, bg_dev,
-                obs[ks], np.float32(scene.fov), scene.bh_mass,
-                scene.boundary_radius, args.steps, args.delta, 1.0,
-                np.pi / 2, phis[ks],
-                scene.patch.size_theta, scene.patch.size_phi,
-                height=args.size, width=args.size,
-                backend=args.backend)
+        return render_frames_sharded(
+            mesh, bg_dev,
+            obs_batch, np.float32(scene.fov), scene.bh_mass,
+            scene.boundary_radius, args.steps, args.delta, 1.0,
+            np.pi / 2, phis[ks],
+            scene.patch.size_theta, scene.patch.size_phi,
+            height=args.size, width=args.size,
+            backend=args.backend)
+
+    for start in range(0, len(todo), batch):
+        ks = todo[start:start + batch]
+        out = render_batch(ks, obs[ks])
         imgs = np.asarray(out["image"])
         for j, k in enumerate(ks):
             artifacts.save_image(
                 imgs[j], os.path.join(frames_dir, f"frame_{k:04d}.png"))
         print(f"rendered frames {ks}")
+
+    if args.bench:
+        import json
+        import time
+        # steady state: everything above already compiled; re-render every
+        # frame, host-fetching the images (the fetch is what synchronizes
+        # through the axon tunnel).  The observer distance is jittered by
+        # one f32 ulp per pass to defeat the tunnel's result cache.
+        t0 = time.time()
+        n_done = 0
+        obs_j = obs + np.float32(np.abs(np.nextafter(obs[0], np.inf)
+                                        - obs[0]))
+        for start in range(0, args.frames, batch):
+            ks = list(range(start, min(start + batch, args.frames)))
+            np.asarray(render_batch(ks, obs_j[ks])["image"])
+            n_done += len(ks)
+        t = time.time() - t0
+        fps = n_done / t
+        # vs_baseline scales the driver's 1 s / 400^2 render target by ray
+        # count: target frame rate = (400/size)^2 fps
+        target_fps = (400.0 / args.size) ** 2
+        line = json.dumps({
+            "metric": f"orbit_{args.size}_frames_per_s",
+            "value": round(fps, 2),
+            "unit": "frames/s",
+            "vs_baseline": round(fps / target_fps, 2),
+            "frames": args.frames, "steps_budget": args.steps,
+            "metric_family": args.metric, "spin": args.spin,
+            "frames_per_batch": batch, "wall_s": round(t, 3),
+        })
+        print(line)
+        if args.out_json:
+            with open(args.out_json, "w") as f:
+                f.write(line + "\n")
 
     if args.gif:
         from PIL import Image

@@ -1,0 +1,226 @@
+"""Shared Kerr-Schild step machinery + the XLA twin of the KS kernels.
+
+The Pallas KS kernel (engine.integrate_pallas_ks) and the XLA twin here
+build their loop bodies from the SAME functions in this module — one
+source of truth for the staggered core composition, the null-invariant
+blow-up guard and the parking semantics — so kernel-vs-XLA parity checks
+compare Mosaic-vs-XLA compilation of identical code, exactly as the
+Schwarzschild pair does (engine.integrate.integrate_batch_compensated /
+the eqc kernel; the bench asserts zero mismatches on chip every round).
+
+All functions operate on component tuples of same-shape arrays: (N,)
+batches in the XLA twin, (8, 128) lane-major blocks inside the kernel.
+Layouts: 16-tuple plain (physics.kerr_schild, rows q1/p1/q2/p2 x t,x,y,z)
+or 32-tuple Kahan-compensated (rows + deficit rows, kerr_schild
+compensated section).
+
+The reference has no Kerr support at all (its GPU kernel hand-codes
+Schwarzschild only, simulation/cuda_geodesic.py:432-474); the guard
+semantics here mirror the generic autodiff engine's guard_cartesian
+(engine.integrate_generic) so every KS backend classifies identically.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..physics.hamiltonian import bridge_sizes, yoshida_gammas
+from ..physics.kerr_schild import (close_ks, close_ksc, core_ks, core_ksc,
+                                   hamiltonian_ks, ks_radius_c, open_ks,
+                                   open_ksc, pack_state_ksc, unpack_ksc)
+from ..physics.spacetime import horizon_radius
+from .integrate import STATUS_ALIVE, STATUS_CAPTURED, STATUS_ESCAPED
+
+
+def ks_scene_scalars(params, dtype):
+    """(mass, a, charge, r_cap, plunge_zone) traced scalars from a (2,) or
+    (3,) params array — computed ONCE here so the kernel wrapper and the
+    XLA twin agree bit-for-bit.
+
+    r_cap: Kerr-Schild is regular at r_+, but backward-traced rays freeze
+    exponentially toward the PAST horizon in any future chart, so capture
+    at a thin 1.05 shell (physics.spacetime.kerr_schild_g_inv docstring).
+    plunge_zone: outer edge of the photon region (retrograde circular
+    photon orbit, Bardeen 1973) — the guard's captured-vs-numerical
+    arbiter, same as integrate_generic.guard_cartesian (uncharged-Kerr
+    radius: a safe upper bound for Kerr-Newman, see there).
+    """
+    params = jnp.asarray(params, dtype)
+    mass, a = params[0], params[1]
+    charge = params[2] if params.shape[0] > 2 else jnp.zeros((), dtype)
+    r_cap = 1.05 * horizon_radius("Kerr", mass, a, charge)
+    plunge_zone = 2.0 * mass * (1.0 + jnp.cos(
+        (2.0 / 3.0) * jnp.arccos(-jnp.abs(a) / mass)))
+    return mass, a, charge, r_cap, plunge_zone
+
+
+def ks_substeps(delta, omega, order, compensated=False):
+    """Per-substep (d_j, cw_j, sw_j, bridge_j) quadruples for the staggered
+    schedule.  cw is cos(2 omega d) for the plain flows and one-minus-cos
+    (computed cancellation-free as 2 sin^2(omega d)) for the compensated
+    ones — whatever the layout's mixing flow expects."""
+    gammas = yoshida_gammas(order)
+    deltas = [g * delta for g in gammas]
+    bridges = bridge_sizes(deltas)
+    subs = []
+    for j, d_j in enumerate(deltas):
+        if compensated:
+            sh = jnp.sin(omega * d_j)
+            subs.append((d_j, 2.0 * sh * sh, jnp.sin(2.0 * omega * d_j),
+                         bridges[j]))
+        else:
+            angle = 2.0 * omega * d_j
+            subs.append((d_j, jnp.cos(angle), jnp.sin(angle), bridges[j]))
+    return tuple(subs)
+
+
+def make_ks_step(subs, mass, a, charge, r_cap, r_max, plunge_zone,
+                 compensated=False):
+    """(active, masked_step, open_fn, close_fn) for one KS integration.
+
+    active(comps) -> bool mask; masked_step(comps, ns) -> (comps, ns)
+    applies one full staggered composed step to active rays, with the
+    in-loop null-invariant blow-up guard and parking.  open_fn/close_fn
+    are the staggered boundary half-A flows (caller masks them by the
+    initially-active set; see the kernel / twin for the masking rules).
+    """
+    core = core_ksc if compensated else core_ks
+    open_raw = open_ksc if compensated else open_ks
+    close_raw = close_ksc if compensated else close_ks
+    r_plus = r_cap / 1.05
+
+    def open_fn(comps, d0):
+        return open_raw(comps, d0, mass, a, charge)
+
+    def close_fn(comps, d0):
+        return close_raw(comps, d0, mass, a, charge)
+
+    def active(comps):
+        r_bl = ks_radius_c(comps[1], comps[2], comps[3], a)
+        rho2 = comps[1] * comps[1] + comps[2] * comps[2] + comps[3] * comps[3]
+        return (r_bl > r_cap) & (rho2 < r_max * r_max)
+
+    def masked_step(comps, ns):
+        # inline `active` so r_old is computed once per step (reused by the
+        # plunge-zone test below)
+        r_old = ks_radius_c(comps[1], comps[2], comps[3], a)
+        rho2 = (comps[1] * comps[1] + comps[2] * comps[2]
+                + comps[3] * comps[3])
+        act = (r_old > r_cap) & (rho2 < r_max * r_max)
+        new = comps
+        for d_j, cw_j, sw_j, bridge_j in subs:
+            new = core(new, d_j, mass, a, cw_j, sw_j, bridge_j, charge)
+
+        # --- null-invariant blow-up guard (== guard_cartesian) ---
+        # The invariant |h| test runs on the (q1, p2) rows: in the
+        # staggered state those hold the EXACT plain-composition boundary
+        # values (flow A never writes them), so the test keeps its
+        # original sensitivity/threshold.  (Compensated layout: the raw
+        # accumulator rows are within 1 ulp of the best estimate — noise
+        # against the 3e-3 threshold.)  Finiteness covers ALL rows the
+        # flows write via one aggregate sum: any NaN/Inf component makes
+        # the sum non-finite (finite overflow to Inf only happens for
+        # ~1e38 garbage, which must trip the guard anyway).  The |h| test
+        # is in negated-<= form so a NaN Hamiltonian also registers.
+        agg = new[0]
+        for i in range(1, 16):
+            agg = agg + new[i]
+        finite = jnp.isfinite(agg)
+        h = hamiltonian_ks(new[1], new[2], new[3], new[12], new[13],
+                           new[14], new[15], mass, a, charge)
+        p2n = new[13] * new[13] + new[14] * new[14] \
+            + new[15] * new[15] + 1.0
+        exploded = ~(finite & (jnp.abs(h) <= 3e-3 * p2n))
+        r_new = ks_radius_c(new[1], new[2], new[3], a)
+        crossed = finite & (r_new < r_plus) & ~exploded
+        # pre-step radial heading, p1 copy — same heuristic and copy
+        # as integrate_generic.guard_cartesian (q_old . p_old)
+        inward = (comps[1] * comps[5] + comps[2] * comps[6]
+                  + comps[3] * comps[7]) < 0.0
+        capture = crossed | (exploded & (inward | (r_old < plunge_zone)))
+        bad = exploded | crossed
+        # fused guard + activity select chain (one pass over the rows;
+        # bad rays keep old values except the parked q1 coordinates):
+        # parked q1: captured -> (t, 0, 0, 0.5 r_cap) on-axis point
+        # (ks_radius == |z|); numerical -> (t, 150, 0, 0) sentinel
+        ok = act & ~bad
+        park = act & bad
+        out = [jnp.where(ok, n, o) for n, o in zip(new, comps)]
+        park_x = jnp.where(capture, 0.0, 150.0)
+        park_z = jnp.where(capture, 0.5 * r_cap, 0.0)
+        out[1] = jnp.where(park, park_x, out[1])
+        out[2] = jnp.where(park, 0.0, out[2])
+        out[3] = jnp.where(park, park_z, out[3])
+        if compensated:
+            # parked coordinates are fresh exact values: zero their deficits
+            for row in (17, 18, 19):
+                out[row] = jnp.where(park, 0.0, out[row])
+        return tuple(out), ns + act.astype(jnp.int32)
+
+    return active, masked_step, open_fn, close_fn
+
+
+def ks_status(final_q, a, r_cap, r_max):
+    """(N, 4) final positions -> status codes (shared by every KS backend)."""
+    r_bl = ks_radius_c(final_q[:, 1], final_q[:, 2], final_q[:, 3], a)
+    rho = jnp.linalg.norm(final_q[:, 1:], axis=1)
+    return jnp.where(r_bl <= r_cap, STATUS_CAPTURED,
+                     jnp.where(rho >= r_max, STATUS_ESCAPED, STATUS_ALIVE))
+
+
+@partial(jax.jit, static_argnames=("steps", "order"))
+def integrate_batch_ksc(q0s, p0s, steps, delta, params, r_max, omega,
+                        order=2):
+    """XLA twin of the compensated Pallas KS kernel.
+
+    Runs the EXACT step/guard construction the kernel compiles
+    (make_ks_step, compensated=True) through a lax.while_loop, so CPU
+    tests can validate the compensated Kerr math at full step budgets
+    without interpret-mode cost, and kernel-vs-XLA parity checks share one
+    source of truth.  Same contract as
+    integrate_batch_generic(metric='KerrSchild'): params = (M, a[, Q]),
+    returns (final_q, final_p, status, n_steps).
+    """
+    dtype = q0s.dtype
+    delta = jnp.asarray(delta, dtype)
+    r_max = jnp.asarray(r_max, dtype)
+    omega = jnp.asarray(omega, dtype)
+    mass, a, charge, r_cap, plunge_zone = ks_scene_scalars(params, dtype)
+    subs = ks_substeps(delta, omega, order, compensated=True)
+    active, masked_step, open_fn, close_fn = make_ks_step(
+        subs, mass, a, charge, r_cap, r_max, plunge_zone, compensated=True)
+    d0 = subs[0][0]
+
+    state0 = pack_state_ksc(q0s, p0s)
+    ns0 = jnp.zeros(q0s.shape[:-1], dtype=jnp.int32)
+
+    act0 = active(state0)
+    if steps > 0:  # steps == 0 must be an exact no-op (matches the kernel)
+        opened = open_fn(state0, d0)
+        state0 = tuple(jnp.where(act0, o, s) for o, s in zip(opened, state0))
+
+    def cond(carry):
+        comps, _, k = carry
+        return (k < steps) & jnp.any(active(comps))
+
+    def body(carry):
+        comps, ns, k = carry
+        comps, ns = masked_step(comps, ns)
+        return comps, ns, k + 1
+
+    comps, ns, _ = jax.lax.while_loop(cond, body, (state0, ns0, jnp.int32(0)))
+
+    # undo the pending half-A for every opened ray.  Unlike the
+    # Schwarzschild pair, no park exclusion is needed: the park points are
+    # regular chart points, flow A cannot move q1, and a parked ray's
+    # (p1, q2) are reverted bookkeeping values anyway.
+    if steps > 0:
+        closed = close_fn(comps, d0)
+        comps = tuple(jnp.where(act0, cl, c) for cl, c in zip(closed, comps))
+
+    best = unpack_ksc(comps)
+    final_q = jnp.stack(best[0:4], axis=-1)
+    final_p = jnp.stack(best[4:8], axis=-1)
+    return final_q, final_p, ks_status(final_q, a, r_cap, r_max), ns

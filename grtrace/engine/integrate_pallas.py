@@ -75,7 +75,7 @@ def _read_subs(params_ref, n_sub, staggered=False):
 
 
 def _make_kernel(step2_fn, n_rows, steps, n_sub, unroll=None,
-                 staggered_flows=None):
+                 staggered_flows=None, open_close=True):
     """Build the tile kernel for either layout (16-row generic / 12-row
     equatorial) and any composed order (n_sub = 3^((order-2)/2) substeps).
     The substep schedule is read from SMEM; the per-substep loop is a static
@@ -86,6 +86,11 @@ def _make_kernel(step2_fn, n_rows, steps, n_sub, unroll=None,
     one masked opening half-A, cores of B M B A(bridge) in the loop, one
     masked closing half-A — one flow-A evaluation per substep instead of
     two.  Used for the equatorial layouts; requires quadruple SMEM params.
+
+    open_close=False runs the staggered CORE loop only, on a state that is
+    already in staggered form — the resumable-chunk mode (the checkpoint
+    layer opens once at job start and closes once at finalize, so a
+    chunked job is bit-identical to the monolithic kernel).
     """
     if unroll is None:
         # Composed steps cost n_sub base steps; keep roughly UNROLL base
@@ -113,7 +118,7 @@ def _make_kernel(step2_fn, n_rows, steps, n_sub, unroll=None,
 
         if staggered_flows is not None:
             open_fn, core_fn, close_fn = staggered_flows
-            if steps > 0:  # steps == 0 must be an exact no-op
+            if open_close and steps > 0:  # steps == 0: an exact no-op
                 act0 = _active(comps[1], rs, r_max)
                 d0 = subs[0][0]
                 opened = open_fn(comps, d0, rs)
@@ -163,7 +168,7 @@ def _make_kernel(step2_fn, n_rows, steps, n_sub, unroll=None,
         for _ in range(steps % unroll):  # static remainder, preserves budget
             comps, ns = masked_step(comps, ns)
 
-        if staggered_flows is not None and steps > 0:
+        if staggered_flows is not None and open_close and steps > 0:
             # undo the pending half-A for every ray that was opened, except
             # those the guard parked at exactly r == rs (flow A divides by
             # r - rs there; their p/q2 are reverted garbage anyway)
@@ -180,9 +185,9 @@ def _make_kernel(step2_fn, n_rows, steps, n_sub, unroll=None,
 
 
 @partial(jax.jit, static_argnames=("steps", "interpret", "n_rows", "n_sub",
-                                   "unroll", "staggered"))
+                                   "unroll", "staggered", "open_close"))
 def _integrate_tiles(state, params, steps, interpret=False, n_rows=16,
-                     n_sub=1, unroll=None, staggered=False):
+                     n_sub=1, unroll=None, staggered=False, open_close=True):
     """state: (T, n_rows, 8, 128), params: (2+w*n_sub,) SMEM scalars with
     w=3 plain / w=4 staggered (see _substep_params).
 
@@ -197,7 +202,7 @@ def _integrate_tiles(state, params, steps, interpret=False, n_rows=16,
     flows = ({12: staggered_eq, 24: staggered_eqc}[n_rows]
              if staggered else None)
     kernel = _make_kernel(step2, n_rows, steps, n_sub, unroll=unroll,
-                          staggered_flows=flows)
+                          staggered_flows=flows, open_close=open_close)
     out_state, ns = pl.pallas_call(
         kernel,
         grid=(num_tiles,),
@@ -362,6 +367,50 @@ def advance_state_pallas(state16, steps, delta, rs, r_max, omega, order=2,
                                unroll=1 if interpret else None)
     out16 = out.transpose(1, 0, 2, 3).reshape(16, -1)[:, :n]
     return out16, ns.reshape(-1)[:n]
+
+
+@partial(jax.jit, static_argnames=("steps", "order", "interpret"))
+def advance_state_pallas_eqc(state24, steps, delta, rs, r_max, omega,
+                             order=2, interpret=False):
+    """Advance a (24, N) STAGGERED compensated equatorial state by at most
+    `steps` masked steps through the production (Kahan double-float32)
+    Pallas kernel.
+
+    The resumable-checkpoint twin of the compensated fast path: the carry
+    is the staggered 24-row state (12 equatorial rows + 12 Kahan deficit
+    rows, already opened by checkpoint.start — the kernel runs CORE steps
+    only, open_close=False), so a chunked job applies exactly the same
+    core-step sequence as the monolithic kernel and the results are
+    bit-identical.  The closing half-A happens once, at
+    checkpoint finalization.  No cost-sorting: the caller owns ray order
+    across chunks.
+
+    Returns (state24, n_steps_applied) with n_steps_applied (N,) int32.
+    """
+    dtype = state24.dtype
+    delta = jnp.asarray(delta, dtype)
+    rs = jnp.asarray(rs, dtype)
+    r_max = jnp.asarray(r_max, dtype)
+    params, n_sub = _substep_params(delta, rs, r_max, omega, order,
+                                    compensated=True, staggered=True)
+
+    n = state24.shape[1]
+    num_tiles = -(-n // TILE)
+    n_pad = num_tiles * TILE
+    # park padding rays outside the domain (born inactive)
+    pad_col = jnp.zeros((24,), dtype).at[1].set(2.0 * r_max)
+    pad_col = pad_col.at[7].set(2.0 * r_max)
+    comp = jnp.concatenate(
+        [state24, jnp.broadcast_to(pad_col[:, None], (24, n_pad - n))],
+        axis=1)
+    tiles = comp.reshape(24, num_tiles, SUBLANES, LANES).transpose(1, 0, 2, 3)
+
+    out, ns = _integrate_tiles(tiles, params, steps, interpret=interpret,
+                               n_rows=24, n_sub=n_sub,
+                               unroll=1 if interpret else None,
+                               staggered=True, open_close=False)
+    out24 = out.transpose(1, 0, 2, 3).reshape(24, -1)[:, :n]
+    return out24, ns.reshape(-1)[:n]
 
 
 @partial(jax.jit, static_argnames=("steps", "interpret", "sort_rays",

@@ -8,8 +8,8 @@ Cartesian Kerr-Schild coordinates (physics.kerr_schild, hand-derived
 flows pinned to the autodiff engine by tests).
 
 Same design as the Schwarzschild kernel (see integrate_pallas's module
-docstring): rays on the VPU lane axis as (16, 8, 128) component tiles, a
-per-tile `lax.while_loop` with early exit once every ray in the tile has
+docstring): rays on the VPU lane axis as (16|32, 8, 128) component tiles,
+a per-tile `lax.while_loop` with early exit once every ray in the tile has
 retired, masked UNROLL-step groups between exit checks, scalar params in
 SMEM.  Two Kerr-specific additions:
 
@@ -22,6 +22,17 @@ SMEM.  Two Kerr-specific additions:
     Hamiltonian invariant detects that immediately and the ray is parked
     exactly as the XLA path parks it (captured shell / the reference's
     r >= 100 numerical sentinel, raytracing.py:213-215).
+
+The loop body, guard and parking come verbatim from engine.integrate_ks
+(make_ks_step) — ONE source of truth shared with the XLA twin
+integrate_batch_ksc, so kernel-vs-XLA parity is Mosaic-vs-XLA compilation
+of identical code.
+
+compensated=True runs the Kahan double-float32 layout (32 rows: state +
+deficit rows, physics.kerr_schild compensated section), pinning f32
+escape/shadow accuracy near the f64 oracle instead of the ~3 px
+prograde-shadow-edge drift of the plain f32 flows.  It is the production
+f32 path (engine.render_generic auto-selects it).
 
 Status codes and parked coordinates use the same values as
 integrate_batch_generic, so the classify/composite stage downstream treats
@@ -40,16 +51,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..physics.hamiltonian import bridge_sizes, yoshida_gammas
-from ..physics.kerr_schild import (close_ks, core_ks, hamiltonian_ks,
-                                   ks_radius_c, open_ks)
-from ..physics.spacetime import horizon_radius
-from .integrate import STATUS_ALIVE, STATUS_CAPTURED, STATUS_ESCAPED
+from .integrate_ks import (ks_scene_scalars, ks_status, ks_substeps,
+                           make_ks_step)
 from .integrate_pallas import LANES, SUBLANES, TILE
 
 N_ROWS = 16
+N_ROWS_C = 32  # Kahan-compensated layout: 16 state + 16 deficit rows
 N_SCAL = 6  # mass, a, charge, r_cap, r_max, plunge_zone (+ 4 per substep:
-#             d_j, cos_j, sin_j, bridge_j — staggered schedule)
+#             d_j, cw_j, sw_j, bridge_j — staggered schedule)
 # The KS step body is ~4x heavier than the equatorial Schwarzschild one, so
 # the any(active)/loop overhead amortizes sooner: interleaved on-chip A/B at
 # 256^2/30k-step spin-0.9 gave 16 -> 0.0794 s vs 64 -> 0.0813 s.  Unlike the
@@ -57,14 +66,10 @@ N_SCAL = 6  # mass, a, charge, r_cap, r_max, plunge_zone (+ 4 per substep:
 UNROLL = 16
 
 
-def _active_ks(q1x, q1y, q1z, a, r_cap, r_max):
-    r_bl = ks_radius_c(q1x, q1y, q1z, a)
-    rho2 = q1x * q1x + q1y * q1y + q1z * q1z
-    return (r_bl > r_cap) & (rho2 < r_max * r_max)
-
-
-def _make_kernel_ks(steps, n_sub):
-    unroll = max(1, UNROLL // n_sub)
+def _make_kernel_ks(steps, n_sub, compensated=False, unroll=None):
+    if unroll is None:
+        unroll = max(1, UNROLL // n_sub)
+    n_rows = N_ROWS_C if compensated else N_ROWS
 
     def kernel(params_ref, state_ref, out_state_ref, ns_ref):
         mass = params_ref[0]
@@ -73,88 +78,32 @@ def _make_kernel_ks(steps, n_sub):
         r_cap = params_ref[3]
         r_max = params_ref[4]
         plunge_zone = params_ref[5]
-        subs = tuple((params_ref[N_SCAL + 4 * j],
-                      params_ref[N_SCAL + 1 + 4 * j],
-                      params_ref[N_SCAL + 2 + 4 * j],
-                      params_ref[N_SCAL + 3 + 4 * j]) for j in range(n_sub))
-        r_plus = r_cap / 1.05
+        subs = tuple(tuple(params_ref[N_SCAL + 4 * j + k] for k in range(4))
+                     for j in range(n_sub))
         d0 = subs[0][0]
 
-        comps = tuple(state_ref[0, i] for i in range(N_ROWS))
+        active, masked_step, open_fn, close_fn = make_ks_step(
+            subs, mass, a, charge, r_cap, r_max, plunge_zone,
+            compensated=compensated)
+
+        comps = tuple(state_ref[0, i] for i in range(n_rows))
         ns0 = jnp.zeros((SUBLANES, LANES), dtype=jnp.int32)
 
         # staggered loop (see physics.kerr_schild staggered section): one
         # masked opening half-A, cores of B M B A(bridge), one closing
         # half-A — one A (and its _kick_drift geometry evaluation) per
         # substep instead of two
-        act0 = _active_ks(comps[1], comps[2], comps[3], a, r_cap, r_max)
+        act0 = active(comps)
         if steps > 0:  # steps == 0 must be an exact no-op
-            opened = open_ks(comps, d0, mass, a, charge)
+            opened = open_fn(comps, d0)
             comps = tuple(jnp.where(act0, o, c)
                           for o, c in zip(opened, comps))
-
-        def masked_step(comps, ns):
-            # inline _active_ks so r_old is computed once per step (it is
-            # reused by the plunge-zone test below)
-            r_old = ks_radius_c(comps[1], comps[2], comps[3], a)
-            rho2 = (comps[1] * comps[1] + comps[2] * comps[2]
-                    + comps[3] * comps[3])
-            act = (r_old > r_cap) & (rho2 < r_max * r_max)
-            new = comps
-            for d_i, cos_i, sin_i, bridge_i in subs:
-                new = core_ks(new, d_i, mass, a, cos_i, sin_i, bridge_i,
-                              charge)
-
-            # --- null-invariant blow-up guard (== guard_cartesian) ---
-            # The invariant |h| test runs on the (q1, p2) rows: in the
-            # staggered state those hold the EXACT plain-composition
-            # boundary values (flow A never writes them), so the test
-            # keeps its original sensitivity/threshold.  Finiteness must
-            # ALSO cover the A-written rows (p1): a blueshifted plunge can
-            # overflow the A(bridge) kick into p1 one step before the
-            # invariant trips, and a parked ray must never carry Inf/NaN
-            # momenta into photon_data.  One aggregate sum over q1+p1+p2:
-            # any NaN/Inf component makes the sum non-finite (finite
-            # overflow to Inf only happens for ~1e38 garbage, which must
-            # trip the guard anyway).  The |h| test is in negated-<= form
-            # so a NaN Hamiltonian also registers.
-            agg = new[0] + new[1] + new[2] + new[3] \
-                + new[4] + new[5] + new[6] + new[7] \
-                + new[12] + new[13] + new[14] + new[15]
-            finite = jnp.isfinite(agg)
-            h = hamiltonian_ks(new[1], new[2], new[3], new[12], new[13],
-                               new[14], new[15], mass, a, charge)
-            p2n = new[13] * new[13] + new[14] * new[14] \
-                + new[15] * new[15] + 1.0
-            exploded = ~(finite & (jnp.abs(h) <= 3e-3 * p2n))
-            r_new = ks_radius_c(new[1], new[2], new[3], a)
-            crossed = finite & (r_new < r_plus) & ~exploded
-            # pre-step radial heading, p1 copy — same heuristic and copy
-            # as integrate_generic.guard_cartesian (q_old . p_old)
-            inward = (comps[1] * comps[5] + comps[2] * comps[6]
-                      + comps[3] * comps[7]) < 0.0
-            capture = crossed | (exploded & (inward | (r_old < plunge_zone)))
-            bad = exploded | crossed
-            # fused guard + activity select chain (one pass over the rows;
-            # bad rays keep old values except the parked q1 coordinates):
-            # parked q1: captured -> (t, 0, 0, 0.5 r_cap) on-axis point
-            # (ks_radius == |z|); numerical -> (t, 150, 0, 0) sentinel
-            ok = act & ~bad
-            park = act & bad
-            out = [jnp.where(ok, n, o) for n, o in zip(new, comps)]
-            park_x = jnp.where(capture, 0.0, 150.0)
-            park_z = jnp.where(capture, 0.5 * r_cap, 0.0)
-            out[1] = jnp.where(park, park_x, out[1])
-            out[2] = jnp.where(park, 0.0, out[2])
-            out[3] = jnp.where(park, park_z, out[3])
-            return tuple(out), ns + act.astype(jnp.int32)
 
         main_iters = steps // unroll
 
         def cond(carry):
             k, comps, _ = carry
-            return (k < main_iters) & jnp.any(
-                _active_ks(comps[1], comps[2], comps[3], a, r_cap, r_max))
+            return (k < main_iters) & jnp.any(active(comps))
 
         def body(carry):
             k, comps, ns = carry
@@ -172,30 +121,37 @@ def _make_kernel_ks(steps, n_sub):
         # points are regular chart points, flow A cannot move q1, and a
         # parked ray's (p1, q2) are reverted bookkeeping values anyway.
         if steps > 0:
-            closed = close_ks(comps, d0, mass, a, charge)
+            closed = close_fn(comps, d0)
             comps = tuple(jnp.where(act0, cl, c)
                           for cl, c in zip(closed, comps))
 
-        for i in range(N_ROWS):
+        for i in range(n_rows):
             out_state_ref[0, i] = comps[i]
         ns_ref[0, 0] = ns
 
     return kernel
 
 
-@partial(jax.jit, static_argnames=("steps", "interpret", "n_sub"))
-def _integrate_tiles_ks(state, params, steps, interpret=False, n_sub=1):
+@partial(jax.jit, static_argnames=("steps", "interpret", "n_sub",
+                                   "compensated"))
+def _integrate_tiles_ks(state, params, steps, interpret=False, n_sub=1,
+                        compensated=False):
     num_tiles = state.shape[0]
+    n_rows = state.shape[1]
     dtype = state.dtype
-    kernel = _make_kernel_ks(steps, n_sub)
+    # interpret mode gets unroll=1: bit-identical results (masked no-op
+    # steps and the exact-budget remainder are unchanged) but a 16x
+    # smaller trace, which dominates interpret-mode wall time on CPU
+    kernel = _make_kernel_ks(steps, n_sub, compensated=compensated,
+                             unroll=1 if interpret else None)
     out_state, ns = pl.pallas_call(
         kernel,
         grid=(num_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                  pl.BlockSpec((1, N_ROWS, SUBLANES, LANES),
+                  pl.BlockSpec((1, n_rows, SUBLANES, LANES),
                                lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=(pl.BlockSpec((1, N_ROWS, SUBLANES, LANES),
+        out_specs=(pl.BlockSpec((1, n_rows, SUBLANES, LANES),
                                 lambda i: (i, 0, 0, 0),
                                 memory_space=pltpu.VMEM),
                    pl.BlockSpec((1, 1, SUBLANES, LANES),
@@ -209,19 +165,23 @@ def _integrate_tiles_ks(state, params, steps, interpret=False, n_sub=1):
     return out_state, ns
 
 
-def _pack_tiles_ks(q0s, p0s, r_max):
-    """(N, 4) q/p -> (T, 16, 8, 128) tiles; padding rays parked outside the
-    boundary sphere (x = 2 r_max) so they are born inactive."""
+def _pack_tiles_ks(q0s, p0s, r_max, compensated=False):
+    """(N, 4) q/p -> (T, n_rows, 8, 128) tiles; padding rays parked outside
+    the boundary sphere (x = 2 r_max) so they are born inactive.
+    compensated=True appends 16 zero Kahan-deficit rows."""
     n = q0s.shape[0]
     num_tiles = -(-n // TILE)
     n_pad = num_tiles * TILE
 
     comp = jnp.concatenate([q0s.T, p0s.T, q0s.T, p0s.T], axis=0)
-    pad_col = jnp.zeros((N_ROWS,), comp.dtype).at[1].set(2.0 * r_max)
+    if compensated:
+        comp = jnp.concatenate([comp, jnp.zeros_like(comp)], axis=0)
+    n_rows = comp.shape[0]
+    pad_col = jnp.zeros((n_rows,), comp.dtype).at[1].set(2.0 * r_max)
     pad_col = pad_col.at[9].set(2.0 * r_max)
-    pad = jnp.broadcast_to(pad_col[:, None], (N_ROWS, n_pad - n))
+    pad = jnp.broadcast_to(pad_col[:, None], (n_rows, n_pad - n))
     comp = jnp.concatenate([comp, pad], axis=1)
-    state = comp.reshape(N_ROWS, num_tiles, SUBLANES,
+    state = comp.reshape(n_rows, num_tiles, SUBLANES,
                          LANES).transpose(1, 0, 2, 3)
     return state, n
 
@@ -243,40 +203,29 @@ def _cost_sort_key_ks(q0s, p0s, mass):
 
 
 @partial(jax.jit, static_argnames=("steps", "interpret", "sort_rays",
-                                   "order"))
+                                   "order", "compensated"))
 def integrate_batch_pallas_ks(q0s, p0s, steps, delta, params, r_max, omega,
-                              interpret=False, sort_rays=True, order=2):
+                              interpret=False, sort_rays=True, order=2,
+                              compensated=False):
     """Drop-in replacement for integrate_batch_generic(metric='KerrSchild')
     on TPU: same (final_q, final_p, status, n_steps) contract, same capture
     shell, parking coordinates and status codes, plus per-tile early exit
     and cost-sorted tiling for wall-clock.
 
     params = (M, a) or (M, a, Q) (traced; the Kerr-Newman charge rides a
-    third slot); delta/r_max/omega traced; steps/order static.
+    third slot); delta/r_max/omega traced; steps/order/compensated static.
+    compensated=True runs the Kahan double-float32 kernel (XLA twin:
+    integrate_ks.integrate_batch_ksc).
     """
     dtype = q0s.dtype
-    params = jnp.asarray(params, dtype)
-    mass, a = params[0], params[1]
-    charge = params[2] if params.shape[0] > 2 else jnp.zeros((), dtype)
     delta = jnp.asarray(delta, dtype)
     r_max = jnp.asarray(r_max, dtype)
     omega = jnp.asarray(omega, dtype)
-
-    r_plus = horizon_radius("Kerr", mass, a, charge)
-    r_cap = 1.05 * r_plus
-    # outer edge of the photon region (retrograde circular photon orbit,
-    # Bardeen 1973) — the plunge zone of integrate_generic.guard_cartesian
-    # (uncharged-Kerr radius: a safe upper bound for Kerr-Newman, see there)
-    plunge_zone = 2.0 * mass * (1.0 + jnp.cos(
-        (2.0 / 3.0) * jnp.arccos(-jnp.abs(a) / mass)))
-
-    gammas = yoshida_gammas(order)
-    deltas = [g * delta for g in gammas]
-    bridges = bridge_sizes(deltas)
+    mass, a, charge, r_cap, plunge_zone = ks_scene_scalars(params, dtype)
+    subs = ks_substeps(delta, omega, order, compensated=compensated)
     scal = [mass, a, charge, r_cap, r_max, plunge_zone]
-    for j, d_i in enumerate(deltas):
-        angle = 2.0 * omega * d_i
-        scal += [d_i, jnp.cos(angle), jnp.sin(angle), bridges[j]]
+    for sub in subs:
+        scal += list(sub)
     smem = jnp.stack(scal)
 
     if sort_rays:
@@ -284,12 +233,16 @@ def integrate_batch_pallas_ks(q0s, p0s, steps, delta, params, r_max, omega,
         q0s = q0s[sort_idx]
         p0s = p0s[sort_idx]
 
-    state, n = _pack_tiles_ks(q0s, p0s, r_max)
+    state, n = _pack_tiles_ks(q0s, p0s, r_max, compensated=compensated)
     out_state, ns = _integrate_tiles_ks(state, smem, steps,
                                         interpret=interpret,
-                                        n_sub=len(gammas))
+                                        n_sub=len(subs),
+                                        compensated=compensated)
 
-    comp = out_state.transpose(1, 0, 2, 3).reshape(N_ROWS, -1)[:, :n]
+    n_rows = out_state.shape[1]
+    comp = out_state.transpose(1, 0, 2, 3).reshape(n_rows, -1)[:, :n]
+    if compensated:  # fold the Kahan deficits (true = s - c)
+        comp = comp[:16] - comp[16:]
     final_q = comp[0:4].T
     final_p = comp[4:8].T
     n_steps = ns.reshape(-1)[:n]
@@ -300,8 +253,4 @@ def integrate_batch_pallas_ks(q0s, p0s, steps, delta, params, r_max, omega,
         final_p = final_p[inverse]
         n_steps = n_steps[inverse]
 
-    r_bl = ks_radius_c(final_q[:, 1], final_q[:, 2], final_q[:, 3], a)
-    rho = jnp.linalg.norm(final_q[:, 1:], axis=1)
-    status = jnp.where(r_bl <= r_cap, STATUS_CAPTURED,
-                       jnp.where(rho >= r_max, STATUS_ESCAPED, STATUS_ALIVE))
-    return final_q, final_p, status, n_steps
+    return final_q, final_p, ks_status(final_q, a, r_cap, r_max), n_steps

@@ -58,9 +58,15 @@ def render_pixels_generic(bg_array, obs_x, fov, mass, spin, boundary_radius,
     n = height * width
     if backend == "pallas" and metric == "KerrSchild":
         from .integrate_pallas_ks import integrate_batch_pallas_ks
+        # float32 production renders get the Kahan-compensated kernel: it
+        # pins the high-spin shadow boundary at sub-pixel vs the f64
+        # oracle where the plain f32 flows drift ~3 px at the prograde
+        # edge (see physics.kerr_schild compensated section); float64
+        # keeps the plain kernel (already at roundoff).
         final_q, final_p, status, n_steps = integrate_batch_pallas_ks(
             q0.reshape(n, 4), p0.reshape(n, 4), steps, delta, params,
-            boundary_radius, omega, order=order)
+            boundary_radius, omega, order=order,
+            compensated=dtype == jnp.float32)
     else:
         final_q, final_p, status, n_steps = integrate_batch_generic(
             q0.reshape(n, 4), p0.reshape(n, 4), steps, delta, params,

@@ -1,0 +1,243 @@
+"""On-chip float32 validation against closed-form GR.
+
+The CPU test suite pins the physics in float64 (tests/test_shadow_analytic)
+and pins the Mosaic kernels to their XLA twins in interpret mode — but
+neither sees what the MOSAIC-COMPILED float32 production path computes on
+real hardware.  This module closes that gap with checks cheap enough to run
+inside every benchmark invocation (bench.py embeds the results in its
+stderr JSON, so every round's driver artifact carries them):
+
+  * `schwarzschild_shadow_error` — the f32 production kernel's shadow
+    boundary vs the exact arcsin formula (sin(alpha) = b_crit sqrt(f)/r0,
+    b_crit = 3 sqrt(3) M), sub-pixel bisection along image azimuths.
+  * `kerr_shadow_errors` — the compensated f32 Kerr-Schild kernel's
+    shadow boundary vs the Bardeen (1973) radial-potential construction,
+    per azimuth; the prograde extremity is the hardest accuracy regime in
+    the framework (plain f32 drifts ~3 px there).
+  * `ks_kernel_parity` — the compensated KS kernel vs its XLA twin
+    (engine.integrate_ks.integrate_batch_ksc) on the same device: both
+    compile the same step functions, so any disagreement is a
+    Mosaic-vs-XLA compilation difference, the exact blind spot of
+    interpret-mode CPU tests.
+
+Everything here also runs on CPU (backend='xla' / interpret=True), so the
+module itself is covered by the ordinary test suite.
+
+Boundary positions are quoted in 256x256-image pixels regardless of probe
+resolution (matching tests/test_shadow_analytic and the README numbers).
+Scene: observer at r0 = 30 M on +x, fov 80 deg, boundary sphere 31 M —
+the headline configuration.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+R0 = 30.0
+FOV = np.radians(80.0)
+SIZE = 256                      # pixel scale the errors are quoted at
+BOUNDARY = 31.0
+PLANE_D = 0.2 * R0              # image plane distance (raytracing.py:60-88)
+PLANE_W = 2.0 * PLANE_D * np.tan(FOV / 2.0)
+N_PSI = 8
+PSIS = np.linspace(0.0, 2 * np.pi, N_PSI, endpoint=False)
+
+
+def _pixel_positions(rho_px, psi):
+    """Continuous pixel radius (256-image units) + azimuth -> image-plane
+    points (same plane geometry as physics.camera.pixel_grid)."""
+    off = np.asarray(rho_px) / SIZE * PLANE_W
+    y = off * np.cos(psi)
+    z = off * np.sin(psi)
+    x = np.full_like(y, R0 - PLANE_D)
+    return np.stack([x, y, z], axis=-1)
+
+
+def bisect_boundary(escape_fn, lo, hi, rounds=3, k=17):
+    """Per-azimuth radial bisection of the capture->escape transition.
+
+    escape_fn((P, K) pixel radii) -> (P, K) bool.  Returns (midpoints (P,),
+    max bracket width) — sub-pixel boundary positions, far sharper than
+    counting mask pixels.
+    """
+    lo = np.full(N_PSI, float(lo))
+    hi = np.full(N_PSI, float(hi))
+    for _ in range(rounds):
+        rhos = np.linspace(lo, hi, k, axis=-1)           # (P, K)
+        esc = np.asarray(escape_fn(rhos))
+        if esc[:, 0].any() or not esc[:, -1].all():
+            raise ValueError("bisection bracket does not straddle the "
+                             "shadow boundary")
+        first = esc.argmax(axis=1)                       # first escaped idx
+        idx = np.arange(N_PSI)
+        lo = rhos[idx, first - 1]
+        hi = rhos[idx, first]
+    return 0.5 * (lo + hi), float((hi - lo).max())
+
+
+def schwarzschild_analytic_rho(mass=1.0):
+    """Closed-form shadow pixel radius: sin(alpha_phys) = b_crit sqrt(f)/r0
+    (exact for a static observer at finite r0), tan(alpha_cam) =
+    f tan(alpha_phys) (the reference camera scales the radial covector by
+    sqrt(f), utils.py:179-186), pinhole tan mapping to the plane."""
+    f = 1.0 - 2.0 * mass / R0
+    b_crit = 3.0 * np.sqrt(3.0) * mass
+    alpha_phys = np.arcsin(b_crit * np.sqrt(f) / R0)
+    tan_cam = f * np.tan(alpha_phys)
+    return tan_cam * PLANE_D / PLANE_W * SIZE
+
+
+def bardeen_escapes(rhos, spin, charge=0.0):
+    """Analytic escape predicate for camera rays at the given pixel radii:
+    each ray's conserved (xi, eta) = (L_z/E, Q/E^2) follows in closed form
+    from its initial covector; the backward ray escapes iff the Bardeen
+    radial potential R(r) = [E(r^2+a^2) - a L]^2 - Delta [(L-aE)^2 + Q]
+    has a real root in (r_+, r0) (quartic root test, Bardeen 1973).  Host
+    float64 math via the actual Cartesian-chart camera, so the predicate
+    sees exactly the rays the renderer shoots."""
+    from ..physics.camera import cartesian_ics_from_pixels
+    from ..physics.spacetime import kerr_schild_g_inv
+    params = jnp.asarray([1.0, spin, charge])
+    pix = jnp.asarray(_pixel_positions(rhos, PSIS[:, None]))
+    _, p0, _ = cartesian_ics_from_pixels(
+        jnp.asarray([R0, 0.0, 0.0]), pix, params=params,
+        g_inv_fn=kerr_schild_g_inv)
+    p0 = np.asarray(p0, np.float64)
+    E = -p0[..., 0]
+    L = R0 * p0[..., 2]                      # x p_y - y p_x at (R0, 0, 0)
+    r_bl_obs = np.sqrt(R0 ** 2 - spin ** 2)  # spheroidal radius at z=0
+    p_th = -r_bl_obs * p0[..., 3]            # dz/dtheta = -r at equator
+    xi = L / E
+    eta = (p_th / E) ** 2
+
+    r_plus = 1.0 + np.sqrt(max(1.0 - spin ** 2 - charge ** 2, 0.0))
+    out = np.zeros(xi.shape, dtype=bool)
+    for idx in np.ndindex(xi.shape):
+        c = (xi[idx] - spin) ** 2 + eta[idx]
+        p1 = np.poly1d([1.0, 0.0, spin ** 2 - spin * xi[idx]]) ** 2
+        p2 = np.poly1d([1.0, -2.0, spin ** 2 + charge ** 2]) * c
+        roots = (p1 - p2).roots
+        real = roots[np.abs(roots.imag) < 1e-9].real
+        out[idx] = bool(((real > r_plus + 1e-9) & (real < r_bl_obs)).any())
+    return out
+
+
+def schwarzschild_shadow_error(steps=20_000, delta=0.01, omega=1.0,
+                               backend="auto", dtype=jnp.float32):
+    """{'px_err': max |boundary - analytic| in 256^2 pixels, 'bracket',
+    'rho_num': per-azimuth, 'rho_analytic'} for the production float32
+    Schwarzschild path (integrate_dispatch: the compensated Pallas kernel
+    on TPU)."""
+    from ..physics.camera import initial_conditions
+    from .integrate import STATUS_ESCAPED, integrate_dispatch
+
+    def escape(rhos):
+        pix = jnp.asarray(_pixel_positions(rhos, PSIS[:, None]), dtype)
+        q0, p0, *_ = initial_conditions(
+            jnp.asarray([R0, 0.0, 0.0], dtype), pix, mass_bh=1.0)
+        _, _, status, _ = integrate_dispatch(
+            q0.reshape(-1, 4), p0.reshape(-1, 4), steps,
+            jnp.asarray(delta, dtype), jnp.asarray(2.0, dtype),
+            jnp.asarray(BOUNDARY, dtype), jnp.asarray(omega, dtype),
+            backend=backend, equatorial=True)
+        return np.asarray(status).reshape(rhos.shape) == STATUS_ESCAPED
+
+    rho_num, bracket = bisect_boundary(escape, 15.0, 32.0)
+    rho_ana = schwarzschild_analytic_rho()
+    return {
+        "px_err": float(np.abs(rho_num - rho_ana).max()),
+        "bracket_px": round(bracket, 4),
+        "rho_num": [round(float(r), 3) for r in rho_num],
+        "rho_analytic": round(float(rho_ana), 3),
+    }
+
+
+def kerr_shadow_errors(spin=0.9, charge=0.0, steps=50_000, delta=0.02,
+                       order=6, backend="auto", dtype=jnp.float32,
+                       interpret=False):
+    """{'px_err': per-azimuth |boundary - Bardeen| in 256^2 pixels, ...}
+    for the compensated float32 Kerr-Schild path.  The truncation budget
+    of the (order, delta) schedule itself is ~0.45 px at the prograde
+    extremity (tests/test_shadow_analytic measurements), so sub-pixel
+    errors here certify the f32 rounding behavior, not just the scheme."""
+    from ..physics.camera import cartesian_ics_from_pixels
+    from ..physics.spacetime import kerr_schild_g_inv
+    from .integrate import STATUS_ESCAPED
+
+    params = jnp.asarray([1.0, spin, charge], dtype)
+
+    def escape(rhos):
+        pix = jnp.asarray(_pixel_positions(rhos, PSIS[:, None]), dtype)
+        q0, p0, _ = cartesian_ics_from_pixels(
+            jnp.asarray([R0, 0.0, 0.0], dtype), pix, params=params,
+            g_inv_fn=kerr_schild_g_inv)
+        q0 = q0.reshape(-1, 4)
+        p0 = p0.reshape(-1, 4)
+        if backend == "xla":
+            from .integrate_ks import integrate_batch_ksc
+            _, _, status, _ = integrate_batch_ksc(
+                q0, p0, steps, jnp.asarray(delta, dtype), params,
+                jnp.asarray(BOUNDARY, dtype), jnp.asarray(1.0, dtype),
+                order=order)
+        else:
+            from .integrate_pallas_ks import integrate_batch_pallas_ks
+            _, _, status, _ = integrate_batch_pallas_ks(
+                q0, p0, steps, jnp.asarray(delta, dtype), params,
+                jnp.asarray(BOUNDARY, dtype), jnp.asarray(1.0, dtype),
+                order=order, compensated=dtype == jnp.float32,
+                interpret=interpret)
+        return np.asarray(status).reshape(rhos.shape) == STATUS_ESCAPED
+
+    rho_ana, br_a = bisect_boundary(
+        lambda r: bardeen_escapes(r, spin, charge), 10.0, 34.0, rounds=4)
+    rho_num, br_n = bisect_boundary(escape, 10.0, 34.0, rounds=3, k=9)
+    err = np.abs(rho_num - rho_ana)
+    return {
+        "spin": spin,
+        "charge": charge,
+        "px_err": [round(float(e), 3) for e in err],
+        "px_err_max": float(err.max()),
+        "bracket_px": round(br_n, 4),
+        "rho_num": [round(float(r), 3) for r in rho_num],
+        "rho_bardeen": [round(float(r), 3) for r in rho_ana],
+    }
+
+
+def ks_kernel_parity(spin=0.9, charge=0.0, size=48, steps=5_000,
+                     delta=0.05, dtype=jnp.float32, interpret=False):
+    """Compensated KS Pallas kernel vs its XLA twin ON THE SAME DEVICE:
+    status / step-count / final-position agreement.  Both compile the same
+    step functions (engine.integrate_ks.make_ks_step), so any mismatch is
+    a Mosaic-vs-XLA compilation difference."""
+    from ..physics.camera import camera_rays_cartesian
+    from ..physics.spacetime import kerr_schild_g_inv
+    from .integrate import STATUS_ESCAPED
+    from .integrate_ks import integrate_batch_ksc
+    from .integrate_pallas_ks import integrate_batch_pallas_ks
+
+    params = jnp.asarray([1.0, spin, charge], dtype)
+    q0, p0, _ = camera_rays_cartesian(
+        jnp.asarray([R0, 0.0, 0.0], dtype), jnp.asarray(FOV, dtype),
+        size, size, params=params, g_inv_fn=kerr_schild_g_inv, dtype=dtype)
+    q0 = q0.reshape(-1, 4)
+    p0 = p0.reshape(-1, 4)
+    d = jnp.asarray(delta, dtype)
+    b = jnp.asarray(BOUNDARY, dtype)
+    om = jnp.asarray(1.0, dtype)
+
+    qk, _, sk, nk = integrate_batch_pallas_ks(
+        q0, p0, steps, d, params, b, om, compensated=True,
+        interpret=interpret)
+    qt, _, st, nt = integrate_batch_ksc(q0, p0, steps, d, params, b, om)
+
+    sk, st = np.asarray(sk), np.asarray(st)
+    esc = (sk == STATUS_ESCAPED) & (st == STATUS_ESCAPED)
+    dq = (np.abs(np.asarray(qk)[esc, 1:] - np.asarray(qt)[esc, 1:]).max()
+          if esc.any() else 0.0)
+    return {
+        "rays": int(q0.shape[0]),
+        "steps": steps,
+        "status_mismatch": int((sk != st).sum()),
+        "exit_step_mismatch": int((np.asarray(nk) != np.asarray(nt)).sum()),
+        "max_escape_pos_delta": float(dq),
+    }

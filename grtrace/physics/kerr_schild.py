@@ -36,7 +36,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from .hamiltonian import _flow_mixed
+from .hamiltonian import _flow_mixed, _kahan_add
 
 N_STATE = 16
 
@@ -189,6 +189,129 @@ def close_ks(state, d0, mass, a, charge=0.0):
     """w -> s: undo the pending half-A.  Numerically safe even on parked
     rays (the park points are regular chart points, and A cannot move q1)."""
     return _flow_a_ks(state, -0.5 * d0, mass, a, charge)
+
+
+# ---------------------------------------------------------------------------
+# Compensated (Kahan double-float32) Kerr-Schild flows
+# ---------------------------------------------------------------------------
+# Same construction as the Schwarzschild compensated equatorial family
+# (physics.hamiltonian compensated section, which documents the error model
+# and the increment-form mixing rotation): every state component carries a
+# Kahan deficit row and each flow accumulates its increments through
+# _kahan_add, so the O(sqrt(n) * eps * |state|) float32 rounding drift of
+# the plain flows (eps * |x| ~ 2e-6 per step at the camera radius, which
+# random-walks to the ~3 px prograde-shadow-edge error measured on chip at
+# 256^2/30k steps) collapses to per-increment rounding (~1e-8 over the
+# budget).  The KS chart has no equatorial reduction — rays wind in all
+# three Cartesian coordinates — so ALL 16 rows are compensated.
+#
+# Compensated state layout: a 32-tuple — the 16-row layout followed by its
+# 16 deficit rows (deficit of row i at 16 + i), so the Pallas tile
+# machinery (packing, masking, early exit) is shared with the plain kernel.
+#
+# The geometry (_kick_drift) is evaluated on the raw accumulator rows s,
+# not the best estimate s - c: the deficit is <= 1 ulp of s, far below the
+# truncation error of the flow itself, and folding it would cost 16 extra
+# subtractions per flow for nothing.
+
+N_STATE_KSC = 32
+
+
+def pack_state_ksc(q0, p0):
+    """(N,4) q0/p0 -> 32-tuple: KS 16-tuple + zero deficit rows."""
+    comps = [q0[..., a] for a in range(4)] + [p0[..., a] for a in range(4)]
+    hi = tuple(comps + comps)
+    zero = jnp.zeros_like(hi[0])
+    return hi + tuple(zero for _ in range(N_STATE))
+
+
+def unpack_ksc(state):
+    """Best-estimate 16-tuple from a compensated 32-tuple (s - c)."""
+    return tuple(state[i] - state[N_STATE + i] for i in range(N_STATE))
+
+
+def _flow_a_ksc(state, dt, mass, a, charge=0.0):
+    """Increment-form flow A with Kahan accumulation (metric at q1,
+    kick p1 spatial slots, drift q2) — same physics as _flow_a_ks."""
+    (q1t, q1x, q1y, q1z, p1t, p1x, p1y, p1z,
+     q2t, q2x, q2y, q2z, p2t, p2x, p2y, p2z) = state[:16]
+    c = list(state[16:])
+    kx, ky, kz, dt_, dx_, dy_, dz_ = _kick_drift(
+        q1x, q1y, q1z, p2t, p2x, p2y, p2z, mass, a, charge)
+    p1x, c[5] = _kahan_add(p1x, c[5], -dt * kx)
+    p1y, c[6] = _kahan_add(p1y, c[6], -dt * ky)
+    p1z, c[7] = _kahan_add(p1z, c[7], -dt * kz)
+    q2t, c[8] = _kahan_add(q2t, c[8], dt * dt_)
+    q2x, c[9] = _kahan_add(q2x, c[9], dt * dx_)
+    q2y, c[10] = _kahan_add(q2y, c[10], dt * dy_)
+    q2z, c[11] = _kahan_add(q2z, c[11], dt * dz_)
+    return (q1t, q1x, q1y, q1z, p1t, p1x, p1y, p1z,
+            q2t, q2x, q2y, q2z, p2t, p2x, p2y, p2z) + tuple(c)
+
+
+def _flow_b_ksc(state, dt, mass, a, charge=0.0):
+    """Increment-form flow B with Kahan accumulation (metric at q2,
+    kick p2 spatial slots, drift q1)."""
+    (q1t, q1x, q1y, q1z, p1t, p1x, p1y, p1z,
+     q2t, q2x, q2y, q2z, p2t, p2x, p2y, p2z) = state[:16]
+    c = list(state[16:])
+    kx, ky, kz, dt_, dx_, dy_, dz_ = _kick_drift(
+        q2x, q2y, q2z, p1t, p1x, p1y, p1z, mass, a, charge)
+    p2x, c[13] = _kahan_add(p2x, c[13], -dt * kx)
+    p2y, c[14] = _kahan_add(p2y, c[14], -dt * ky)
+    p2z, c[15] = _kahan_add(p2z, c[15], -dt * kz)
+    q1t, c[0] = _kahan_add(q1t, c[0], dt * dt_)
+    q1x, c[1] = _kahan_add(q1x, c[1], dt * dx_)
+    q1y, c[2] = _kahan_add(q1y, c[2], dt * dy_)
+    q1z, c[3] = _kahan_add(q1z, c[3], dt * dz_)
+    return (q1t, q1x, q1y, q1z, p1t, p1x, p1y, p1z,
+            q2t, q2x, q2y, q2z, p2t, p2x, p2y, p2z) + tuple(c)
+
+
+def _flow_mixed_ksc(state, omc_w, sin_w):
+    """Mixing rotation in increment form: omc_w = 1 - cos(2*omega*delta).
+
+    Increment-form twin of hamiltonian._flow_mixed over all four
+    components; the true copy difference folds in the deficits (true value
+    = s - c), exactly as hamiltonian._flow_mixed_eqc does — the mixing flow
+    is where sub-ulp copy separation is physically meaningful."""
+    hi = state[:16]
+    c = list(state[16:])
+    q1, p1 = hi[0:4], hi[4:8]
+    q2, p2 = hi[8:12], hi[12:16]
+    new = list(hi)
+    for i in range(4):
+        q_dif = (q1[i] - q2[i]) - (c[i] - c[8 + i])
+        p_dif = (p1[i] - p2[i]) - (c[4 + i] - c[12 + i])
+        dq1 = 0.5 * (sin_w * p_dif - omc_w * q_dif)
+        dp1 = 0.5 * (-sin_w * q_dif - omc_w * p_dif)
+        new[i], c[i] = _kahan_add(q1[i], c[i], dq1)
+        new[4 + i], c[4 + i] = _kahan_add(p1[i], c[4 + i], dp1)
+        new[8 + i], c[8 + i] = _kahan_add(q2[i], c[8 + i], -dq1)
+        new[12 + i], c[12 + i] = _kahan_add(p2[i], c[12 + i], -dp1)
+    return tuple(new) + tuple(c)
+
+
+def open_ksc(state, d0, mass, a, charge=0.0):
+    """s -> w: apply the pending opening half-A (compensated layout)."""
+    return _flow_a_ksc(state, 0.5 * d0, mass, a, charge)
+
+
+def core_ksc(state, delta, mass, a, omc_w, sin_w, bridge, charge=0.0):
+    """One compensated staggered (sub)step: B(d/2) M B(d/2) A(bridge).
+
+    NOTE the mixing argument is ONE-MINUS-COS of the mixing angle, not cos
+    as in core_ks (the increment-form rotation needs it)."""
+    half = 0.5 * delta
+    state = _flow_b_ksc(state, half, mass, a, charge)
+    state = _flow_mixed_ksc(state, omc_w, sin_w)
+    state = _flow_b_ksc(state, half, mass, a, charge)
+    return _flow_a_ksc(state, bridge, mass, a, charge)
+
+
+def close_ksc(state, d0, mass, a, charge=0.0):
+    """w -> s: undo the pending half-A (compensated layout)."""
+    return _flow_a_ksc(state, -0.5 * d0, mass, a, charge)
 
 
 def hamiltonian_ks(x, y, z, pt, px, py, pz, mass, a, charge=0.0):

@@ -191,9 +191,11 @@ def render_kerr_sharded(mesh, bg_array, obs_x, fov, mass, spin,
             obs_pos, pix, params=params, g_inv_fn=g_inv_fn)
         if backend == "pallas":
             from ..engine.integrate_pallas_ks import integrate_batch_pallas_ks
+            # f32 -> Kahan-compensated kernel, matching the single-chip
+            # production path (engine.render_generic)
             final_q, final_p, status, n_steps = integrate_batch_pallas_ks(
                 q0, p0, steps, delta, params, boundary_radius, omega,
-                order=order)
+                order=order, compensated=dtype == jnp.float32)
         else:
             final_q, final_p, status, n_steps = integrate_batch_generic(
                 q0, p0, steps, delta, params, boundary_radius, omega,

@@ -61,6 +61,70 @@ def test_save_load_resume(tmp_path, backend):
     np.testing.assert_array_equal(st2.n_steps, ref_x.n_steps)
 
 
+def _ics_f32(n=12):
+    q0, p0, *_ = camera_rays(np.array([30.0, 0.0, 0.0], np.float32),
+                             np.float32(np.radians(70.0)), n, n,
+                             dtype=jnp.float32)
+    return (jnp.asarray(q0).reshape(-1, 4), jnp.asarray(p0).reshape(-1, 4))
+
+
+def test_compensated_chunked_equals_monolithic(tmp_path):
+    """The PRODUCTION fast path — the Kahan-compensated staggered float32
+    numerics the headline render runs — is resumable at full fidelity:
+    chunked advance (with a mid-job save/load) equals the monolithic
+    integrate_batch_compensated bit-for-bit in final_q, status and
+    n_steps, and to a few ulps in final_p (the closing half-A compiles in
+    a separate XLA program whose FMA contraction can round the increment
+    and the Kahan accumulate differently; see
+    checkpoint._finalize_eqc — measured <= 2 ulps, p_r only)."""
+    from grtrace.engine.integrate import integrate_batch_compensated
+    q0, p0 = _ics_f32()
+    f32 = jnp.float32
+    steps = 3000
+    qm, pm, sm, nm = integrate_batch_compensated(
+        q0, p0, steps, f32(ARGS["delta"]), f32(ARGS["rs"]),
+        f32(ARGS["r_max"]), f32(ARGS["omega"]))
+
+    # float32 -> the eqc layout is auto-selected (the production numerics)
+    st = ckpt.start(q0, p0, steps, ARGS["delta"], ARGS["rs"],
+                    ARGS["r_max"], ARGS["omega"], compensated=True)
+    assert st.layout == "eqc"
+    st = ckpt.advance(st, 800, backend="xla")
+    path = str(tmp_path / "eqc.npz")
+    st.save(path)
+    st = ckpt.IntegrationState.load(path)        # crash + resume
+    assert st.layout == "eqc" and st.opened is not None
+    while not st.done:
+        st = ckpt.advance(st, 900, backend="xla")
+
+    np.testing.assert_array_equal(st.final_q, np.asarray(qm))
+    np.testing.assert_array_equal(st.status, np.asarray(sm))
+    np.testing.assert_array_equal(st.n_steps, np.asarray(nm))
+    ulps = np.abs(st.final_p.astype(np.float32).view(np.int32)
+                  - np.asarray(pm, np.float32).view(np.int32))
+    assert ulps.max() <= 4, f"final_p off by {ulps.max()} ulps"
+
+    # the Pallas chunk kernel (interpret mode) applies the identical core
+    # steps: bit-equal to the XLA-chunked state INCLUDING deficit rows
+    st2 = ckpt.start(q0, p0, steps, ARGS["delta"], ARGS["rs"],
+                     ARGS["r_max"], ARGS["omega"], compensated=True)
+    while not st2.done:
+        st2 = ckpt.advance(st2, 1100, backend="pallas", interpret=True)
+    np.testing.assert_array_equal(st2.final_q, np.asarray(qm))
+    np.testing.assert_array_equal(st2.n_steps, np.asarray(nm))
+
+    # integrate_chunked auto-selects by dtype: f32 -> eqc, f64 -> generic
+    st3 = ckpt.integrate_chunked(q0, p0, 200, ARGS["delta"], ARGS["rs"],
+                                 ARGS["r_max"], ARGS["omega"],
+                                 chunk_steps=100)
+    assert st3.layout == "eqc"
+    q064, p064 = _ics(4)
+    st4 = ckpt.integrate_chunked(q064, p064, 200, ARGS["delta"], ARGS["rs"],
+                                 ARGS["r_max"], ARGS["omega"],
+                                 chunk_steps=100)
+    assert st4.layout == "generic"
+
+
 def test_save_load_orbax_directory_format(tmp_path):
     """Non-.npz checkpoint paths use the orbax directory format (the
     multi-frame-job checkpointing SURVEY section 5 names) — round trip

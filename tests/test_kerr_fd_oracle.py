@@ -51,6 +51,27 @@ def test_generic_engine_matches_fd_oracle(spin, charge):
         np.testing.assert_allclose(np.asarray(fp)[k], op, rtol=0, atol=1e-7)
 
 
+def test_ksc_f32_matches_fd_oracle():
+    """The compensated float32 flows against the derivative-free NumPy
+    oracle: agreement bounded by the FD oracle's own differencing error
+    (~1e-7), i.e. the f32 compensated path is as close to the float64
+    truth as an independent float64 implementation can verify."""
+    from grtrace.engine.integrate_ks import integrate_batch_ksc
+    spin, charge = 0.9, 0.3
+    q0, p0, params = _weak_rays(spin, charge)
+    f32 = jnp.float32
+    fq, fp, st, ns = integrate_batch_ksc(
+        jnp.asarray(q0, f32), jnp.asarray(p0, f32), STEPS, f32(DELTA),
+        jnp.asarray(params, f32), f32(R_MAX), f32(OMEGA))
+    for k in range(q0.shape[0]):
+        oq, op, on, bad = kerr_fd.integrate(q0[k], p0[k], STEPS, DELTA,
+                                            1.0, spin, charge, R_MAX, OMEGA)
+        assert not bad
+        assert on == int(ns[k]) == STEPS
+        np.testing.assert_allclose(np.asarray(fq)[k], oq, rtol=0, atol=2e-6)
+        np.testing.assert_allclose(np.asarray(fp)[k], op, rtol=0, atol=2e-6)
+
+
 def test_pallas_ks_matches_fd_oracle():
     spin, charge = 0.9, 0.0
     q0, p0, params = _weak_rays(spin, charge)

@@ -113,6 +113,67 @@ def test_pallas_ks_sort_roundtrip():
                                atol=0)
 
 
+@pytest.mark.parametrize("order,charge", [(2, 0.0), (4, 0.3)])
+def test_ksc_kernel_bit_exact_twin(order, charge):
+    """The compensated (Kahan double-float32) KS kernel and its XLA twin
+    integrate_batch_ksc build their loop bodies from the same functions
+    (engine.integrate_ks.make_ks_step) — results must be bit-identical in
+    interpret mode, across orders and with Kerr-Newman charge."""
+    from grtrace.engine.integrate_ks import integrate_batch_ksc
+
+    q0, p0 = _camera_batch(size=10)
+    q0 = q0.astype(jnp.float32)
+    p0 = p0.astype(jnp.float32)
+    params = jnp.array([1.0, SPIN, charge], jnp.float32)
+    f32 = jnp.float32
+    kw = dict(steps=900, delta=f32(0.05), params=params, r_max=f32(31.0),
+              omega=f32(1.0), order=order)
+
+    qt, pt, st, nt = integrate_batch_ksc(q0, p0, **kw)
+    qk, pk, sk, nk = integrate_batch_pallas_ks(q0, p0, interpret=True,
+                                               compensated=True, **kw)
+    np.testing.assert_array_equal(np.asarray(qk), np.asarray(qt))
+    np.testing.assert_array_equal(np.asarray(pk), np.asarray(pt))
+    np.testing.assert_array_equal(np.asarray(sk), np.asarray(st))
+    np.testing.assert_array_equal(np.asarray(nk), np.asarray(nt))
+
+
+def test_ksc_f32_accuracy_vs_f64_oracle():
+    """The point of the compensated KS flows: float32 escaped finals stay
+    within ~1e-5 of the float64 generic engine where the plain f32 flows
+    drift by ~1e-4 already at this short budget (the gap widens as
+    sqrt(steps); at the 30k-step production budget the plain drift is the
+    measured ~3 px prograde shadow-edge error)."""
+    from grtrace.engine.integrate_ks import integrate_batch_ksc
+
+    q0, p0 = _camera_batch(size=10)
+    steps, delta, omega = 1500, 0.05, 1.0
+    fq64, _, st64, _ = integrate_batch_generic(
+        q0, p0, steps, delta, PARAMS, 31.0, omega, metric="KerrSchild")
+
+    f32 = jnp.float32
+    q32, p32 = q0.astype(f32), p0.astype(f32)
+    p3 = jnp.array([1.0, SPIN, 0.0], f32)
+    qc, _, sc, _ = integrate_batch_ksc(q32, p32, steps, f32(delta), p3,
+                                       f32(31.0), f32(omega))
+    qp, _, sp, _ = integrate_batch_pallas_ks(q32, p32, steps, f32(delta),
+                                             p3, f32(31.0), f32(omega),
+                                             interpret=True,
+                                             compensated=False)
+    st64 = np.asarray(st64)
+    assert (np.asarray(sc) == st64).all()
+    esc = st64 == 2
+    assert esc.sum() > 20
+    err_comp = np.abs(np.asarray(qc)[esc, 1:]
+                      - np.asarray(fq64)[esc, 1:]).max()
+    err_plain = np.abs(np.asarray(qp)[esc, 1:]
+                       - np.asarray(fq64)[esc, 1:]).max()
+    assert err_comp < 1e-5, f"compensated f32 drift {err_comp:.2e}"
+    assert err_comp < err_plain / 5.0, (
+        f"compensation gain lost: comp {err_comp:.2e} vs plain "
+        f"{err_plain:.2e}")
+
+
 def test_render_generic_backend_arg():
     """The backend static arg threads through render_pixels_generic (the
     pallas value itself needs a real TPU — Mosaic doesn't lower on CPU —

@@ -179,6 +179,51 @@ def _bardeen_curve_check(xi, eta, spin, charge=0.0, tol=2e-3):
     return abs(xi_c[ok][j] - xi) < 1e-3 and abs(eta_c[ok][j] - eta) < 5e-3
 
 
+def _kerr_escape_ksc_f32(rhos, spin, charge=0.0, steps=50_000,
+                         delta=0.02, order=6):
+    """Same rays as _kerr_escape_integrated, but integrated in FLOAT32
+    through the compensated Kerr-Schild path (the production f32 numerics;
+    XLA twin of the Pallas kernel — bit-exact pair, test_pallas_ks)."""
+    from grtrace.engine.integrate_ks import integrate_batch_ksc
+    f32 = jnp.float32
+    params = jnp.asarray([1.0, spin, charge], jnp.float64)
+    pix = jnp.asarray(_pixel_positions(rhos, PSIS[:, None]), jnp.float64)
+    q0, p0, _ = cartesian_ics_from_pixels(
+        jnp.asarray([R0, 0.0, 0.0], jnp.float64), pix, params=params,
+        g_inv_fn=kerr_schild_g_inv)
+    _, _, status, _ = integrate_batch_ksc(
+        q0.reshape(-1, 4).astype(f32), p0.reshape(-1, 4).astype(f32),
+        steps, f32(delta), params.astype(f32), f32(31.0), f32(1.0),
+        order=order)
+    return np.asarray(status).reshape(rhos.shape) == STATUS_ESCAPED
+
+
+def test_kerr_shadow_f32_compensated_subpixel():
+    """The production float32 Kerr path (Kahan-compensated KS flows) must
+    hold the Bardeen shadow boundary at sub-pixel accuracy at EVERY
+    azimuth for a = 0.9 — including the prograde extremity where the
+    plain f32 flows drift ~3 px (the round-2 accuracy miss).  Tolerances
+    are the float64 test's truncation budget plus a 0.1 px rounding
+    margin: the compensated f32 integration must track the f64 result to
+    well under the integrator's own truncation error."""
+    spin = 0.9
+
+    def ana(rhos):
+        xi, eta, _, _ = _conserved(rhos, spin)
+        return _escapes_analytic(xi, eta, spin)
+
+    rho_ana, br_a = _bisect_boundary(ana, 10.0, 34.0, rounds=4)
+    rho_f32, br_n = _bisect_boundary(
+        lambda r: _kerr_escape_ksc_f32(r, spin), 10.0, 34.0,
+        rounds=3, k=9)
+    err = np.abs(rho_f32 - rho_ana)
+    assert br_a < 0.05 and br_n < 0.3
+    tol = np.array([0.15, 0.2, 0.3, 0.6, 0.9, 0.6, 0.3, 0.2]) + 0.1
+    assert (err < tol).all(), (
+        f"f32-compensated shadow edge off Bardeen by {err.round(3)}px at "
+        f"256^2 (tol {tol})\n num {rho_f32}\n ana {rho_ana}")
+
+
 @pytest.mark.parametrize("spin,charge", [(0.9, 0.0), (0.6, 0.5)])
 def test_kerr_shadow_matches_bardeen(spin, charge):
     # analytic boundary along each azimuth (quartic-root predicate)

@@ -1,0 +1,41 @@
+"""engine.validate — the on-chip validation harness, exercised on CPU.
+
+The module's real job is running inside bench.py on the TPU (its results
+land in every round's BENCH_r*.json stderr block); these tests pin its
+logic on CPU so a harness bug can't silently produce green-looking
+validation numbers: the Schwarzschild boundary check must reproduce the
+arcsin formula through the XLA backend, the Bardeen predicate must flip
+exactly once across the shadow edge, and the KS parity check must report
+zero mismatches for the bit-exact kernel/twin pair.
+"""
+import jax.numpy as jnp
+import numpy as np
+
+from grtrace.engine import validate as val
+
+
+def test_schwarzschild_shadow_error_cpu():
+    out = val.schwarzschild_shadow_error(steps=8000, delta=0.03,
+                                         backend="xla")
+    # delta=0.03 truncation + f32 rounding stays well inside a pixel
+    assert out["px_err"] < 1.0, out
+    assert out["bracket_px"] < 0.3
+    # rho_analytic is rounded to 3 decimals for the JSON artifact
+    assert abs(out["rho_analytic"] - val.schwarzschild_analytic_rho()) < 1e-3
+
+
+def test_bardeen_predicate_monotone_across_edge():
+    """Deep inside the shadow: captured; far outside: escapes — at every
+    azimuth, including the prograde extremity."""
+    rhos = np.stack([np.full(val.N_PSI, 10.0),
+                     np.full(val.N_PSI, 34.0)], axis=-1)
+    esc = val.bardeen_escapes(rhos, spin=0.9)
+    assert not esc[:, 0].any()
+    assert esc[:, 1].all()
+
+
+def test_ks_parity_zero_mismatch_interpret():
+    out = val.ks_kernel_parity(size=8, steps=400, interpret=True)
+    assert out["status_mismatch"] == 0
+    assert out["exit_step_mismatch"] == 0
+    assert out["max_escape_pos_delta"] == 0.0
