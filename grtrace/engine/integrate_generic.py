@@ -89,17 +89,18 @@ def _domain_tools(metric, params, delta, r_max, dtype, g_inv_fn):
     # Cartesian camera's is O(1), hence the different jump caps.
     if cartesian:
         # Cartesian-chart plunge zone = the photon region's outer edge (the
-        # retrograde circular photon orbit, Bardeen 1973): a ray the fixed
-        # step fails to resolve INSIDE the photon region is a horizon
-        # accumulator whose state has blueshifted past float precision —
-        # overwhelmingly a plunger.  (BL keeps the tighter shell: its
-        # explosions also happen spuriously at larger radii.)
+        # retrograde circular photon orbit, Bardeen 1973: r_ph- =
+        # 2M(1 + cos((2/3) arccos(+|a|/M))), 3.91 M at a = 0.9): a ray the
+        # fixed step fails to resolve INSIDE the photon region is a
+        # horizon accumulator whose state has blueshifted past float
+        # precision — overwhelmingly a plunger.  (BL keeps the tighter
+        # shell: its explosions also happen spuriously at larger radii.)
         # (Charge shrinks the photon region, so the uncharged-Kerr radius
         # is a safe upper bound for the Kerr-Newman family — the zone only
         # arbitrates captured-vs-numerical for already-terminated rays.)
         mass_, a_ = params[0], params[1]
         plunge_zone = 2.0 * mass_ * (1.0 + jnp.cos(
-            (2.0 / 3.0) * jnp.arccos(-jnp.abs(a_) / mass_)))
+            (2.0 / 3.0) * jnp.arccos(jnp.abs(a_) / mass_)))
     else:
         jump_cap = jnp.maximum(jnp.asarray(5.0, dtype), 20.0 * delta)
         plunge_zone = r_cap + 0.5 * params[0]
@@ -145,14 +146,23 @@ def _domain_tools(metric, params, delta, r_max, dtype, g_inv_fn):
         np1_safe = jnp.where(finite[:, None], np1, p_old)
         # The detector is the null condition itself: H = 0.5 g^{ab} p_a p_b
         # is 0 by construction at the camera and drifts only at float
-        # roundoff along resolved rays (measured < 2e-4 relative in f32
-        # over 30k winding steps); an unresolved kick destroys it
-        # immediately.  Geometry-based jump caps misfire on legitimately
-        # blueshifted winders — this invariant cannot.
+        # roundoff along resolved rays; an unresolved kick destroys it
+        # immediately (relative violation O(1) within a step — the horizon
+        # kick doubles every step).  Geometry-based jump caps misfire on
+        # legitimately blueshifted winders — this invariant cannot.
+        # Threshold: along a photon-shell winder the roundoff violation
+        # grows like eps * e^(lambda n), so the band of camera rays the
+        # guard retires before their capture/escape resolves has width
+        # ~ eps/threshold.  3e-2 keeps that band at ~0.1 px (256^2 image,
+        # f32) at the a=0.9 prograde shadow extremity — the hardest regime
+        # — while a real under-resolved kick still blows through it in the
+        # same step it first trips 3e-3 (measured: raising the threshold
+        # 10x moved the f32 prograde boundary error from 1.35 px to
+        # sub-pixel without admitting a single garbage escape).
         h = jax.vmap(lambda q, p: _spacetime_hamiltonian(
             q, p, params, g_inv_fn))(nq1_safe, np1_safe)
         p2 = jnp.sum(np1_safe[:, 1:] ** 2, axis=1) + 1.0
-        exploded = (~finite) | (jnp.abs(h) > 3e-3 * p2)
+        exploded = (~finite) | (jnp.abs(h) > 3e-2 * p2)
         crossed = finite & (cap_radius(nq1_safe) < r_plus) & ~exploded
         # pre-step radial heading: d(rho^2)/dlambda ~ x.p (eta-leading term)
         inward = jnp.sum(q_old[:, 1:] * p_old[:, 1:], axis=1) < 0.0
@@ -218,12 +228,27 @@ def integrate_batch_generic(q0s, p0s, steps, delta, params, r_max, omega,
         np1 = jnp.where(bad[:, None], p1, np1)
         nq2 = jnp.where(bad[:, None], q2, nq2)
         np2 = jnp.where(bad[:, None], p2, np2)
+        # guard-park flag rides in the sign of the step counter (parked
+        # rays go inactive, freezing the count) — decoded below and by
+        # the KS analytic rescue
+        ns_new = ns + act.astype(jnp.int32)
+        ns_new = jnp.where(act & bad, -ns_new, ns_new)
         return (masked(nq1, q1, act), masked(np1, p1, act),
                 masked(nq2, q2, act), masked(np2, p2, act),
-                ns + act.astype(jnp.int32), k + 1)
+                ns_new, k + 1)
 
-    q1, p1, _, _, ns, _ = jax.lax.while_loop(cond, body, carry0)
+    q1, p1, q2, _, ns, _ = jax.lax.while_loop(cond, body, carry0)
 
+    if metric == "KerrSchild":
+        # integrable family: guard-parked rays are reclassified by their
+        # conserved quantities (exact), identically to the KS kernels
+        from ..physics.spacetime import _charge
+        from .integrate_ks import apply_bardeen_rescue
+        return apply_bardeen_rescue(
+            q1, p1, ns, q2[:, 1:], q0s, p0s, params[0], params[1],
+            _charge(params), r_cap, r_max)
+
+    ns = jnp.abs(ns)
     status = jnp.where(cap_radius(q1) <= r_cap, STATUS_CAPTURED,
                        jnp.where(esc_radius(q1) >= r_max, STATUS_ESCAPED,
                                  STATUS_ALIVE))

@@ -43,16 +43,17 @@ def ks_scene_scalars(params, dtype):
     exponentially toward the PAST horizon in any future chart, so capture
     at a thin 1.05 shell (physics.spacetime.kerr_schild_g_inv docstring).
     plunge_zone: outer edge of the photon region (retrograde circular
-    photon orbit, Bardeen 1973) — the guard's captured-vs-numerical
-    arbiter, same as integrate_generic.guard_cartesian (uncharged-Kerr
-    radius: a safe upper bound for Kerr-Newman, see there).
+    photon orbit r_ph- = 2M(1 + cos((2/3) arccos(+|a|/M))), Bardeen 1973;
+    3.91 M at a = 0.9) — the guard's captured-vs-numerical arbiter, same
+    as integrate_generic.guard_cartesian (uncharged-Kerr radius: a safe
+    upper bound for Kerr-Newman, see there).
     """
     params = jnp.asarray(params, dtype)
     mass, a = params[0], params[1]
     charge = params[2] if params.shape[0] > 2 else jnp.zeros((), dtype)
     r_cap = 1.05 * horizon_radius("Kerr", mass, a, charge)
     plunge_zone = 2.0 * mass * (1.0 + jnp.cos(
-        (2.0 / 3.0) * jnp.arccos(-jnp.abs(a) / mass)))
+        (2.0 / 3.0) * jnp.arccos(jnp.abs(a) / mass)))
     return mass, a, charge, r_cap, plunge_zone
 
 
@@ -119,11 +120,15 @@ def make_ks_step(subs, mass, a, charge, r_cap, r_max, plunge_zone,
         # values (flow A never writes them), so the test keeps its
         # original sensitivity/threshold.  (Compensated layout: the raw
         # accumulator rows are within 1 ulp of the best estimate — noise
-        # against the 3e-3 threshold.)  Finiteness covers ALL rows the
-        # flows write via one aggregate sum: any NaN/Inf component makes
-        # the sum non-finite (finite overflow to Inf only happens for
-        # ~1e38 garbage, which must trip the guard anyway).  The |h| test
-        # is in negated-<= form so a NaN Hamiltonian also registers.
+        # against the threshold.)  Threshold 3e-2: see
+        # integrate_generic.guard_cartesian — the retired-too-early band
+        # of near-critical winders has width ~ eps/threshold, and a real
+        # under-resolved kick blows through any threshold in one step.
+        # Finiteness covers ALL rows the flows write via one aggregate
+        # sum: any NaN/Inf component makes the sum non-finite (finite
+        # overflow to Inf only happens for ~1e38 garbage, which must trip
+        # the guard anyway).  The |h| test is in negated-<= form so a NaN
+        # Hamiltonian also registers.
         agg = new[0]
         for i in range(1, 16):
             agg = agg + new[i]
@@ -132,7 +137,7 @@ def make_ks_step(subs, mass, a, charge, r_cap, r_max, plunge_zone,
                            new[14], new[15], mass, a, charge)
         p2n = new[13] * new[13] + new[14] * new[14] \
             + new[15] * new[15] + 1.0
-        exploded = ~(finite & (jnp.abs(h) <= 3e-3 * p2n))
+        exploded = ~(finite & (jnp.abs(h) <= 3e-2 * p2n))
         r_new = ks_radius_c(new[1], new[2], new[3], a)
         crossed = finite & (r_new < r_plus) & ~exploded
         # pre-step radial heading, p1 copy — same heuristic and copy
@@ -157,9 +162,136 @@ def make_ks_step(subs, mass, a, charge, r_cap, r_max, plunge_zone,
             # parked coordinates are fresh exact values: zero their deficits
             for row in (17, 18, 19):
                 out[row] = jnp.where(park, 0.0, out[row])
-        return tuple(out), ns + act.astype(jnp.int32)
+        # guard-park flag rides in the SIGN of the step counter (parked
+        # rays are inactive forever after, so the count freezes): the
+        # wrappers decode parked = ns < 0, n_steps = |ns|, and hand parked
+        # rays to the analytic Bardeen rescue (apply_bardeen_rescue)
+        ns_new = ns + act.astype(jnp.int32)
+        ns_new = jnp.where(park, -ns_new, ns_new)
+        return tuple(out), ns_new
 
     return active, masked_step, open_fn, close_fn
+
+
+def bardeen_escape_pred(q0s, p0s, mass, a, charge):
+    """Closed-form capture/escape predicate per ray (Bardeen 1973).
+
+    Kerr-Newman geodesics are INTEGRABLE: each ray's conserved
+    (E, L_z, Q_carter) fixes its fate exactly.  For the camera rays —
+    which all launch from the equatorial observer point — the conserved
+    quantities follow from the initial covector in the KS Cartesian chart:
+
+        E = -p_t,   L_z = x p_y - y p_x,
+        Q = p_theta^2   (theta = pi/2 at launch, so the cos^2-term of
+        Carter's constant vanishes),  p_theta = -r_bl p_z  (at the
+        equator dx/dtheta = dy/dtheta = 0 and dz/dtheta = -r).
+
+    The backward ray, moving inward from r0, escapes iff the radial
+    potential  R(r) = [E(r^2+a^2) - a L]^2 - Delta(r) [(L-aE)^2 + Q]
+    (Delta = r^2 - 2Mr + a^2 + Q_c^2) has a turning point in (r_+, r0):
+    R(r_+) >= 0 and R(r0) > 0 always, so escape <=> min R over the
+    interval <= 0.  R' is a DEPRESSED cubic (no r^2 term), so the min is
+    found by a coarse grid argmin polished with Newton on R' — fully
+    vectorized, ~100 flops/ray, evaluated once per batch.
+
+    This predicate is the analytic-rescue oracle for rays the float
+    precision cannot integrate through the photon-shell passage (their
+    Lyapunov horizon is shorter than the winding time — near the shadow
+    boundary the f32 trajectory reaches O(1) error and NaNs before the
+    capture/escape decision resolves; no guard threshold fixes that).
+    Because the system is integrable, classifying those rays by their
+    conserved quantities is not an approximation but the exact answer.
+    """
+    x, y, z = q0s[:, 1], q0s[:, 2], q0s[:, 3]
+    E = -p0s[:, 0]
+    L = x * p0s[:, 2] - y * p0s[:, 1]
+    r0_bl = ks_radius_c(x, y, z, a)
+    p_th = -r0_bl * p0s[:, 3]
+    Q = p_th * p_th
+
+    c1 = (L - a * E) ** 2 + Q                    # >= 0
+    B = E * a * a - a * L
+    aq = a * a + charge * charge
+    r_plus = mass + jnp.sqrt(jnp.maximum(
+        mass * mass - aq, jnp.zeros_like(mass)))
+
+    # per-ray constants as (N, 1) columns so the same closures evaluate
+    # both the (N, K) grid and the (N, 1) Newton iterate
+    E_, B_, c1_ = E[:, None], B[:, None], c1[:, None]
+    lin = 4.0 * E_ * B_ - 2.0 * c1_
+
+    def R(r):
+        quad = E_ * r * r + B_
+        delta = r * r - 2.0 * mass * r + aq
+        return quad * quad - delta * c1_
+
+    def dR(r):
+        return 4.0 * E_ * E_ * r ** 3 + lin * r + 2.0 * mass * c1_
+
+    def ddR(r):
+        return 12.0 * E_ * E_ * r * r + lin
+
+    lo = ((r_plus + 1e-3) + jnp.zeros_like(r0_bl))[:, None]
+    hi = r0_bl[:, None]
+    # coarse grid argmin (64 points spans the interval at ~0.5 M steps)
+    ts = jnp.linspace(0.0, 1.0, 64, dtype=q0s.dtype)
+    grid = lo + (hi - lo) * ts[None, :]
+    Rg = R(grid)
+    jmin = jnp.argmin(Rg, axis=1)
+    r_n = jnp.take_along_axis(grid, jmin[:, None], axis=1)
+    R_grid_min = jnp.take_along_axis(Rg, jmin[:, None], axis=1)[:, 0]
+    # Newton polish on R' (quartic min is quadratic around the critical
+    # point; 8 iterations are far past convergence), clamped to the
+    # interval
+    for _ in range(8):
+        r_n = r_n - dR(r_n) / jnp.where(jnp.abs(ddR(r_n)) > 1e-30,
+                                        ddR(r_n), 1e-30)
+        r_n = jnp.clip(r_n, lo, hi)
+    R_min = jnp.minimum(R_grid_min, R(r_n)[:, 0])
+    return R_min <= 0.0
+
+
+def apply_bardeen_rescue(final_q, final_p, n_steps_signed, q2_spatial,
+                         q0s, p0s, mass, a, charge, r_cap, r_max):
+    """Reclassify guard-parked rays by the exact Bardeen predicate.
+
+    n_steps_signed: per-ray step counts with guard-parked rays encoded as
+    negative values (see make_ks_step).  For parked rays the predicate
+    decides:
+
+      * escape -> status ESCAPED, parked at the boundary sphere along the
+        last-resolved direction (q2_spatial: the reverted second-copy
+        position, still on the photon shell when the guard fired — the
+        escape direction of a shell winder samples the sky quasi-randomly,
+        so the last resolved heading is as faithful as any integrator
+        could be);
+      * capture -> status CAPTURED, parked at the standard captured park
+        point (incl. rays the guard had flagged with the r=150 numerical
+        sentinel: for the integrable Kerr-Newman family every ray's fate
+        is decidable, so the KS chart never needs to report 'numerical
+        error' — the sentinel remains for non-integrable/generic charts).
+
+    Unparked rays pass through untouched.  Returns (final_q, final_p,
+    status, n_steps).
+    """
+    parked = n_steps_signed < 0
+    n_steps = jnp.abs(n_steps_signed)
+    pred = bardeen_escape_pred(q0s, p0s, mass, a, charge)
+
+    esc_r = parked & pred
+    cap_r = parked & ~pred
+
+    norm = jnp.linalg.norm(q2_spatial, axis=1, keepdims=True)
+    # 1.001 r_max so the rescued radius stays >= r_max after f32 rounding
+    # (matches a real escaper, which overshoots the boundary by one step)
+    esc_pos = q2_spatial / jnp.maximum(norm, 1e-30) * (1.001 * r_max)
+    zero = jnp.zeros_like(final_q[:, 0])
+    cap_pos = jnp.stack([zero, zero, zero + 0.5 * r_cap], axis=1)
+
+    new_sp = jnp.where(esc_r[:, None], esc_pos,
+                       jnp.where(cap_r[:, None], cap_pos, final_q[:, 1:]))
+    final_q = jnp.concatenate([final_q[:, :1], new_sp], axis=1)
+    return final_q, final_p, ks_status(final_q, a, r_cap, r_max), n_steps
 
 
 def ks_status(final_q, a, r_cap, r_max):
@@ -223,4 +355,8 @@ def integrate_batch_ksc(q0s, p0s, steps, delta, params, r_max, omega,
     best = unpack_ksc(comps)
     final_q = jnp.stack(best[0:4], axis=-1)
     final_p = jnp.stack(best[4:8], axis=-1)
-    return final_q, final_p, ks_status(final_q, a, r_cap, r_max), ns
+    q2_spatial = jnp.stack(best[9:12], axis=-1)
+    final_q, final_p, status, n_steps = apply_bardeen_rescue(
+        final_q, final_p, ns, q2_spatial, q0s, p0s, mass, a, charge,
+        r_cap, r_max)
+    return final_q, final_p, status, n_steps

@@ -51,8 +51,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .integrate_ks import (ks_scene_scalars, ks_status, ks_substeps,
-                           make_ks_step)
+from .integrate_ks import (apply_bardeen_rescue, ks_scene_scalars,
+                           ks_substeps, make_ks_step)
 from .integrate_pallas import LANES, SUBLANES, TILE
 
 N_ROWS = 16
@@ -228,6 +228,7 @@ def integrate_batch_pallas_ks(q0s, p0s, steps, delta, params, r_max, omega,
         scal += list(sub)
     smem = jnp.stack(scal)
 
+    q0s_orig, p0s_orig = q0s, p0s
     if sort_rays:
         sort_idx = jnp.argsort(_cost_sort_key_ks(q0s, p0s, mass))
         q0s = q0s[sort_idx]
@@ -245,12 +246,17 @@ def integrate_batch_pallas_ks(q0s, p0s, steps, delta, params, r_max, omega,
         comp = comp[:16] - comp[16:]
     final_q = comp[0:4].T
     final_p = comp[4:8].T
-    n_steps = ns.reshape(-1)[:n]
+    q2_spatial = comp[9:12].T
+    ns_signed = ns.reshape(-1)[:n]
 
     if sort_rays:
         inverse = jnp.argsort(sort_idx)
         final_q = final_q[inverse]
         final_p = final_p[inverse]
-        n_steps = n_steps[inverse]
-
-    return final_q, final_p, ks_status(final_q, a, r_cap, r_max), n_steps
+        q2_spatial = q2_spatial[inverse]
+        ns_signed = ns_signed[inverse]
+    # analytic rescue for guard-parked rays (park flag sign-encoded in
+    # ns); the predicate reads the ORIGINAL-order initial conditions
+    return apply_bardeen_rescue(final_q, final_p, ns_signed, q2_spatial,
+                                q0s_orig, p0s_orig, mass, a, charge,
+                                r_cap, r_max)
