@@ -60,10 +60,13 @@ N_ROWS_C = 32  # Kahan-compensated layout: 16 state + 16 deficit rows
 N_SCAL = 6  # mass, a, charge, r_cap, r_max, plunge_zone (+ 4 per substep:
 #             d_j, cw_j, sw_j, bridge_j — staggered schedule)
 # The KS step body is ~4x heavier than the equatorial Schwarzschild one, so
-# the any(active)/loop overhead amortizes sooner: interleaved on-chip A/B at
-# 256^2/30k-step spin-0.9 gave 16 -> 0.0794 s vs 64 -> 0.0813 s.  Unlike the
-# Schwarzschild kernel (UNROLL=64), 16 is the sweet spot here.
-UNROLL = 16
+# the any(active)/loop overhead amortizes sooner.  Re-swept on chip after
+# the compensated 32-row layout became the f32 production path (interleaved
+# A/B at 1024^2/30k-step spin-0.9, integration only): 8 -> 0.782 s,
+# 16 -> 0.763 s, 32 -> 0.748-0.758 s, 48 -> 0.816 s, 64 -> 0.758 s.
+# 32 ties 64 at the optimum with half the Mosaic body; the plain kernel
+# tracks the same curve (0.650 s at 32).
+UNROLL = 32
 
 
 def _make_kernel_ks(steps, n_sub, compensated=False, unroll=None):

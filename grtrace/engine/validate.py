@@ -152,14 +152,17 @@ def schwarzschild_shadow_error(steps=20_000, delta=0.01, omega=1.0,
     }
 
 
-def kerr_shadow_errors(spin=0.9, charge=0.0, steps=50_000, delta=0.02,
+def kerr_shadow_errors(spin=0.9, charge=0.0, steps=8_000, delta=0.02,
                        order=6, backend="auto", dtype=jnp.float32,
                        interpret=False):
     """{'px_err': per-azimuth |boundary - Bardeen| in 256^2 pixels, ...}
-    for the compensated float32 Kerr-Schild path.  The truncation budget
-    of the (order, delta) schedule itself is ~0.45 px at the prograde
-    extremity (tests/test_shadow_analytic measurements), so sub-pixel
-    errors here certify the f32 rounding behavior, not just the scheme."""
+    for the compensated float32 Kerr-Schild path (+ analytic rescue).
+
+    Budget: escapers travel ~3,800 composed steps at delta = 0.02;
+    near-critical winders are settled exactly by the analytic rescue long
+    before that, so 8k steps classifies every ray.  Expected errors are
+    deep sub-pixel (measured 0.0002-0.016 px on CPU; this function
+    reproduces that on the Mosaic-compiled kernel)."""
     from ..physics.camera import cartesian_ics_from_pixels
     from ..physics.spacetime import kerr_schild_g_inv
     from .integrate import STATUS_ESCAPED
