@@ -81,6 +81,7 @@ class IntegrationState:
     order: int = 2
     layout: str = "generic"
     opened: Optional[np.ndarray] = None
+    b: Optional[np.ndarray] = None  # conserved impact parameters (rescue)
 
     def _closed_best(self):
         """('eqc') closed best-estimate 12 rows (s - c after the pending
@@ -90,33 +91,46 @@ class IntegrationState:
                             self.delta, self.rs, self.order)
         return np.asarray(out)
 
+    def _raw_qp(self):
+        if self.layout == "eqc":
+            c = self._closed_best()
+            th = np.full_like(c[1], np.pi / 2)
+            zero = np.zeros_like(c[3])
+            return (np.stack([c[0], c[1], th, c[2]], axis=-1),
+                    np.stack([c[3], c[4], zero, c[5]], axis=-1))
+        return np.asarray(self.state[0:4]).T, np.asarray(self.state[4:8]).T
+
+    def _resolve(self):
+        """(final_q, final_p, status) with the fake-escape rescue applied
+        — the same integrate.schw_escape_rescue post-pass the monolithic
+        integrators run, using the conserved impact parameters stored at
+        start (so chunked and monolithic classifications agree)."""
+        from .integrate import schw_escape_rescue
+        import jax.numpy as jnp
+        q, p = self._raw_qp()
+        r = q[:, 1]
+        status = np.where(r <= 1.1 * self.rs, STATUS_CAPTURED,
+                          np.where(r >= self.r_max, STATUS_ESCAPED,
+                                   STATUS_ALIVE))
+        if self.b is None:
+            return q, p, status
+        fq, st = schw_escape_rescue(jnp.asarray(q), jnp.asarray(p),
+                                    jnp.asarray(status),
+                                    jnp.asarray(self.b, q.dtype),
+                                    self.rs, self.r_max)
+        return np.asarray(fq), p, np.asarray(st)
+
     @property
     def final_q(self):
-        if self.layout == "eqc":
-            b = self._closed_best()
-            th = np.full_like(b[1], np.pi / 2)
-            return np.stack([b[0], b[1], th, b[2]], axis=-1)
-        return np.asarray(self.state[0:4]).T
+        return self._resolve()[0]
 
     @property
     def final_p(self):
-        if self.layout == "eqc":
-            b = self._closed_best()
-            zero = np.zeros_like(b[3])
-            return np.stack([b[3], b[4], zero, b[5]], axis=-1)
-        return np.asarray(self.state[4:8]).T
+        return self._resolve()[1]
 
     @property
     def status(self):
-        if self.layout == "eqc":
-            # best-estimate radius; q1_r is untouched by the closing
-            # half-A (flow A never writes q1), so no close is needed here
-            r = np.asarray(self.state[1]) - np.asarray(self.state[13])
-        else:
-            r = np.asarray(self.state[1])
-        return np.where(r <= 1.1 * self.rs, STATUS_CAPTURED,
-                        np.where(r >= self.r_max, STATUS_ESCAPED,
-                                 STATUS_ALIVE))
+        return self._resolve()[2]
 
     @property
     def done(self) -> bool:
@@ -134,6 +148,8 @@ class IntegrationState:
                                      self.omega, float(self.order)]))
         if self.layout != "generic":
             tree["opened"] = np.asarray(self.opened, dtype=np.uint8)
+        if self.b is not None:
+            tree["b"] = np.asarray(self.b)
         return tree
 
     def save(self, path: str) -> None:
@@ -164,7 +180,8 @@ class IntegrationState:
             order=int(p[4]) if p.shape[0] > 4 else 2,
             layout=layout,
             opened=(np.asarray(z["opened"]).astype(bool)
-                    if "opened" in z else None))
+                    if "opened" in z else None),
+            b=np.asarray(z["b"]) if "b" in z else None)
 
 
 @partial(jax.jit, static_argnames=("max_steps", "order"))
@@ -271,8 +288,10 @@ def start(q0s, p0s, steps, delta, rs, r_max, omega,
     staggered schedule is applied here, once, to the initially-active
     rays (== the monolithic kernel's masked open).
     """
+    from .integrate import impact_parameter
     q0s = jnp.asarray(q0s)
     p0s = jnp.asarray(p0s)
+    b = np.asarray(impact_parameter(p0s, rs))
     if compensated:
         dtype = q0s.dtype
         comps = pack_state_eqc(q0s, p0s)
@@ -291,14 +310,14 @@ def start(q0s, p0s, steps, delta, rs, r_max, omega,
             steps_total=int(steps), steps_done=0,
             delta=float(delta), rs=float(rs), r_max=float(r_max),
             omega=float(omega), order=int(order), layout="eqc",
-            opened=np.asarray(act0))
+            opened=np.asarray(act0), b=b)
     comps = pack_state(q0s, p0s)
     return IntegrationState(
         state=np.asarray(jnp.stack(comps)),
         n_steps=np.zeros(q0s.shape[0], dtype=np.int32),
         steps_total=int(steps), steps_done=0,
         delta=float(delta), rs=float(rs), r_max=float(r_max),
-        omega=float(omega), order=int(order))
+        omega=float(omega), order=int(order), b=b)
 
 
 def advance(st: IntegrationState, chunk_steps: int, backend: str = "xla",

@@ -153,7 +153,7 @@ def schwarzschild_shadow_error(steps=20_000, delta=0.01, omega=1.0,
 
 
 def kerr_shadow_errors(spin=0.9, charge=0.0, steps=8_000, delta=0.02,
-                       order=6, backend="auto", dtype=jnp.float32,
+                       order=4, backend="auto", dtype=jnp.float32,
                        interpret=False):
     """{'px_err': per-azimuth |boundary - Bardeen| in 256^2 pixels, ...}
     for the compensated float32 Kerr-Schild path (+ analytic rescue).

@@ -8,7 +8,7 @@ from grtrace.engine.integrate import integrate_batch
 from grtrace.engine.metrics import RenderMetrics, nan_guard
 from grtrace.physics.camera import camera_rays
 
-ARGS = dict(steps=4000, delta=0.05, rs=2.0, r_max=31.0, omega=1.0)
+ARGS = dict(steps=2500, delta=0.05, rs=2.0, r_max=31.0, omega=1.0)
 
 
 def _ics(n=6):
@@ -80,7 +80,7 @@ def test_compensated_chunked_equals_monolithic(tmp_path):
     from grtrace.engine.integrate import integrate_batch_compensated
     q0, p0 = _ics_f32()
     f32 = jnp.float32
-    steps = 3000
+    steps = 1800
     qm, pm, sm, nm = integrate_batch_compensated(
         q0, p0, steps, f32(ARGS["delta"]), f32(ARGS["rs"]),
         f32(ARGS["r_max"]), f32(ARGS["omega"]))

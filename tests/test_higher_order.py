@@ -95,7 +95,7 @@ def test_pallas_interpret_matches_xla_order4():
                              8, 8, dtype=jnp.float64)
     q0 = jnp.asarray(q0).reshape(-1, 4)
     p0 = jnp.asarray(p0).reshape(-1, 4)
-    args = (500, 0.05, RS, 31.0, 1.0)
+    args = (300, 0.05, RS, 31.0, 1.0)
     fq1, _, st1, ns1 = integrate_batch(q0, p0, *args, order=4)
     fq2, _, st2, ns2 = integrate_batch_pallas(q0, p0, *args, interpret=True,
                                               order=4)
@@ -114,7 +114,7 @@ def test_staggered_equatorial_order4_matches_generic():
                              8, 8, dtype=jnp.float64)
     q0 = jnp.asarray(q0).reshape(-1, 4)
     p0 = jnp.asarray(p0).reshape(-1, 4)
-    args = (500, 0.05, RS, 31.0, 1.0)
+    args = (300, 0.05, RS, 31.0, 1.0)
     fq1, _, st1, ns1 = integrate_batch(q0, p0, *args, order=4)
     fq2, _, st2, ns2 = integrate_batch_pallas(q0, p0, *args, interpret=True,
                                               order=4, equatorial=True)

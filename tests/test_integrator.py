@@ -113,3 +113,50 @@ def test_trajectory_decimation():
     full = np.asarray(integrate_batch_full(
         jnp.asarray(q0), jnp.asarray(p0), steps, 0.05, RS, RMAX, OMEGA))
     np.testing.assert_allclose(traj[:, 1], full[:, 30], atol=1e-12)
+
+
+def test_schw_escape_rescue_unit():
+    """Fake escapes (blow-up survivors: boundary radius + violated null
+    invariant) are reclassified by the exact conserved impact parameter;
+    healthy escapes and true-escape fakes pass through untouched."""
+    from grtrace.engine.integrate import (STATUS_ALIVE, impact_parameter,
+                                          schw_escape_rescue)
+    rs, r_max = 2.0, 31.0
+    r = 31.5
+    f = 1.0 - rs / r
+    pi2 = np.pi / 2
+    q = jnp.asarray([[0.0, r, pi2, 1.0]] * 3 + [[0.0, 10.0, pi2, 1.0]])
+    # covector convention: p_t > 0 (backward rays, EinsteinPy root)
+    p = jnp.asarray([
+        [1.0, 1.0 / f, 0.0, 0.0],    # healthy escape: h == 0, b = 0
+        [1.0, 50.0, 0.0, 0.0],       # fake escape, b = 0 < b_crit
+        [1.0, 50.0, 0.0, 10.0],      # fake escape, b = 10 > b_crit
+        [1.0, 0.5, 0.0, 3.0],        # still in domain: never touched
+    ])
+    status = jnp.asarray([STATUS_ESCAPED, STATUS_ESCAPED, STATUS_ESCAPED,
+                          STATUS_ALIVE])
+    b = impact_parameter(p, rs)
+    np.testing.assert_allclose(np.asarray(b), [0.0, 0.0, 10.0, 3.0],
+                               atol=1e-12)
+    fq, st = schw_escape_rescue(q, p, status, b, rs, r_max)
+    assert list(np.asarray(st)) == [STATUS_ESCAPED, STATUS_CAPTURED,
+                                    STATUS_ESCAPED, STATUS_ALIVE]
+    assert float(np.asarray(fq)[1, 1]) == rs      # rescued ray parked
+    assert float(np.asarray(fq)[0, 1]) == r       # healthy untouched
+
+
+def test_critical_pixel_maps_to_b_crit():
+    """The camera pixel at the analytic shadow radius carries exactly the
+    critical impact parameter — pins the impact_parameter convention
+    against the arcsin formula (both derived independently)."""
+    from grtrace.engine.integrate import impact_parameter
+    from grtrace.engine.validate import (_pixel_positions,
+                                         schwarzschild_analytic_rho)
+    from grtrace.physics.camera import initial_conditions
+    rho_c = schwarzschild_analytic_rho()
+    pix = jnp.asarray(_pixel_positions(np.array([rho_c]), 0.0), jnp.float64)
+    _, p0, *_ = initial_conditions(jnp.asarray([30.0, 0.0, 0.0],
+                                               jnp.float64), pix,
+                                   mass_bh=1.0)
+    b = float(impact_parameter(p0.reshape(-1, 4), 2.0)[0])
+    np.testing.assert_allclose(b, 3.0 * np.sqrt(3.0), rtol=1e-12)

@@ -126,7 +126,7 @@ def test_ksc_kernel_bit_exact_twin(order, charge):
     p0 = p0.astype(jnp.float32)
     params = jnp.array([1.0, SPIN, charge], jnp.float32)
     f32 = jnp.float32
-    kw = dict(steps=900, delta=f32(0.05), params=params, r_max=f32(31.0),
+    kw = dict(steps=600, delta=f32(0.05), params=params, r_max=f32(31.0),
               omega=f32(1.0), order=order)
 
     qt, pt, st, nt = integrate_batch_ksc(q0, p0, **kw)

@@ -35,7 +35,7 @@ def test_bardeen_predicate_monotone_across_edge():
 
 
 def test_ks_parity_zero_mismatch_interpret():
-    out = val.ks_kernel_parity(size=8, steps=400, interpret=True)
+    out = val.ks_kernel_parity(size=8, steps=250, interpret=True)
     assert out["status_mismatch"] == 0
     assert out["exit_step_mismatch"] == 0
     assert out["max_escape_pos_delta"] == 0.0
