@@ -247,6 +247,15 @@ def integrate_batch_generic(q0s, p0s, steps, delta, params, r_max, omega,
         return apply_bardeen_rescue(
             q1, p1, ns, q2[:, 1:], q0s, p0s, params[0], params[1],
             _charge(params), r_cap, r_max)
+    if metric == "Kerr":
+        # same exact rescue on the Boyer-Lindquist chart — this also
+        # settles the BL polar-stripe explosions that previously surfaced
+        # as 'numerical error' pixels
+        from ..physics.spacetime import _charge
+        from .integrate_ks import apply_bardeen_rescue_bl
+        return apply_bardeen_rescue_bl(
+            q1, p1, ns, q2, q0s, p0s, params[0], params[1],
+            _charge(params), r_cap, r_max)
 
     ns = jnp.abs(ns)
     status = jnp.where(cap_radius(q1) <= r_cap, STATUS_CAPTURED,

@@ -208,7 +208,29 @@ def bardeen_escape_pred(q0s, p0s, mass, a, charge):
     r0_bl = ks_radius_c(x, y, z, a)
     p_th = -r0_bl * p0s[:, 3]
     Q = p_th * p_th
+    return _bardeen_min_R(E, L, Q, r0_bl, mass, a, charge)
 
+
+def bardeen_escape_pred_bl(q0s, p0s, mass, a, charge):
+    """Boyer-Lindquist front-end of the Bardeen predicate: conserved
+    quantities read directly off the spherical-chart initial covector
+    (E = -p_t, L = p_phi, Carter Q = p_th^2 + cos^2(th)(L^2/sin^2(th)
+    - a^2 E^2); the overall sign of the covector — the BL camera stores
+    backward rays with p_t > 0 — cancels in the radial potential, which
+    is invariant under (E, L) -> (-E, -L))."""
+    E = -p0s[:, 0]
+    L = p0s[:, 3]
+    th = q0s[:, 2]
+    sin2 = jnp.sin(th) ** 2
+    cos2 = jnp.cos(th) ** 2
+    Q = p0s[:, 2] ** 2 + cos2 * (L * L / jnp.maximum(sin2, 1e-30)
+                                 - a * a * E * E)
+    return _bardeen_min_R(E, L, Q, q0s[:, 1], mass, a, charge)
+
+
+def _bardeen_min_R(E, L, Q, r0_bl, mass, a, charge):
+    """Escape test shared by the chart front-ends: does the radial
+    potential R(r) have a turning point in (r_+, r0)?"""
     c1 = (L - a * E) ** 2 + Q                    # >= 0
     B = E * a * a - a * L
     aq = a * a + charge * charge
@@ -234,7 +256,7 @@ def bardeen_escape_pred(q0s, p0s, mass, a, charge):
     lo = ((r_plus + 1e-3) + jnp.zeros_like(r0_bl))[:, None]
     hi = r0_bl[:, None]
     # coarse grid argmin (64 points spans the interval at ~0.5 M steps)
-    ts = jnp.linspace(0.0, 1.0, 64, dtype=q0s.dtype)
+    ts = jnp.linspace(0.0, 1.0, 64, dtype=E.dtype)
     grid = lo + (hi - lo) * ts[None, :]
     Rg = R(grid)
     jmin = jnp.argmin(Rg, axis=1)
@@ -249,6 +271,32 @@ def bardeen_escape_pred(q0s, p0s, mass, a, charge):
         r_n = jnp.clip(r_n, lo, hi)
     R_min = jnp.minimum(R_grid_min, R(r_n)[:, 0])
     return R_min <= 0.0
+
+
+def apply_bardeen_rescue_bl(final_q, final_p, n_steps_signed, q2,
+                            q0s, p0s, mass, a, charge, r_cap, r_max):
+    """Boyer-Lindquist-chart twin of apply_bardeen_rescue: same exact
+    reclassification of guard-parked rays (incl. the BL polar-stripe
+    explosions, which previously surfaced as 'numerical error' pixels),
+    with spherical-chart park geometry — a rescued escape keeps the
+    last-resolved direction (theta, phi from the reverted second copy)
+    at radius 1.001 r_max; a rescued capture parks at 0.99 r_cap."""
+    parked = n_steps_signed < 0
+    n_steps = jnp.abs(n_steps_signed)
+    pred = bardeen_escape_pred_bl(q0s, p0s, mass, a, charge)
+
+    esc_r = parked & pred
+    cap_r = parked & ~pred
+
+    r_out = jnp.where(esc_r, 1.001 * r_max,
+                      jnp.where(cap_r, 0.99 * r_cap, final_q[:, 1]))
+    th_out = jnp.where(esc_r, q2[:, 2], final_q[:, 2])
+    ph_out = jnp.where(esc_r, q2[:, 3], final_q[:, 3])
+    final_q = jnp.stack([final_q[:, 0], r_out, th_out, ph_out], axis=1)
+    status = jnp.where(final_q[:, 1] <= r_cap, STATUS_CAPTURED,
+                       jnp.where(final_q[:, 1] >= r_max, STATUS_ESCAPED,
+                                 STATUS_ALIVE))
+    return final_q, final_p, status, n_steps
 
 
 def apply_bardeen_rescue(final_q, final_p, n_steps_signed, q2_spatial,

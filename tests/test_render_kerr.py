@@ -59,14 +59,16 @@ def test_kerr_shadow_asymmetry():
 
 
 def test_numerical_error_flagging_at_coarse_delta():
-    """Coarse fixed steps near the BL polar singularity must be *flagged*
-    (class 'numerical error', reference raytracing.py:213-215), never
-    silently composited."""
+    """Coarse fixed steps near the BL polar singularity blow up — but the
+    Kerr family is integrable, so the guard-parked rays are reclassified
+    EXACTLY from their conserved quantities (the analytic Bardeen rescue,
+    BL front-end): the frame composites with zero 'numerical error'
+    pixels where the pre-rescue engine honestly flagged a few near-axis
+    rays red, and every pixel lands in a real class."""
     res = render(_scene(0.9, steps=3000, delta=0.05))
-    assert res.counts["numerical_error"] <= 8  # a few near-axis pixels
-    if res.counts["numerical_error"]:
-        bad = np.asarray(res.cls) == 1
-        assert (np.asarray(res.image)[bad] == [255, 0, 0]).all()  # red
+    c = res.counts
+    assert c["numerical_error"] == 0
+    assert c["captured"] + c["escaped"] + c["in_domain"] == 24 * 24
 
 
 def test_kerr_a0_counts_match_schwarzschild_radius_capture():

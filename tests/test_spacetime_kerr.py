@@ -154,3 +154,32 @@ def test_compat_nulllike_kerr():
         Nulllike(metric="FRW")
     with pytest.raises(ValueError):
         Nulllike(metric="Schwarzschild", metric_params=(0.3,))
+
+
+def test_bl_bardeen_predicate_matches_integration():
+    """The BL front-end of the Bardeen predicate must agree with the f64
+    BL integration on (essentially) every camera ray — only pixels whose
+    impact parameter sits within the integrator's truncation band of the
+    critical curve may disagree (a 14x14 grid has at most a couple)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from grtrace.engine.integrate import STATUS_ESCAPED
+    from grtrace.engine.integrate_generic import integrate_batch_generic
+    from grtrace.engine.integrate_ks import bardeen_escape_pred_bl
+    from grtrace.physics.camera import camera_rays_unfolded
+    from grtrace.physics.spacetime import METRICS
+
+    params = jnp.asarray([1.0, 0.9, 0.0])
+    q0, p0, _ = camera_rays_unfolded(
+        jnp.asarray([30.0, 0.0, 0.0]), jnp.radians(80.0), 14, 14,
+        params=params, g_inv_fn=METRICS["Kerr"], dtype=jnp.float64)
+    q0 = q0.reshape(-1, 4)
+    p0 = p0.reshape(-1, 4)
+    _, _, status, _ = integrate_batch_generic(
+        q0, p0, 8000, 0.02, params, 31.0, 1.0, metric="Kerr")
+    pred = np.asarray(bardeen_escape_pred_bl(q0, p0, jnp.float64(1.0),
+                                             jnp.float64(0.9),
+                                             jnp.float64(0.0)))
+    esc = np.asarray(status) == STATUS_ESCAPED
+    mismatch = int((pred != esc).sum())
+    assert mismatch <= 2, f"{mismatch} of {esc.size} rays disagree"
