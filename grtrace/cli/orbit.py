@@ -154,14 +154,21 @@ def main(argv=None):
     if args.bench:
         import json
         import time
-        # steady state: everything above already compiled; re-render every
-        # frame, host-fetching the images (the fetch is what synchronizes
-        # through the axon tunnel).  The observer distance is jittered by
-        # one f32 ulp per pass to defeat the tunnel's result cache.
+        # The observer distance is jittered by one FLOAT32 ulp (the
+        # pipeline casts inputs to f32, so a float64 ulp would vanish in
+        # the cast and the tunnel's result cache would serve the repeat)
+        # to force real renders in the timed loop.
+        ulp32 = float(np.nextafter(np.float32(obs[0]), np.float32(np.inf))
+                      - np.float32(obs[0]))
+        obs_j = (obs + ulp32).astype(obs.dtype)
+        # warm every batch shape explicitly: with a resumed/complete
+        # out-dir the loop above rendered few or no frames, and the
+        # compile must not land inside the timed loop
+        for start in range(0, args.frames, batch):
+            ks = list(range(start, min(start + batch, args.frames)))
+            np.asarray(render_batch(ks, obs[ks])["image"])
         t0 = time.time()
         n_done = 0
-        obs_j = obs + np.float32(np.abs(np.nextafter(obs[0], np.inf)
-                                        - obs[0]))
         for start in range(0, args.frames, batch):
             ks = list(range(start, min(start + batch, args.frames)))
             np.asarray(render_batch(ks, obs_j[ks])["image"])

@@ -104,21 +104,32 @@ class IntegrationState:
         """(final_q, final_p, status) with the fake-escape rescue applied
         — the same integrate.schw_escape_rescue post-pass the monolithic
         integrators run, using the conserved impact parameters stored at
-        start (so chunked and monolithic classifications agree)."""
+        start (so chunked and monolithic classifications agree).
+
+        Cached per state array (the read-out runs an eqc close + rescue
+        jit): reading final_q/final_p/status/done repeatedly — including
+        integrate_chunked's per-chunk `done` poll — computes it once per
+        advance."""
         from .integrate import schw_escape_rescue
         import jax.numpy as jnp
+        cached = getattr(self, "_resolved", None)
+        if cached is not None and cached[0] is self.state:
+            return cached[1]
         q, p = self._raw_qp()
         r = q[:, 1]
         status = np.where(r <= 1.1 * self.rs, STATUS_CAPTURED,
                           np.where(r >= self.r_max, STATUS_ESCAPED,
                                    STATUS_ALIVE))
         if self.b is None:
-            return q, p, status
-        fq, st = schw_escape_rescue(jnp.asarray(q), jnp.asarray(p),
-                                    jnp.asarray(status),
-                                    jnp.asarray(self.b, q.dtype),
-                                    self.rs, self.r_max)
-        return np.asarray(fq), p, np.asarray(st)
+            out = (q, p, status)
+        else:
+            fq, st = schw_escape_rescue(jnp.asarray(q), jnp.asarray(p),
+                                        jnp.asarray(status),
+                                        jnp.asarray(self.b, q.dtype),
+                                        self.rs, self.r_max)
+            out = (np.asarray(fq), p, np.asarray(st))
+        self._resolved = (self.state, out)
+        return out
 
     @property
     def final_q(self):
@@ -291,7 +302,7 @@ def start(q0s, p0s, steps, delta, rs, r_max, omega,
     from .integrate import impact_parameter
     q0s = jnp.asarray(q0s)
     p0s = jnp.asarray(p0s)
-    b = np.asarray(impact_parameter(p0s, rs))
+    b = np.asarray(impact_parameter(p0s))
     if compensated:
         dtype = q0s.dtype
         comps = pack_state_eqc(q0s, p0s)
@@ -304,13 +315,17 @@ def start(q0s, p0s, steps, delta, rs, r_max, omega,
                                       jnp.asarray(rs, dtype))
             comps = tuple(jnp.where(act0, o, s)
                           for o, s in zip(opened, comps))
+        # steps == 0 never applies the open, so nothing may be closed at
+        # read-out either (exact-no-op contract)
+        opened = np.asarray(act0) if int(steps) > 0 else np.zeros(
+            q0s.shape[0], dtype=bool)
         return IntegrationState(
             state=np.asarray(jnp.stack(comps)),
             n_steps=np.zeros(q0s.shape[0], dtype=np.int32),
             steps_total=int(steps), steps_done=0,
             delta=float(delta), rs=float(rs), r_max=float(r_max),
             omega=float(omega), order=int(order), layout="eqc",
-            opened=np.asarray(act0), b=b)
+            opened=opened, b=b)
     comps = pack_state(q0s, p0s)
     return IntegrationState(
         state=np.asarray(jnp.stack(comps)),

@@ -119,7 +119,7 @@ def _masked_step(state, active, subs, rs, cap):
     return tuple(jnp.where(active, n, o) for n, o in zip(new_state, state))
 
 
-def impact_parameter(p0s, rs):
+def impact_parameter(p0s):
     """Exact per-ray impact parameter b = |L/E| = |p_phi / p_t| from the
     initial covector (the camera's EinsteinPy `_P()` root makes p_t
     POSITIVE — backward rays — so take magnitudes).  Both p_t and p_phi
@@ -136,7 +136,7 @@ def impact_parameter(p0s, rs):
 def schw_escape_rescue(final_q, final_p, status, b, rs, r_max):
     """Reclassify FAKE ESCAPES by the exact capture predicate.
 
-    b: per-ray conserved impact parameter (impact_parameter(p0s, rs),
+    b: per-ray conserved impact parameter (impact_parameter(p0s),
     evaluated at launch — resumable jobs store it in their carry).
 
     A fast plunge can blow up in the stiff horizon zone and eject the ray
@@ -205,7 +205,7 @@ def integrate_batch(q0s, p0s, steps, delta, rs, r_max, omega, order=2):
                        jnp.where(q1r >= r_max, STATUS_ESCAPED, STATUS_ALIVE))
     final_q, final_p = unpack_q1(state), unpack_p1(state)
     final_q, status = schw_escape_rescue(final_q, final_p, status,
-                                         impact_parameter(p0s, rs), rs,
+                                         impact_parameter(p0s), rs,
                                          r_max)
     return final_q, final_p, status, n_steps
 
@@ -278,7 +278,7 @@ def integrate_batch_compensated(q0s, p0s, steps, delta, rs, r_max, omega,
     status = jnp.where(q1r <= 1.1 * rs, STATUS_CAPTURED,
                        jnp.where(q1r >= r_max, STATUS_ESCAPED, STATUS_ALIVE))
     final_q, status = schw_escape_rescue(final_q, final_p, status,
-                                         impact_parameter(p0s, rs), rs,
+                                         impact_parameter(p0s), rs,
                                          r_max)
     return final_q, final_p, status, n_steps
 

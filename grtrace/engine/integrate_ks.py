@@ -177,14 +177,16 @@ def bardeen_escape_pred(q0s, p0s, mass, a, charge):
     """Closed-form capture/escape predicate per ray (Bardeen 1973).
 
     Kerr-Newman geodesics are INTEGRABLE: each ray's conserved
-    (E, L_z, Q_carter) fixes its fate exactly.  For the camera rays —
-    which all launch from the equatorial observer point — the conserved
-    quantities follow from the initial covector in the KS Cartesian chart:
+    (E, L_z, Q_carter) fixes its fate exactly, computed from the initial
+    covector in the KS Cartesian chart at any launch point:
 
         E = -p_t,   L_z = x p_y - y p_x,
-        Q = p_theta^2   (theta = pi/2 at launch, so the cos^2-term of
-        Carter's constant vanishes),  p_theta = -r_bl p_z  (at the
-        equator dx/dtheta = dy/dtheta = 0 and dz/dtheta = -r).
+        p_theta = (cos th/sin th)(x p_x + y p_y) - r sin th p_z
+        (from the oblate map x^2+y^2 = (r^2+a^2) sin^2 th, z = r cos th),
+        Q = p_theta^2 + cos^2 th (L^2/sin^2 th - a^2 E^2).
+
+    At the equatorial camera point this reduces to p_theta = -r p_z and
+    Q = p_theta^2.
 
     The backward ray, moving inward from r0, escapes iff the radial
     potential  R(r) = [E(r^2+a^2) - a L]^2 - Delta(r) [(L-aE)^2 + Q]
@@ -206,8 +208,12 @@ def bardeen_escape_pred(q0s, p0s, mass, a, charge):
     E = -p0s[:, 0]
     L = x * p0s[:, 2] - y * p0s[:, 1]
     r0_bl = ks_radius_c(x, y, z, a)
-    p_th = -r0_bl * p0s[:, 3]
-    Q = p_th * p_th
+    cos_th = z / r0_bl
+    sin2 = jnp.maximum(1.0 - cos_th * cos_th, 1e-30)
+    sin_th = jnp.sqrt(sin2)
+    p_th = (cos_th / sin_th) * (x * p0s[:, 1] + y * p0s[:, 2]) \
+        - r0_bl * sin_th * p0s[:, 3]
+    Q = p_th * p_th + cos_th * cos_th * (L * L / sin2 - a * a * E * E)
     return _bardeen_min_R(E, L, Q, r0_bl, mass, a, charge)
 
 

@@ -475,6 +475,6 @@ def integrate_batch_pallas(q0s, p0s, steps, delta, rs, r_max, omega,
     # ORIGINAL-order initial covectors, so backend parity is preserved
     from .integrate import impact_parameter, schw_escape_rescue
     final_q, status = schw_escape_rescue(final_q, final_p, status,
-                                         impact_parameter(p0s_orig, rs),
+                                         impact_parameter(p0s_orig),
                                          rs, r_max)
     return final_q, final_p, status, n_steps

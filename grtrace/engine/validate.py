@@ -165,9 +165,10 @@ def kerr_shadow_errors(spin=0.9, charge=0.0, steps=8_000, delta=0.02,
     reproduces that on the Mosaic-compiled kernel)."""
     from ..physics.camera import cartesian_ics_from_pixels
     from ..physics.spacetime import kerr_schild_g_inv
-    from .integrate import STATUS_ESCAPED
+    from .integrate import STATUS_ESCAPED, resolve_backend
 
     params = jnp.asarray([1.0, spin, charge], dtype)
+    backend = resolve_backend(backend)  # 'auto' -> xla off-TPU
 
     def escape(rhos):
         pix = jnp.asarray(_pixel_positions(rhos, PSIS[:, None]), dtype)

@@ -135,7 +135,7 @@ def test_schw_escape_rescue_unit():
     ])
     status = jnp.asarray([STATUS_ESCAPED, STATUS_ESCAPED, STATUS_ESCAPED,
                           STATUS_ALIVE])
-    b = impact_parameter(p, rs)
+    b = impact_parameter(p)
     np.testing.assert_allclose(np.asarray(b), [0.0, 0.0, 10.0, 3.0],
                                atol=1e-12)
     fq, st = schw_escape_rescue(q, p, status, b, rs, r_max)
@@ -158,5 +158,5 @@ def test_critical_pixel_maps_to_b_crit():
     _, p0, *_ = initial_conditions(jnp.asarray([30.0, 0.0, 0.0],
                                                jnp.float64), pix,
                                    mass_bh=1.0)
-    b = float(impact_parameter(p0.reshape(-1, 4), 2.0)[0])
+    b = float(impact_parameter(p0.reshape(-1, 4))[0])
     np.testing.assert_allclose(b, 3.0 * np.sqrt(3.0), rtol=1e-12)

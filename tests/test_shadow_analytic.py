@@ -45,35 +45,17 @@ N_PSI = 8
 PSIS = np.linspace(0.0, 2 * np.pi, N_PSI, endpoint=False)
 
 
-def _pixel_positions(rho_px, psi):
-    """Continuous pixel radius (256-image units) + azimuth -> image-plane
-    points; same plane geometry as physics.camera.pixel_grid."""
-    off = np.asarray(rho_px) / SIZE * PLANE_W
-    y = off * np.cos(psi)
-    z = off * np.sin(psi)
-    x = np.full_like(y, R0 - PLANE_D)
-    return np.stack([x, y, z], axis=-1)
+# plane geometry and the per-azimuth bisection are the library's own
+# (engine.validate — the on-chip validation harness); reusing them keeps
+# the two in lockstep.  The scene constants above are asserted equal so a
+# drift in either module is caught here.
+from grtrace.engine import validate as _val
 
+assert (_val.R0, _val.SIZE, _val.N_PSI) == (R0, SIZE, N_PSI)
+assert abs(_val.FOV - FOV) < 1e-12 and abs(_val.PLANE_W - PLANE_W) < 1e-12
 
-def _bisect_boundary(escape_fn, lo, hi, rounds=3, k=17):
-    """Per-azimuth radial bisection of the capture->escape transition.
-
-    escape_fn((P, K) radii) -> (P, K) bool.  Keeps the bracket
-    [last not-escaped, first escaped]; returns bracket midpoints (P,) and
-    the final bracket width.
-    """
-    lo = np.full(N_PSI, float(lo))
-    hi = np.full(N_PSI, float(hi))
-    for _ in range(rounds):
-        rhos = np.linspace(lo, hi, k, axis=-1)          # (P, K)
-        esc = escape_fn(rhos)
-        assert not esc[:, 0].any(), "inner radius must be captured"
-        assert esc[:, -1].all(), "outer radius must escape"
-        first = esc.argmax(axis=1)                       # first escaped idx
-        idx = np.arange(N_PSI)
-        lo = rhos[idx, first - 1]
-        hi = rhos[idx, first]
-    return 0.5 * (lo + hi), float((hi - lo).max())
+_pixel_positions = _val._pixel_positions
+_bisect_boundary = _val.bisect_boundary
 
 
 # ----------------------------------------------------------------------
