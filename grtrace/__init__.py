@@ -12,7 +12,7 @@ from .io.scene import (BlackHole, IntegratorConfig, Observer, PatchConfig,
 from .engine.render import RenderResult, render, render_pixels
 from .engine.integrate import SchwarzschildIntegrator
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
 
 
 def enable_compilation_cache(path=None):

@@ -183,3 +183,32 @@ def test_bl_bardeen_predicate_matches_integration():
     esc = np.asarray(status) == STATUS_ESCAPED
     mismatch = int((pred != esc).sum())
     assert mismatch <= 2, f"{mismatch} of {esc.size} rays disagree"
+
+
+def test_cartesian_bardeen_predicate_off_equator():
+    """The Cartesian front-end computes the FULL Carter constant
+    (p_theta projection + cos^2-theta term), so the analytic rescue is
+    exact for observers off the equatorial plane too — pinned against
+    f64 integration from a camera hovering at z = 12."""
+    import jax.numpy as jnp
+    import numpy as np
+    from grtrace.engine.integrate import STATUS_ESCAPED
+    from grtrace.engine.integrate_generic import integrate_batch_generic
+    from grtrace.engine.integrate_ks import bardeen_escape_pred
+    from grtrace.physics.camera import camera_rays_cartesian
+    from grtrace.physics.spacetime import METRICS
+
+    params = jnp.asarray([1.0, 0.9, 0.0])
+    q0, p0, _ = camera_rays_cartesian(
+        jnp.asarray([27.0, 0.0, 12.0]), jnp.radians(70.0), 10, 10,
+        params=params, g_inv_fn=METRICS["KerrSchild"], dtype=jnp.float64)
+    q0 = q0.reshape(-1, 4)
+    p0 = p0.reshape(-1, 4)
+    _, _, status, _ = integrate_batch_generic(
+        q0, p0, 8000, 0.02, params, 33.0, 1.0, metric="KerrSchild")
+    pred = np.asarray(bardeen_escape_pred(q0, p0, jnp.float64(1.0),
+                                          jnp.float64(0.9),
+                                          jnp.float64(0.0)))
+    esc = np.asarray(status) == STATUS_ESCAPED
+    assert esc.sum() > 50 and (~esc).sum() > 2      # both classes present
+    assert int((pred != esc).sum()) == 0
