@@ -1,0 +1,42 @@
+"""Regenerate the README showcase renders (committed under images/).
+
+Run on the real chip:  python tools/showcase.py
+Each render uses the library API with a dense procedural starfield so the
+lensed sky band and photon ring read clearly at README scale.
+"""
+import sys
+import time
+
+import numpy as np
+from PIL import Image
+
+from grtrace import SceneConfig, IntegratorConfig, render
+from grtrace.io import textures
+
+BG = np.clip(textures.starfield(density=1.5e-3, seed=3).astype(np.float32)
+             * 2.4, 0, 255).astype(np.uint8)
+
+CONFIGS = [
+    ("schwarzschild_400",
+     SceneConfig(size=400, n_samples=0,
+                 integrator=IntegratorConfig(steps=200_000, delta=0.01))),
+    ("kerr_a09_512",
+     SceneConfig(size=512, metric="kerr", spin=0.9, n_samples=0,
+                 integrator=IntegratorConfig(steps=30_000, delta=0.02))),
+    ("kerr_newman_a06_q05_256",
+     SceneConfig(size=256, metric="kerr", spin=0.6, charge=0.5, n_samples=0,
+                 integrator=IntegratorConfig(steps=30_000, delta=0.02))),
+]
+
+
+def main():
+    t0 = time.time()
+    for name, scene in CONFIGS:
+        res = render(scene, bg_array=BG)
+        Image.fromarray(np.asarray(res.image)).save(f"images/{name}.png")
+        print(name, "counts:", res.counts, f"{time.time()-t0:.1f}s",
+              flush=True)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
