@@ -11,6 +11,7 @@ from .io.scene import (BlackHole, IntegratorConfig, Observer, PatchConfig,
                        Photon, SceneConfig, apply_relative_offsets)
 from .engine.render import RenderResult, render, render_pixels
 from .engine.integrate import SchwarzschildIntegrator
+from .engine.disk import DiskConfig, render_disk
 
 __version__ = "0.3.0"
 
@@ -47,6 +48,6 @@ def enable_compilation_cache(path=None):
 __all__ = [
     "BlackHole", "Observer", "Photon", "PatchConfig", "IntegratorConfig",
     "SceneConfig", "apply_relative_offsets", "RenderResult", "render",
-    "render_pixels", "SchwarzschildIntegrator", "enable_compilation_cache",
-    "__version__",
+    "render_pixels", "SchwarzschildIntegrator", "DiskConfig", "render_disk",
+    "enable_compilation_cache", "__version__",
 ]

@@ -100,6 +100,23 @@ def build_parser() -> argparse.ArgumentParser:
                    help='Disable flat (no-gravity) trajectory rendering')
     p.add_argument('--n-samples', type=int, default=20,
                    help='Number of sampled diagnostic trajectories')
+    # --- accretion disk mode (beyond the reference; engine/disk.py) ---
+    p.add_argument('--disk', action='store_true',
+                   help='Render a thin equatorial accretion disk (GR '
+                        'redshift/Doppler shading; engine.disk)')
+    p.add_argument('--disk-r-in', type=float, default=None,
+                   help='Disk inner edge (default: the prograde ISCO)')
+    p.add_argument('--disk-r-out', type=float, default=14.0,
+                   help='Disk outer edge')
+    p.add_argument('--disk-elevation', type=float, default=12.0,
+                   help='Camera elevation above the disk plane (deg); '
+                        '0 = the standard equatorial observer (edge-on)')
+    p.add_argument('--disk-temp', type=float, default=9000.0,
+                   help='Peak disk color temperature (K)')
+    p.add_argument('--disk-exposure', type=float, default=2.5,
+                   help='Disk tone-mapping gain')
+    p.add_argument('--disk-retrograde', action='store_true',
+                   help='Disk counter-rotates with the hole')
     p.add_argument('--out-dir', type=str, default='.',
                    help='Output directory for artifacts')
     p.add_argument('--no-plots', action='store_true',
@@ -115,6 +132,17 @@ def build_parser() -> argparse.ArgumentParser:
 
 def parse_args(argv=None):
     return build_parser().parse_args(argv)
+
+
+def disk_from_args(args):
+    """argparse Namespace -> DiskConfig, or None when --disk is absent."""
+    if not getattr(args, 'disk', False):
+        return None
+    from ..engine.disk import DiskConfig
+    return DiskConfig(r_in=args.disk_r_in, r_out=args.disk_r_out,
+                      prograde=not args.disk_retrograde,
+                      t_peak=args.disk_temp, exposure=args.disk_exposure,
+                      elevation_deg=args.disk_elevation)
 
 
 def scene_from_args(args) -> SceneConfig:

@@ -20,7 +20,7 @@ import numpy as np
 from ..engine.flat import flat_render_scene
 from ..engine.render import render
 from ..io import artifacts
-from .args import parse_args, scene_from_args
+from .args import disk_from_args, parse_args, scene_from_args
 
 logging.basicConfig(level=logging.INFO,
                     format="%(asctime)s %(levelname)s: %(message)s")
@@ -72,8 +72,15 @@ def main(argv=None):
     t0 = time.time()
     from ..engine.metrics import RenderMetrics, trace
     rm = RenderMetrics() if args.print_metrics else None
+    disk_cfg = disk_from_args(args)
     with trace(os.path.join(out, "jax_trace") if args.profile else None):
-        result = render(scene, bg_array=bg_array, seed=args.seed, metrics=rm)
+        if disk_cfg is not None:
+            from ..engine.disk import render_disk
+            result = render_disk(scene, disk_cfg, bg_array=bg_array,
+                                 metrics=rm)
+        else:
+            result = render(scene, bg_array=bg_array, seed=args.seed,
+                            metrics=rm)
     logging.info("Curved render finished in %.2fs (%s backend)",
                  time.time() - t0, scene.integrator.backend)
     if rm is not None:

@@ -36,7 +36,7 @@ CLS_ESCAPE_NO_PATCH = 3
 CLS_IN_DOMAIN = 4
 
 COLLISION_NAMES = ("bh", "numerical error", "escape_bg", "escape_no_patch",
-                   "in_domain")
+                   "in_domain", "disk")  # code 5 = engine.disk.CLS_DISK
 
 
 def unfold_hit(final_q, beta):

@@ -196,3 +196,5 @@ def print_summary(counts: dict) -> None:
     print(f"  Hit background: {counts['background']}")
     if counts.get("numerical_error"):
         print(f"  Numerical errors: {counts['numerical_error']}")
+    if counts.get("disk"):
+        print(f"  Hit accretion disk: {counts['disk']}")

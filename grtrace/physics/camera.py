@@ -55,6 +55,42 @@ def pixel_grid(obs_pos, fov, height, width, dtype=jnp.float32):
     return plane_center + offsets
 
 
+def pixel_grid_lookat(obs_pos, fov, height, width, dtype=jnp.float32):
+    """(H, W, 3) pixel positions for an observer ANYWHERE, optical axis
+    aimed at the origin.
+
+    Generalizes pixel_grid beyond the reference's hardcoded +x observer
+    (raytracing.py:60-88): the up-reference is +z (the spin axis), so the
+    equatorial plane stays level in the frame.  For the equatorial +x
+    observer this reduces exactly to pixel_grid (right = +y, up = +z) —
+    pinned by test.  Used by the inclined-camera disk renderer
+    (engine.disk); near-polar observers (|axis x z| ~ 0) fall back to
+    right = +y.
+    """
+    obs_pos = jnp.asarray(obs_pos, dtype=dtype)
+    d = jnp.linalg.norm(obs_pos)
+    axis = -obs_pos / d
+    z_hat = jnp.array([0.0, 0.0, 1.0], dtype=dtype)
+    r_raw = jnp.cross(axis, z_hat)
+    r_norm = jnp.linalg.norm(r_raw)
+    right = jnp.where(r_norm > 1e-6, r_raw / jnp.maximum(r_norm, 1e-30),
+                      jnp.array([0.0, 1.0, 0.0], dtype=dtype))
+    up = jnp.cross(right, axis)
+
+    plane_dist = 0.2 * d
+    plane_center = obs_pos + axis * plane_dist
+    plane_width = 2.0 * plane_dist * jnp.tan(fov / 2.0)
+    plane_height = plane_width * (height / width)
+
+    jj = jnp.arange(width, dtype=dtype)
+    ii = jnp.arange(height, dtype=dtype)
+    u = (jj + 0.5) / width - 0.5
+    v = (ii + 0.5) / height - 0.5
+    offsets = (u[None, :, None] * plane_width * right
+               + v[:, None, None] * plane_height * up)
+    return plane_center + offsets
+
+
 def angles_to_p_sph(alpha, beta, r_obs, *, mass_bh=1.0):
     """Camera angles -> reference-convention spatial momentum triplet.
 
