@@ -211,7 +211,8 @@ def shade_disk(hit_q, hit_p, params, r_obs, r_in, *, prograde=True,
 
 @partial(jax.jit,
          static_argnames=("height", "width", "steps", "order", "flip_theta",
-                          "flip_phi", "has_background", "dtype", "prograde"))
+                          "flip_phi", "has_background", "dtype", "prograde",
+                          "backend"))
 def render_pixels_disk(bg_array, obs_pos, fov, mass, spin, charge,
                        boundary_radius, steps, delta, omega,
                        r_in, r_out, t_peak, exposure,
@@ -219,11 +220,16 @@ def render_pixels_disk(bg_array, obs_pos, fov, mass, spin, charge,
                        patch_size_theta, patch_size_phi,
                        *, height, width, order=2, flip_theta=False,
                        flip_phi=False, has_background=True,
-                       dtype=jnp.float32, prograde=True):
+                       dtype=jnp.float32, prograde=True, backend="xla"):
     """One compiled program: camera -> disk integration -> shade + classify
     -> RGB.  Mirrors render_pixels_generic with the disk overlay on top;
     obs_pos is a full (3,) position (the disk camera may sit above the
-    plane, physics.camera.pixel_grid_lookat)."""
+    plane, physics.camera.pixel_grid_lookat).
+
+    backend='pallas' runs the tuned KS kernel's disk twin
+    (integrate_pallas_ks.integrate_batch_pallas_disk; Kahan-compensated
+    in float32, like render_generic's production path); 'xla' the
+    autodiff while_loop engine (integrate_batch_disk)."""
     from ..physics.camera import cartesian_ics_from_pixels, pixel_grid_lookat
     from ..physics.coords import cartesian_to_spherical
     from . import classify as _classify
@@ -241,9 +247,18 @@ def render_pixels_disk(bg_array, obs_pos, fov, mass, spin, charge,
     q0, p0, alpha0 = cartesian_ics_from_pixels(obs_pos, pix, params=params,
                                                g_inv_fn=g_inv_fn)
     n = height * width
-    final_q, final_p, status, n_steps, hit_q, hit_p = integrate_batch_disk(
-        q0.reshape(n, 4), p0.reshape(n, 4), steps, delta, params,
-        boundary_radius, omega, r_in, r_out, order=order)
+    if backend == "pallas":
+        from .integrate_pallas_ks import integrate_batch_pallas_disk
+        final_q, final_p, status, n_steps, hit_q, hit_p = \
+            integrate_batch_pallas_disk(
+                q0.reshape(n, 4), p0.reshape(n, 4), steps, delta, params,
+                boundary_radius, omega, r_in, r_out, order=order,
+                compensated=dtype == jnp.float32)
+    else:
+        final_q, final_p, status, n_steps, hit_q, hit_p = \
+            integrate_batch_disk(
+                q0.reshape(n, 4), p0.reshape(n, 4), steps, delta, params,
+                boundary_radius, omega, r_in, r_out, order=order)
 
     disk_mask = status == STATUS_DISK
     g_fac, disk_rgb01 = shade_disk(hit_q, hit_p, params, r_obs_bl, r_in,
@@ -318,12 +333,15 @@ def render_disk(scene, disk: DiskConfig = None, *, bg_array=None, dtype=None,
     from .metrics import RenderMetrics
     from .render import RenderResult
 
+    from .integrate import resolve_backend
+
     disk = disk or DiskConfig()
     want_metrics = metrics is not None
     if metrics is None:
         metrics = RenderMetrics()
     h, w = scene.image_size
     integ = scene.integrator
+    backend = resolve_backend(integ.backend)
     if dtype is None:
         dtype = jnp.float64 if integ.dtype == "float64" else jnp.float32
     has_bg = bg_array is not None and disk.show_background
@@ -357,7 +375,8 @@ def render_disk(scene, disk: DiskConfig = None, *, bg_array=None, dtype=None,
             height=h, width=w, order=integ.order,
             flip_theta=scene.patch.flip_theta,
             flip_phi=scene.patch.flip_phi,
-            has_background=has_bg, dtype=dtype, prograde=disk.prograde)
+            has_background=has_bg, dtype=dtype, prograde=disk.prograde,
+            backend=backend)
 
         # the counts fetch is the device sync, so it belongs to the stage
         cv = np.asarray(out.pop("count_vec"))

@@ -78,7 +78,7 @@ def ks_substeps(delta, omega, order, compensated=False):
 
 
 def make_ks_step(subs, mass, a, charge, r_cap, r_max, plunge_zone,
-                 compensated=False):
+                 compensated=False, disk=None):
     """(active, masked_step, open_fn, close_fn) for one KS integration.
 
     active(comps) -> bool mask; masked_step(comps, ns) -> (comps, ns)
@@ -86,6 +86,16 @@ def make_ks_step(subs, mass, a, charge, r_cap, r_max, plunge_zone,
     in-loop null-invariant blow-up guard and parking.  open_fn/close_fn
     are the staggered boundary half-A flows (caller masks them by the
     initially-active set; see the kernel / twin for the masking rules).
+
+    disk=(r_in, r_out) swaps masked_step for the disk-crossing variant
+    masked_step(comps, ns, hit, hq, hp) -> same: rays whose q1 z row
+    changes sign within the annulus freeze with hit=True and the
+    within-step lerped crossing recorded in hq (q1 rows) / hp (p2 rows —
+    like q1, the p2 rows hold EXACT plain-composition step-boundary
+    values in the staggered state, so the crossing semantics match the
+    unstaggered engine.disk XLA path; the phase-space copies differ by
+    the usual O(copy-split) wobble, below shading tolerance).  The
+    caller's early-exit test must become active(comps) & ~hit.
     """
     core = core_ksc if compensated else core_ks
     open_raw = open_ksc if compensated else open_ks
@@ -103,13 +113,15 @@ def make_ks_step(subs, mass, a, charge, r_cap, r_max, plunge_zone,
         rho2 = comps[1] * comps[1] + comps[2] * comps[2] + comps[3] * comps[3]
         return (r_bl > r_cap) & (rho2 < r_max * r_max)
 
-    def masked_step(comps, ns):
+    def _advance(comps, ns, frozen=None):
         # inline `active` so r_old is computed once per step (reused by the
         # plunge-zone test below)
         r_old = ks_radius_c(comps[1], comps[2], comps[3], a)
         rho2 = (comps[1] * comps[1] + comps[2] * comps[2]
                 + comps[3] * comps[3])
         act = (r_old > r_cap) & (rho2 < r_max * r_max)
+        if frozen is not None:
+            act = act & ~frozen
         new = comps
         for d_j, cw_j, sw_j, bridge_j in subs:
             new = core(new, d_j, mass, a, cw_j, sw_j, bridge_j, charge)
@@ -168,9 +180,38 @@ def make_ks_step(subs, mass, a, charge, r_cap, r_max, plunge_zone,
         # rays to the analytic Bardeen rescue (apply_bardeen_rescue)
         ns_new = ns + act.astype(jnp.int32)
         ns_new = jnp.where(park, -ns_new, ns_new)
-        return tuple(out), ns_new
+        return tuple(out), ns_new, new, ok
 
-    return active, masked_step, open_fn, close_fn
+    def masked_step(comps, ns):
+        out, ns_new, _, _ = _advance(comps, ns)
+        return out, ns_new
+
+    if disk is None:
+        return active, masked_step, open_fn, close_fn
+
+    r_in, r_out = disk
+
+    def masked_step_disk(comps, ns, hit, hq, hp):
+        out, ns_new, new, ok = _advance(comps, ns, frozen=hit)
+        # first equatorial crossing inside the annulus, lerped within the
+        # step on the exact-boundary (q1, p2) rows (engine.disk semantics:
+        # the first crossing along the backward ray is the opaque disk's
+        # visible surface).  ok excludes guard-parked rays — a ray cannot
+        # hit the disk on the step its state blew up, matching
+        # integrate_batch_disk's `act & ~bad` condition.
+        z0, z1 = comps[3], new[3]
+        crossed = ok & (z0 * z1 < 0.0)
+        t = jnp.where(crossed, z0 / (z0 - z1), 0.0)
+        cq = tuple(comps[i] + t * (new[i] - comps[i]) for i in range(4))
+        cp = tuple(comps[12 + i] + t * (new[12 + i] - comps[12 + i])
+                   for i in range(4))
+        r_hit = ks_radius_c(cq[1], cq[2], cq[3], a)
+        new_hit = crossed & (r_hit >= r_in) & (r_hit <= r_out)
+        hq = tuple(jnp.where(new_hit, c, h) for c, h in zip(cq, hq))
+        hp = tuple(jnp.where(new_hit, c, h) for c, h in zip(cp, hp))
+        return out, ns_new, hit | new_hit, hq, hp
+
+    return active, masked_step_disk, open_fn, close_fn
 
 
 def bardeen_escape_pred(q0s, p0s, mass, a, charge):

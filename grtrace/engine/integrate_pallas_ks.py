@@ -69,12 +69,13 @@ N_SCAL = 6  # mass, a, charge, r_cap, r_max, plunge_zone (+ 4 per substep:
 UNROLL = 32
 
 
-def _make_kernel_ks(steps, n_sub, compensated=False, unroll=None):
+def _make_kernel_ks(steps, n_sub, compensated=False, unroll=None,
+                    disk=False):
     if unroll is None:
         unroll = max(1, UNROLL // n_sub)
     n_rows = N_ROWS_C if compensated else N_ROWS
 
-    def kernel(params_ref, state_ref, out_state_ref, ns_ref):
+    def kernel(params_ref, state_ref, out_state_ref, ns_ref, *disk_refs):
         mass = params_ref[0]
         a = params_ref[1]
         charge = params_ref[2]
@@ -84,10 +85,14 @@ def _make_kernel_ks(steps, n_sub, compensated=False, unroll=None):
         subs = tuple(tuple(params_ref[N_SCAL + 4 * j + k] for k in range(4))
                      for j in range(n_sub))
         d0 = subs[0][0]
+        # disk annulus scalars ride AFTER the substeps so the plain
+        # kernel's SMEM indices are untouched
+        disk_rr = ((params_ref[N_SCAL + 4 * n_sub],
+                    params_ref[N_SCAL + 4 * n_sub + 1]) if disk else None)
 
         active, masked_step, open_fn, close_fn = make_ks_step(
             subs, mass, a, charge, r_cap, r_max, plunge_zone,
-            compensated=compensated)
+            compensated=compensated, disk=disk_rr)
 
         comps = tuple(state_ref[0, i] for i in range(n_rows))
         ns0 = jnp.zeros((SUBLANES, LANES), dtype=jnp.int32)
@@ -95,7 +100,9 @@ def _make_kernel_ks(steps, n_sub, compensated=False, unroll=None):
         # staggered loop (see physics.kerr_schild staggered section): one
         # masked opening half-A, cores of B M B A(bridge), one closing
         # half-A — one A (and its _kick_drift geometry evaluation) per
-        # substep instead of two
+        # substep instead of two.  The half-A flows write only (p1, q2),
+        # so in disk mode no equatorial crossing can hide in the
+        # open/close boundary flows — q1's z row never moves there.
         act0 = active(comps)
         if steps > 0:  # steps == 0 must be an exact no-op
             opened = open_fn(comps, d0)
@@ -104,25 +111,54 @@ def _make_kernel_ks(steps, n_sub, compensated=False, unroll=None):
 
         main_iters = steps // unroll
 
-        def cond(carry):
-            k, comps, _ = carry
-            return (k < main_iters) & jnp.any(active(comps))
+        if disk:
+            # the hit mask crosses the while boundary as f32 — Mosaic
+            # cannot legalize a vector<i1> in an scf.while carry — and is
+            # re-boolified inside the body (one compare per UNROLL group)
+            zero = jnp.zeros((SUBLANES, LANES), dtype=comps[0].dtype)
+            carry0 = (jnp.int32(0), comps, ns0, zero,
+                      (zero,) * 4, (zero,) * 4)
 
-        def body(carry):
-            k, comps, ns = carry
-            for _ in range(unroll):
+            def cond(carry):
+                k, comps, _, hitf, _, _ = carry
+                return (k < main_iters) & jnp.any(active(comps)
+                                                 & (hitf < 0.5))
+
+            def body(carry):
+                k, comps, ns, hitf, hq, hp = carry
+                hit = hitf > 0.5
+                for _ in range(unroll):
+                    comps, ns, hit, hq, hp = masked_step(comps, ns, hit,
+                                                         hq, hp)
+                return (k + 1, comps, ns, hit.astype(hitf.dtype), hq, hp)
+
+            _, comps, ns, hitf, hq, hp = jax.lax.while_loop(cond, body,
+                                                            carry0)
+            hit = hitf > 0.5
+            for _ in range(steps % unroll):
+                comps, ns, hit, hq, hp = masked_step(comps, ns, hit, hq, hp)
+        else:
+            def cond(carry):
+                k, comps, _ = carry
+                return (k < main_iters) & jnp.any(active(comps))
+
+            def body(carry):
+                k, comps, ns = carry
+                for _ in range(unroll):
+                    comps, ns = masked_step(comps, ns)
+                return k + 1, comps, ns
+
+            _, comps, ns = jax.lax.while_loop(cond, body,
+                                              (jnp.int32(0), comps, ns0))
+            for _ in range(steps % unroll):
                 comps, ns = masked_step(comps, ns)
-            return k + 1, comps, ns
-
-        _, comps, ns = jax.lax.while_loop(cond, body,
-                                          (jnp.int32(0), comps, ns0))
-        for _ in range(steps % unroll):
-            comps, ns = masked_step(comps, ns)
 
         # undo the pending half-A for every opened ray.  Unlike the
         # Schwarzschild kernel, no park exclusion is needed: the park
         # points are regular chart points, flow A cannot move q1, and a
         # parked ray's (p1, q2) are reverted bookkeeping values anyway.
+        # (Disk-hit rays: harmless too — their final (q1, p2) are unused,
+        # the recorded crossing is what shades them.)
         if steps > 0:
             closed = close_fn(comps, d0)
             comps = tuple(jnp.where(act0, cl, c)
@@ -131,14 +167,20 @@ def _make_kernel_ks(steps, n_sub, compensated=False, unroll=None):
         for i in range(n_rows):
             out_state_ref[0, i] = comps[i]
         ns_ref[0, 0] = ns
+        if disk:
+            disk_ref, = disk_refs
+            disk_ref[0, 0] = hit.astype(comps[0].dtype)
+            for i in range(4):
+                disk_ref[0, 1 + i] = hq[i]
+                disk_ref[0, 5 + i] = hp[i]
 
     return kernel
 
 
 @partial(jax.jit, static_argnames=("steps", "interpret", "n_sub",
-                                   "compensated"))
+                                   "compensated", "disk"))
 def _integrate_tiles_ks(state, params, steps, interpret=False, n_sub=1,
-                        compensated=False):
+                        compensated=False, disk=False):
     num_tiles = state.shape[0]
     n_rows = state.shape[1]
     dtype = state.dtype
@@ -146,26 +188,34 @@ def _integrate_tiles_ks(state, params, steps, interpret=False, n_sub=1,
     # steps and the exact-budget remainder are unchanged) but a 16x
     # smaller trace, which dominates interpret-mode wall time on CPU
     kernel = _make_kernel_ks(steps, n_sub, compensated=compensated,
-                             unroll=1 if interpret else None)
-    out_state, ns = pl.pallas_call(
+                             unroll=1 if interpret else None, disk=disk)
+    out_specs = [pl.BlockSpec((1, n_rows, SUBLANES, LANES),
+                              lambda i: (i, 0, 0, 0),
+                              memory_space=pltpu.VMEM),
+                 pl.BlockSpec((1, 1, SUBLANES, LANES),
+                              lambda i: (i, 0, 0, 0),
+                              memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct(state.shape, dtype),
+                 jax.ShapeDtypeStruct((num_tiles, 1, SUBLANES, LANES),
+                                      jnp.int32)]
+    if disk:  # hit flag row + 4 hit_q rows + 4 hit_p rows
+        out_specs.append(pl.BlockSpec((1, 9, SUBLANES, LANES),
+                                      lambda i: (i, 0, 0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct(
+            (num_tiles, 9, SUBLANES, LANES), dtype))
+    out = pl.pallas_call(
         kernel,
         grid=(num_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec((1, n_rows, SUBLANES, LANES),
                                lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=(pl.BlockSpec((1, n_rows, SUBLANES, LANES),
-                                lambda i: (i, 0, 0, 0),
-                                memory_space=pltpu.VMEM),
-                   pl.BlockSpec((1, 1, SUBLANES, LANES),
-                                lambda i: (i, 0, 0, 0),
-                                memory_space=pltpu.VMEM)),
-        out_shape=(jax.ShapeDtypeStruct(state.shape, dtype),
-                   jax.ShapeDtypeStruct((num_tiles, 1, SUBLANES, LANES),
-                                        jnp.int32)),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         interpret=interpret,
     )(params, state)
-    return out_state, ns
+    return out  # (out_state, ns[, disk_rows])
 
 
 def _pack_tiles_ks(q0s, p0s, r_max, compensated=False):
@@ -263,3 +313,69 @@ def integrate_batch_pallas_ks(q0s, p0s, steps, delta, params, r_max, omega,
     return apply_bardeen_rescue(final_q, final_p, ns_signed, q2_spatial,
                                 q0s_orig, p0s_orig, mass, a, charge,
                                 r_cap, r_max)
+
+
+@partial(jax.jit, static_argnames=("steps", "interpret", "sort_rays",
+                                   "order", "compensated"))
+def integrate_batch_pallas_disk(q0s, p0s, steps, delta, params, r_max,
+                                omega, r_in, r_out, interpret=False,
+                                sort_rays=True, order=2, compensated=False):
+    """Disk-crossing twin of integrate_batch_pallas_ks: the production
+    kernel for engine.disk renders.  Same contract as
+    disk.integrate_batch_disk — (final_q, final_p, status, n_steps,
+    hit_q, hit_p) with STATUS_DISK rays frozen at their first equatorial
+    crossing inside [r_in, r_out] — at the tuned kernel's speed (~10x
+    the generic autodiff while_loop the XLA disk path runs)."""
+    from .disk import STATUS_DISK
+
+    dtype = q0s.dtype
+    delta = jnp.asarray(delta, dtype)
+    r_max = jnp.asarray(r_max, dtype)
+    omega = jnp.asarray(omega, dtype)
+    mass, a, charge, r_cap, plunge_zone = ks_scene_scalars(params, dtype)
+    subs = ks_substeps(delta, omega, order, compensated=compensated)
+    scal = [mass, a, charge, r_cap, r_max, plunge_zone]
+    for sub in subs:
+        scal += list(sub)
+    scal += [jnp.asarray(r_in, dtype), jnp.asarray(r_out, dtype)]
+    smem = jnp.stack(scal)
+
+    q0s_orig, p0s_orig = q0s, p0s
+    if sort_rays:
+        sort_idx = jnp.argsort(_cost_sort_key_ks(q0s, p0s, mass))
+        q0s = q0s[sort_idx]
+        p0s = p0s[sort_idx]
+
+    state, n = _pack_tiles_ks(q0s, p0s, r_max, compensated=compensated)
+    out_state, ns, disk_rows = _integrate_tiles_ks(
+        state, smem, steps, interpret=interpret, n_sub=len(subs),
+        compensated=compensated, disk=True)
+
+    n_rows = out_state.shape[1]
+    comp = out_state.transpose(1, 0, 2, 3).reshape(n_rows, -1)[:, :n]
+    if compensated:  # fold the Kahan deficits (true = s - c)
+        comp = comp[:16] - comp[16:]
+    final_q = comp[0:4].T
+    final_p = comp[4:8].T
+    q2_spatial = comp[9:12].T
+    ns_signed = ns.reshape(-1)[:n]
+    dcomp = disk_rows.transpose(1, 0, 2, 3).reshape(9, -1)[:, :n]
+    hit = dcomp[0] > 0.5
+    hit_q = dcomp[1:5].T
+    hit_p = dcomp[5:9].T
+
+    if sort_rays:
+        inverse = jnp.argsort(sort_idx)
+        final_q = final_q[inverse]
+        final_p = final_p[inverse]
+        q2_spatial = q2_spatial[inverse]
+        ns_signed = ns_signed[inverse]
+        hit = hit[inverse]
+        hit_q = hit_q[inverse]
+        hit_p = hit_p[inverse]
+
+    final_q, final_p, status, n_steps = apply_bardeen_rescue(
+        final_q, final_p, ns_signed, q2_spatial, q0s_orig, p0s_orig,
+        mass, a, charge, r_cap, r_max)
+    status = jnp.where(hit, STATUS_DISK, status)
+    return final_q, final_p, status, n_steps, hit_q, hit_p

@@ -179,6 +179,40 @@ def test_disk_statuses_match_generic_engine_for_missers():
                                atol=1e-8)
 
 
+def test_disk_pallas_kernel_matches_xla_path():
+    """The disk twin of the KS Pallas kernel (interpret mode) agrees with
+    the autodiff XLA disk engine: same statuses, same crossings to the
+    staggered-vs-plain fusion-rounding scale, hit momenta to the
+    phase-space copy-split scale (the kernel records the p2 copy — exact
+    step-boundary values in the staggered state — the XLA path p1)."""
+    from grtrace.engine.integrate_pallas_ks import integrate_batch_pallas_disk
+
+    q0, p0, (fq, fp, status, ns, hq, hp), r_in, params = _disk_batch(
+        steps=400)
+    out_p = integrate_batch_pallas_disk(q0, p0, 400, 0.05, params, 31.0,
+                                        1.0, r_in, 14.0, interpret=True)
+    fq_p, fp_p, st_p, ns_p, hq_p, hp_p = (np.asarray(v) for v in out_p)
+    status, ns = np.asarray(status), np.asarray(ns)
+    assert (status == st_p).all()
+    hit = status == STATUS_DISK
+    assert hit.sum() >= 2  # the 400-step budget reaches the near annulus
+    # missers retired identically (parity-of-steps: same guard semantics)
+    assert (ns[~hit] == ns_p[~hit]).all()
+    np.testing.assert_allclose(hq_p[hit], np.asarray(hq)[hit], atol=1e-7)
+    np.testing.assert_allclose(hp_p[hit], np.asarray(hp)[hit], atol=2e-3)
+
+
+def test_disk_pallas_zero_steps_noop():
+    from grtrace.engine.integrate_pallas_ks import integrate_batch_pallas_disk
+
+    q0, p0, _, r_in, params = _disk_batch(size=4, steps=1)
+    fq, fp, st, ns, hq, hp = integrate_batch_pallas_disk(
+        q0, p0, 0, 0.05, params, 31.0, 1.0, r_in, 14.0, interpret=True)
+    np.testing.assert_array_equal(np.asarray(fq), np.asarray(q0))
+    assert not (np.asarray(st) == STATUS_DISK).any()
+    assert (np.asarray(ns) == 0).all()
+
+
 # ---------------------------------------------------------------------------
 # full render
 # ---------------------------------------------------------------------------
