@@ -8,7 +8,9 @@ is, by spherical symmetry, a rotation of the background patch center
 (sharding/mesh.orbit_frames), so every frame reuses one compiled render.
 --metric kerr (with --spin/--charge) orbits the Kerr-Newman family: the
 equatorial orbit is about the spin axis, so axisymmetry keeps the trick
-exact (sharding/mesh.render_kerr_sharded).
+exact (sharding/mesh.render_kerr_sharded).  --disk orbits the thin
+accretion-disk scene (also axisymmetric, so still exact) with the
+inclined look-at camera (sharding/mesh.render_disk_sharded).
 
 Checkpoint/resume: each completed frame is an on-disk PNG; a killed job
 rerun with the same --out-dir resumes after the last completed frame (the
@@ -44,6 +46,13 @@ def main(argv=None):
     p.add_argument('--spin', type=float, default=0.0)
     p.add_argument('--charge', type=float, default=0.0)
     p.add_argument('--backend', type=str, default='auto')
+    p.add_argument('--disk', action='store_true',
+                   help='orbit the thin accretion disk scene (engine.disk; '
+                        'axisymmetric, so the patch-rotation trick stays '
+                        'exact with the inclined camera)')
+    p.add_argument('--disk-elevation', type=float, default=12.0,
+                   help='camera elevation above the disk plane (deg)')
+    p.add_argument('--disk-r-out', type=float, default=14.0)
     p.add_argument('--out-dir', type=str, default='orbit_out')
     p.add_argument('--gif', action='store_true',
                    help='also write orbit.gif')
@@ -109,10 +118,14 @@ def main(argv=None):
         print(f"resuming: {len(done)} frames already rendered")
 
     kerr = args.metric == 'kerr' or args.charge != 0.0
-    if kerr:
+    if kerr or args.disk:
         from ..engine.integrate import resolve_backend
         from ..sharding.mesh import render_kerr_sharded
         kerr_backend = resolve_backend(args.backend)
+    if args.disk:
+        from ..physics.orbits import isco_radius
+        from ..sharding.mesh import render_disk_sharded
+        disk_r_in = float(isco_radius(args.bh_mass, args.spin))
 
     fx = mesh.shape["frames"]
     default_batch = min(16, max(1, 4_000_000 // (args.size * args.size)))
@@ -124,6 +137,17 @@ def main(argv=None):
     bg_dev = jnp.asarray(bg, jnp.uint8)
 
     def render_batch(ks, obs_batch):
+        if args.disk:
+            return render_disk_sharded(
+                mesh, bg_dev,
+                obs_batch, np.float32(scene.fov), scene.bh_mass,
+                args.spin, scene.boundary_radius, args.steps, args.delta,
+                1.0, float(np.deg2rad(args.disk_elevation)),
+                disk_r_in, args.disk_r_out, 9000.0, 2.5,
+                np.pi / 2, phis[ks],
+                scene.patch.size_theta, scene.patch.size_phi,
+                height=args.size, width=args.size,
+                backend=kerr_backend, charge=args.charge)
         if kerr:
             return render_kerr_sharded(
                 mesh, bg_dev,
@@ -185,6 +209,7 @@ def main(argv=None):
             "vs_baseline": round(fps / target_fps, 2),
             "frames": args.frames, "steps_budget": args.steps,
             "metric_family": args.metric, "spin": args.spin,
+            "disk": args.disk,
             "frames_per_batch": batch, "wall_s": round(t, 3),
         })
         print(line)

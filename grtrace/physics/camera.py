@@ -55,18 +55,11 @@ def pixel_grid(obs_pos, fov, height, width, dtype=jnp.float32):
     return plane_center + offsets
 
 
-def pixel_grid_lookat(obs_pos, fov, height, width, dtype=jnp.float32):
-    """(H, W, 3) pixel positions for an observer ANYWHERE, optical axis
-    aimed at the origin.
-
-    Generalizes pixel_grid beyond the reference's hardcoded +x observer
-    (raytracing.py:60-88): the up-reference is +z (the spin axis), so the
-    equatorial plane stays level in the frame.  For the equatorial +x
-    observer this reduces exactly to pixel_grid (right = +y, up = +z) —
-    pinned by test.  Used by the inclined-camera disk renderer
-    (engine.disk); near-polar observers (|axis x z| ~ 0) fall back to
-    right = +y.
-    """
+def _lookat_frame(obs_pos, fov, height, width, dtype):
+    """(plane_center, plane_width, plane_height, right, up) of the
+    origin-aimed image plane for an observer anywhere; the up-reference
+    is +z (the spin axis) so the equatorial plane stays level, with a
+    right = +y fallback for near-polar observers (|axis x z| ~ 0)."""
     obs_pos = jnp.asarray(obs_pos, dtype=dtype)
     d = jnp.linalg.norm(obs_pos)
     axis = -obs_pos / d
@@ -81,7 +74,20 @@ def pixel_grid_lookat(obs_pos, fov, height, width, dtype=jnp.float32):
     plane_center = obs_pos + axis * plane_dist
     plane_width = 2.0 * plane_dist * jnp.tan(fov / 2.0)
     plane_height = plane_width * (height / width)
+    return plane_center, plane_width, plane_height, right, up
 
+
+def pixel_grid_lookat(obs_pos, fov, height, width, dtype=jnp.float32):
+    """(H, W, 3) pixel positions for an observer ANYWHERE, optical axis
+    aimed at the origin.
+
+    Generalizes pixel_grid beyond the reference's hardcoded +x observer
+    (raytracing.py:60-88).  For the equatorial +x observer this reduces
+    exactly to pixel_grid (right = +y, up = +z) — pinned by test.  Used
+    by the inclined-camera disk renderer (engine.disk).
+    """
+    plane_center, plane_width, plane_height, right, up = _lookat_frame(
+        obs_pos, fov, height, width, dtype)
     jj = jnp.arange(width, dtype=dtype)
     ii = jnp.arange(height, dtype=dtype)
     u = (jj + 0.5) / width - 0.5
@@ -89,6 +95,21 @@ def pixel_grid_lookat(obs_pos, fov, height, width, dtype=jnp.float32):
     offsets = (u[None, :, None] * plane_width * right
                + v[:, None, None] * plane_height * up)
     return plane_center + offsets
+
+
+def pixel_positions_for_indices_lookat(obs_pos, fov, height, width,
+                                       flat_idx, dtype=jnp.float32):
+    """Look-at pixel positions for a slice of flat indices (i*W + j) —
+    the inclined-camera twin of pixel_positions_for_indices, for the
+    sharded disk renderer's per-device ray slices."""
+    plane_center, plane_width, plane_height, right, up = _lookat_frame(
+        obs_pos, fov, height, width, dtype)
+    i = (flat_idx // width).astype(dtype)
+    j = (flat_idx % width).astype(dtype)
+    u = (j + 0.5) / width - 0.5
+    v = (i + 0.5) / height - 0.5
+    return (plane_center + u[:, None] * plane_width * right
+            + v[:, None] * plane_height * up)
 
 
 def angles_to_p_sph(alpha, beta, r_obs, *, mass_bh=1.0):

@@ -221,6 +221,101 @@ def render_kerr_sharded(mesh, bg_array, obs_x, fov, mass, spin,
                                frame_body, n, height, width)
 
 
+@partial(jax.jit,
+         static_argnames=("mesh", "height", "width", "steps", "flip_theta",
+                          "flip_phi", "has_background", "dtype", "backend",
+                          "order", "prograde"))
+def render_disk_sharded(mesh, bg_array, obs_x, fov, mass, spin,
+                        boundary_radius, steps, delta, omega,
+                        elevation, r_in, r_out, t_peak, exposure,
+                        patch_center_theta, patch_center_phi,
+                        patch_size_theta, patch_size_phi,
+                        *, height, width, flip_theta=False, flip_phi=False,
+                        has_background=True, dtype=jnp.float32,
+                        order=2, backend="xla", charge=0.0, prograde=True):
+    """Accretion-disk frames over the ('frames', 'rays') mesh.
+
+    The thin equatorial disk is axisymmetric like the hole, so the
+    camera-orbit-equals-patch-rotation trick of render_kerr_sharded
+    still holds with the inclined look-at camera: every frame shows the
+    identical disk, only the lensed background rotates.  Per-frame
+    arrays: obs_x (camera distance), patch_center_phi; the camera sits
+    elevation radians above the equatorial plane.
+    """
+    from ..engine.disk import (CLS_DISK, STATUS_DISK, integrate_batch_disk,
+                               shade_disk)
+    from ..engine.integrate import STATUS_CAPTURED
+    from ..physics.camera import (cartesian_ics_from_pixels,
+                                  pixel_positions_for_indices_lookat)
+    from ..physics.coords import cartesian_to_spherical
+    from ..physics.spacetime import METRICS, horizon_radius, ks_radius
+
+    g_inv_fn = METRICS["KerrSchild"]
+    n = height * width
+    n_ray_shards = mesh.shape["rays"]
+
+    obs_x = jnp.asarray(obs_x, dtype)
+    patch_center_phi = jnp.asarray(patch_center_phi, dtype)
+    elevation = jnp.asarray(elevation, dtype)
+    params = jnp.stack([jnp.asarray(mass, dtype), jnp.asarray(spin, dtype),
+                        jnp.asarray(charge, dtype)])
+    rs_classify = (1.05 / 1.2) * horizon_radius("Kerr", params[0],
+                                                params[1], params[2])
+
+    def frame_body(obs_d_f, patch_phi_f, bg):
+        flat_idx = _local_ray_indices(n, n_ray_shards)
+        obs_pos = jnp.stack([obs_d_f * jnp.cos(elevation),
+                             jnp.zeros_like(obs_d_f),
+                             obs_d_f * jnp.sin(elevation)])
+        r_obs_bl = ks_radius(obs_pos[0], obs_pos[1], obs_pos[2], params[1])
+        th_obs = jnp.arccos(jnp.clip(
+            obs_pos[2] / jnp.maximum(r_obs_bl, 1e-30), -1.0, 1.0))
+        pix = pixel_positions_for_indices_lookat(
+            obs_pos, fov, height, width, flat_idx, dtype=dtype)
+        q0, p0, _ = cartesian_ics_from_pixels(obs_pos, pix, params=params,
+                                              g_inv_fn=g_inv_fn)
+        if backend == "pallas":
+            from ..engine.integrate_pallas_ks import \
+                integrate_batch_pallas_disk
+            final_q, final_p, status, n_steps, hit_q, hit_p = \
+                integrate_batch_pallas_disk(
+                    q0, p0, steps, delta, params, boundary_radius, omega,
+                    r_in, r_out, order=order,
+                    compensated=dtype == jnp.float32)
+        else:
+            final_q, final_p, status, n_steps, hit_q, hit_p = \
+                integrate_batch_disk(
+                    q0, p0, steps, delta, params, boundary_radius, omega,
+                    r_in, r_out, order=order)
+        _, disk_rgb01 = shade_disk(hit_q, hit_p, params, r_obs_bl, r_in,
+                                   prograde=prograde, t_peak=t_peak,
+                                   exposure=exposure, theta_obs=th_obs)
+        rho, th, ph = cartesian_to_spherical(
+            final_q[:, 1], final_q[:, 2], final_q[:, 3])
+        rho = jnp.where(status == STATUS_CAPTURED, jnp.zeros_like(rho), rho)
+        fq_sph = jnp.stack([final_q[:, 0], rho, th, ph], axis=-1)
+        cls, th_csv, ph_csv, u01, v01 = _classify.classify_rays(
+            fq_sph, jnp.full_like(rho, jnp.pi), jnp.zeros_like(rho),
+            rs=rs_classify, r_obs_x=obs_d_f,
+            boundary_radius=boundary_radius,
+            patch_center_theta=patch_center_theta,
+            patch_center_phi=patch_phi_f,
+            patch_size_theta=patch_size_theta,
+            patch_size_phi=patch_size_phi,
+            flip_theta=flip_theta, flip_phi=flip_phi,
+            has_background=has_background)
+        image = _classify.composite(cls, u01, v01, bg)
+        dm = status == STATUS_DISK
+        disk_u8 = jnp.clip(disk_rgb01 * 255.0 + 0.5, 0.0,
+                           255.0).astype(jnp.uint8)
+        image = jnp.where(dm[:, None], disk_u8, image)
+        cls = jnp.where(dm, CLS_DISK, cls)
+        return image, cls, n_steps
+
+    return _run_sharded_frames(mesh, bg_array, obs_x, patch_center_phi,
+                               frame_body, n, height, width)
+
+
 def orbit_frames(scene, n_frames):
     """Per-frame parameter arrays for an equatorial camera orbit.
 

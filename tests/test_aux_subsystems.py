@@ -212,6 +212,19 @@ def test_orbit_cli_kerr(tmp_path):
     assert pngs == [f"frame_{k:04d}.png" for k in range(2)]
 
 
+def test_orbit_cli_disk(tmp_path):
+    """Disk orbit animation: the axisymmetric disk scene over the mesh,
+    inclined camera, patch-rotation trick."""
+    from grtrace.cli.orbit import main
+    out = tmp_path / "orbit_disk"
+    main(["--frames", "2", "--size", "16", "--steps", "1200",
+          "--delta", "0.05", "--out-dir", str(out), "--backend", "xla",
+          "--metric", "kerr", "--spin", "0.8", "--disk"])
+    import os
+    pngs = sorted(os.listdir(out / "frames"))
+    assert pngs == [f"frame_{k:04d}.png" for k in range(2)]
+
+
 def test_scene_boundary_validation():
     """boundary_radius >= 100 collides with the reference's r >= 100
     numerical-error sentinel (raytracing.py:213-215) and must be rejected

@@ -10,7 +10,8 @@ import time
 import numpy as np
 from PIL import Image
 
-from grtrace import SceneConfig, IntegratorConfig, render
+from grtrace import DiskConfig, SceneConfig, IntegratorConfig, render
+from grtrace.engine.disk import render_disk
 from grtrace.io import textures
 
 BG = np.clip(textures.starfield(density=1.5e-3, seed=3).astype(np.float32)
@@ -26,13 +27,21 @@ CONFIGS = [
     ("kerr_newman_a06_q05_256",
      SceneConfig(size=256, metric="kerr", spin=0.6, charge=0.5, n_samples=0,
                  integrator=IntegratorConfig(steps=30_000, delta=0.02))),
+    # README's third panel: the thin-disk showcase (production kernel path)
+    ("kerr_disk_a09_512", "disk",
+     SceneConfig(size=512, metric="kerr", spin=0.9, n_samples=0,
+                 integrator=IntegratorConfig(steps=30_000, delta=0.02))),
 ]
 
 
 def main():
     t0 = time.time()
-    for name, scene in CONFIGS:
-        res = render(scene, bg_array=BG)
+    for name, *mode_scene in CONFIGS:
+        scene = mode_scene[-1]
+        if mode_scene[0] == "disk":
+            res = render_disk(scene, DiskConfig(), bg_array=BG)
+        else:
+            res = render(scene, bg_array=BG)
         Image.fromarray(np.asarray(res.image)).save(f"images/{name}.png")
         print(name, "counts:", res.counts, f"{time.time()-t0:.1f}s",
               flush=True)
