@@ -91,6 +91,13 @@ def main(argv=None):
     artifacts.save_image(result.image,
                          os.path.join(images_dir, "manual_output.png"))
     logging.info("Saved manual_output.png")
+    if disk_cfg is not None:
+        # per-pixel combined gravitational+Doppler g = nu_obs/nu_em (0
+        # off-disk) and the BL emission radius — the disk mode's science
+        # products (redshift maps are what thin-disk renders are FOR)
+        from ..engine.disk import save_disk_maps
+        save_disk_maps(result, out)
+        logging.info("Saved redshift_map.csv + redshift_map.png")
 
     artifacts.save_photon_data(result, os.path.join(out, "photon_data.csv"))
     if result.sampled_trajectories:

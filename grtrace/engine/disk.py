@@ -321,6 +321,49 @@ def render_pixels_disk(bg_array, obs_pos, fov, mass, spin, charge,
     }
 
 
+def save_disk_maps(result, out_dir):
+    """Write the disk mode's science products from a render_disk result:
+
+    redshift_map.csv — one row per DISK pixel: i, j, g (= nu_obs/nu_em,
+    the combined gravitational + Doppler factor), r_em (BL emission
+    radius) — sparse, since off-disk pixels carry no emission.
+    redshift_map.png — the g map as a diverging image (blue = blueshifted
+    approaching limb, red = redshifted receding/inner disk), the standard
+    presentation of thin-disk line-emission models.
+    """
+    import os
+
+    import numpy as np
+
+    g = np.asarray(result.device("redshift"))
+    status = np.asarray(result.device("status"))
+    hq = np.asarray(result.device("hit_q"))
+    dm = status == STATUS_DISK
+    ii, jj = np.nonzero(dm)
+    r_em = np.sqrt((hq[dm, 1:] ** 2).sum(axis=-1))
+    rows = np.column_stack([ii, jj, g[dm], r_em])
+    header = "i,j,redshift_g,r_emission"
+    np.savetxt(os.path.join(out_dir, "redshift_map.csv"), rows,
+               delimiter=",", header=header, comments="",
+               fmt=("%d", "%d", "%.8g", "%.8g"))
+
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(6, 5))
+    gm = np.ma.masked_where(~dm, g)
+    span = max(abs(1.0 - gm.min()), abs(gm.max() - 1.0)) if dm.any() else 1.0
+    # RdBu (unreversed): low g -> red (redshifted), high g -> blue
+    im = ax.imshow(gm, cmap="RdBu", vmin=1.0 - span, vmax=1.0 + span)
+    ax.set_facecolor("black")
+    ax.set_title("disk redshift factor g = $\\nu_{obs}/\\nu_{em}$")
+    fig.colorbar(im, ax=ax, label="g  (<1 redshifted, >1 blueshifted)")
+    fig.savefig(os.path.join(out_dir, "redshift_map.png"), dpi=110,
+                bbox_inches="tight")
+    plt.close(fig)
+
+
 def render_disk(scene, disk: DiskConfig = None, *, bg_array=None, dtype=None,
                 metrics=None):
     """SceneConfig-driven disk render -> engine.render.RenderResult.

@@ -236,6 +236,25 @@ def test_render_disk_end_to_end():
     assert g.max() > 1.0 and g.min() < 0.7
 
 
+def test_disk_cli_writes_redshift_maps(tmp_path):
+    """--disk through the main CLI writes the science products:
+    redshift_map.csv (sparse disk pixels: i, j, g, r_em) + .png."""
+    from grtrace.cli.main import main
+
+    out = str(tmp_path / "disk_out")
+    main(["--size", "24", "--metric", "kerr", "--spin", "0.9", "--disk",
+          "--steps", "1500", "--delta", "0.06", "--out-dir", out,
+          "--no-plots", "--no-flat", "--n-samples", "0"])
+    import os
+    csv = os.path.join(out, "redshift_map.csv")
+    assert os.path.exists(csv)
+    assert os.path.exists(os.path.join(out, "redshift_map.png"))
+    rows = np.loadtxt(csv, delimiter=",", skiprows=1, ndmin=2)
+    assert rows.shape[0] > 5 and rows.shape[1] == 4
+    g, r_em = rows[:, 2], rows[:, 3]
+    assert (g > 0).all() and (r_em > 2.0).all() and (r_em < 14.5).all()
+
+
 def test_render_disk_polar_camera_redshift_closed_form():
     """Face-on Schwarzschild disk: every disk pixel's g equals
     sqrt(1 - 3M/r_em)/sqrt(1 - 2M/r_obs) at its own measured r_em."""
