@@ -23,15 +23,24 @@ def main(argv=None):
     p.add_argument("--dtype", type=str, default="float32",
                    choices=["float32", "float64"])
     p.add_argument("--iters", type=int, default=3)
+    p.add_argument("--metric", type=str, default="schwarzschild",
+                   choices=["schwarzschild", "kerr"])
+    p.add_argument("--spin", type=float, default=0.0)
+    p.add_argument("--charge", type=float, default=0.0)
+    p.add_argument("--disk", action="store_true",
+                   help="benchmark the accretion-disk pipeline "
+                        "(engine.disk; records the DISK_r*.json artifact)")
     p.add_argument("--out", type=str, default=None,
                    help="also write the JSON line to this file (the "
                         "driver-artifact pattern: BENCH4K_r*.json)")
     args = p.parse_args(argv)
 
-    from grtrace import IntegratorConfig, PatchConfig, SceneConfig, render
+    from grtrace import (DiskConfig, IntegratorConfig, PatchConfig,
+                         SceneConfig, render, render_disk)
 
     scene = SceneConfig(
-        size=args.size, background=None,
+        size=args.size, background=None, metric=args.metric,
+        spin=args.spin, charge=args.charge,
         integrator=IntegratorConfig(steps=args.steps, delta=args.delta,
                                     omega=1.0, backend=args.backend,
                                     dtype=args.dtype),
@@ -39,8 +48,13 @@ def main(argv=None):
     rng = np.random.default_rng(0)
     tex = rng.integers(0, 255, (args.size, args.size, 3), dtype=np.uint8)
 
+    def run():
+        if args.disk:
+            return render_disk(scene, DiskConfig(), bg_array=tex)
+        return render(scene, bg_array=tex)
+
     t0 = time.time()
-    res = render(scene, bg_array=tex)
+    res = run()
     warm = time.time() - t0
     times = []
     for i in range(args.iters):
@@ -50,7 +64,7 @@ def main(argv=None):
             v = np.nextafter(v, np.float32(np.inf))
         scene.observer_distance = float(v)
         t0 = time.time()
-        res = render(scene, bg_array=tex)
+        res = run()
         times.append(time.time() - t0)
     t = min(times)
     total_steps = int(res.n_steps.astype(np.int64).sum())
@@ -58,12 +72,14 @@ def main(argv=None):
     # count (same per-ray time budget), so e.g. the 4K config's target is
     # (4096/400)^2 = 104.9 s and vs_baseline > 1 still means faster
     target_s = (args.size / 400.0) ** 2
+    tag = "disk_" if args.disk else ""
     out = {
-        "metric": f"render_{args.size}x{args.size}_wall_s",
+        "metric": f"render_{tag}{args.size}x{args.size}_wall_s",
         "value": round(t, 4),
         "unit": "s",
         "vs_baseline": round(target_s / t, 2),
         "steps_budget": args.steps,
+        "metric_family": args.metric, "spin": args.spin,
         "backend": args.backend, "dtype": args.dtype,
         "warmup_s": round(warm, 2),
         "rays_per_s": round(args.size * args.size / t),
