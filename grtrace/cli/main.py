@@ -97,7 +97,7 @@ def main(argv=None):
         # products (redshift maps are what thin-disk renders are FOR)
         from ..engine.disk import save_disk_maps
         save_disk_maps(result, out)
-        logging.info("Saved redshift_map.csv + redshift_map.png")
+        logging.info("Saved redshift_map.csv/.png + line_profile.csv/.png")
 
     artifacts.save_photon_data(result, os.path.join(out, "photon_data.csv"))
     if result.sampled_trajectories:

@@ -330,6 +330,11 @@ def save_disk_maps(result, out_dir):
     redshift_map.png — the g map as a diverging image (blue = blueshifted
     approaching limb, red = redshifted receding/inner disk), the standard
     presentation of thin-disk line-emission models.
+    line_profile.csv/.png — the relativistic line profile: observed flux
+    vs g for a monochromatic line with the standard r^-3 emissivity
+    (each pixel subtends equal image-plane solid angle and Liouville
+    gives I_obs = g^4 I_em, so pixel flux ~ g^4 r_em^-3).  This is the
+    classic skewed double-horned broad-iron-line shape.
     """
     import os
 
@@ -347,9 +352,31 @@ def save_disk_maps(result, out_dir):
                delimiter=",", header=header, comments="",
                fmt=("%d", "%d", "%.8g", "%.8g"))
 
+    g_disk = g[dm]
+    if g_disk.size:
+        flux = g_disk ** 4 * r_em ** -3.0
+        hist, edges = np.histogram(g_disk, bins=48, weights=flux)
+        centers = 0.5 * (edges[1:] + edges[:-1])
+        peak = hist.max()
+        if peak > 0:
+            hist = hist / peak
+        np.savetxt(os.path.join(out_dir, "line_profile.csv"),
+                   np.column_stack([centers, hist]), delimiter=",",
+                   header="g,relative_flux", comments="", fmt="%.8g")
+
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
+
+    if g_disk.size:
+        fig, ax = plt.subplots(figsize=(6, 4))
+        ax.plot(centers, hist, drawstyle="steps-mid")
+        ax.set_xlabel("g = $\\nu_{obs}/\\nu_{em}$")
+        ax.set_ylabel("relative flux")
+        ax.set_title("relativistic line profile ($r^{-3}$ emissivity)")
+        fig.savefig(os.path.join(out_dir, "line_profile.png"), dpi=110,
+                    bbox_inches="tight")
+        plt.close(fig)
 
     fig, ax = plt.subplots(figsize=(6, 5))
     gm = np.ma.masked_where(~dm, g)

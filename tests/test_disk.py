@@ -253,6 +253,11 @@ def test_disk_cli_writes_redshift_maps(tmp_path):
     assert rows.shape[0] > 5 and rows.shape[1] == 4
     g, r_em = rows[:, 2], rows[:, 3]
     assert (g > 0).all() and (r_em > 2.0).all() and (r_em < 14.5).all()
+    # relativistic line profile: normalized flux histogram over g
+    prof = np.loadtxt(os.path.join(out, "line_profile.csv"),
+                      delimiter=",", skiprows=1, ndmin=2)
+    assert prof.shape[1] == 2 and prof[:, 1].max() == pytest.approx(1.0)
+    assert os.path.exists(os.path.join(out, "line_profile.png"))
 
 
 def test_render_disk_polar_camera_redshift_closed_form():
