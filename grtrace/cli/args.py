@@ -115,6 +115,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help='Peak disk color temperature (K)')
     p.add_argument('--disk-exposure', type=float, default=2.5,
                    help='Disk tone-mapping gain')
+    p.add_argument('--disk-profile', choices=('shakura', 'novikov'),
+                   default='shakura',
+                   help='Radial temperature law: shakura = Newtonian '
+                        'Shakura-Sunyaev, novikov = relativistic '
+                        'Novikov-Thorne (Page-Thorne flux quadrature)')
+    p.add_argument('--disk-emissivity', type=float, default=3.0,
+                   help='Emissivity power-law index q (I_em ~ r^-q) for '
+                        'the line-profile artifact')
     p.add_argument('--disk-retrograde', action='store_true',
                    help='Disk counter-rotates with the hole')
     p.add_argument('--out-dir', type=str, default='.',
@@ -142,7 +150,9 @@ def disk_from_args(args):
     return DiskConfig(r_in=args.disk_r_in, r_out=args.disk_r_out,
                       prograde=not args.disk_retrograde,
                       t_peak=args.disk_temp, exposure=args.disk_exposure,
-                      elevation_deg=args.disk_elevation)
+                      elevation_deg=args.disk_elevation,
+                      profile=args.disk_profile,
+                      emissivity_index=args.disk_emissivity)
 
 
 def scene_from_args(args) -> SceneConfig:

@@ -96,7 +96,8 @@ def main(argv=None):
         # off-disk) and the BL emission radius — the disk mode's science
         # products (redshift maps are what thin-disk renders are FOR)
         from ..engine.disk import save_disk_maps
-        save_disk_maps(result, out)
+        save_disk_maps(result, out,
+                       emissivity_index=disk_cfg.emissivity_index)
         logging.info("Saved redshift_map.csv/.png + line_profile.csv/.png")
 
     artifacts.save_photon_data(result, os.path.join(out, "photon_data.csv"))

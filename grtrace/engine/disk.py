@@ -52,11 +52,26 @@ class DiskConfig:
     t_peak: float = 9000.0         # color temperature (K) at the profile peak
     exposure: float = 2.5          # tone-mapping gain
     show_background: bool = True   # compose lensed sky behind the disk
+    # radial temperature law: 'shakura' = the Newtonian Shakura-Sunyaev
+    # profile; 'novikov' = the relativistic Novikov-Thorne flux via the
+    # Page-Thorne integral (physics.orbits.page_thorne_flux) — correct GR
+    # flux incl. the zero at the ISCO and the outward-shifted peak
+    profile: str = "shakura"
+    # emissivity power-law index q (I_em ~ r^-q) for the line-profile
+    # science product (save_disk_maps); 3.0 = the standard lamp-post far
+    # field / Newtonian dissipation scaling
+    emissivity_index: float = 3.0
     # camera elevation above the disk plane, degrees.  0 = edge-on (the
     # scene's standard equatorial observer; the infinitely thin disk then
     # shows only its lensed arcs).  The default gives the classic
     # foreground-band + far-side-arc view.
     elevation_deg: float = 12.0
+
+    def __post_init__(self):
+        if self.profile not in ("shakura", "novikov"):
+            raise ValueError(
+                f"DiskConfig.profile must be 'shakura' or 'novikov', "
+                f"got {self.profile!r}")
 
     def inner_edge(self, mass, a):
         return (self.r_in if self.r_in is not None
@@ -179,11 +194,33 @@ def _temp_profile(r, r_in):
     return (jnp.maximum(flux, 0.0) / flux_pk) ** 0.25
 
 
+_NT_TABLE_N = 384      # radial quadrature/interp grid for the NT profile
+
+
+def _nt_temp_table(r_in, r_out, params, prograde, dtype):
+    """Peak-normalized Novikov-Thorne temperature T(r) ~ F(r)^(1/4) on a
+    geometric radial grid over the disk annulus, from the Page-Thorne
+    quadrature (physics.orbits.page_thorne_flux).  Static shape — the
+    table builds inside the jitted render program; shading interpolates
+    per-pixel with jnp.interp."""
+    from ..physics.orbits import page_thorne_flux
+    lo = r_in * (1.0 + 1e-5)
+    u = jnp.linspace(0.0, 1.0, _NT_TABLE_N, dtype=dtype)
+    r_grid = lo * (r_out / lo) ** u
+    flux = page_thorne_flux(r_grid, params, prograde)
+    t = flux ** 0.25
+    return r_grid, t / jnp.maximum(jnp.max(t), 1e-30)
+
+
 def shade_disk(hit_q, hit_p, params, r_obs, r_in, *, prograde=True,
-               t_peak=9000.0, exposure=2.5, theta_obs=jnp.pi / 2):
+               t_peak=9000.0, exposure=2.5, theta_obs=jnp.pi / 2,
+               profile="shakura", r_out=14.0):
     """(N, 4) crossings -> (g, rgb01): per-ray redshift factor and shaded
     color.  Physics: I_obs = g^4 I_em (Liouville), blackbody color at the
     observed temperature g * T_em(r), tone-mapped 1 - exp(-exposure * I).
+
+    `profile` picks the radial temperature law: Shakura-Sunyaev
+    (Newtonian) or Novikov-Thorne (relativistic Page-Thorne flux).
     """
     x, y = hit_q[:, 1], hit_q[:, 2]
     energy = -hit_p[:, 0]
@@ -194,7 +231,12 @@ def shade_disk(hit_q, hit_p, params, r_obs, r_in, *, prograde=True,
     g = jax.vmap(lambda e, l, r: redshift_factor(
         e, l, r, r_obs, params, prograde, theta_obs))(energy, l_z, r_em)
 
-    t_norm = _temp_profile(r_em, r_in)          # [0, 1]
+    if profile == "novikov":
+        r_grid, t_tab = _nt_temp_table(r_in, jnp.asarray(r_out, r_em.dtype),
+                                       params, prograde, r_em.dtype)
+        t_norm = jnp.interp(r_em, r_grid, t_tab)
+    else:
+        t_norm = _temp_profile(r_em, r_in)      # [0, 1]
     t_obs = g * t_norm                          # observed (redshifted)
     intensity = exposure * t_obs ** 4           # g^4 beaming * T^4
     tone = 1.0 - jnp.exp(-intensity)
@@ -212,7 +254,7 @@ def shade_disk(hit_q, hit_p, params, r_obs, r_in, *, prograde=True,
 @partial(jax.jit,
          static_argnames=("height", "width", "steps", "order", "flip_theta",
                           "flip_phi", "has_background", "dtype", "prograde",
-                          "backend"))
+                          "backend", "profile"))
 def render_pixels_disk(bg_array, obs_pos, fov, mass, spin, charge,
                        boundary_radius, steps, delta, omega,
                        r_in, r_out, t_peak, exposure,
@@ -220,7 +262,8 @@ def render_pixels_disk(bg_array, obs_pos, fov, mass, spin, charge,
                        patch_size_theta, patch_size_phi,
                        *, height, width, order=2, flip_theta=False,
                        flip_phi=False, has_background=True,
-                       dtype=jnp.float32, prograde=True, backend="xla"):
+                       dtype=jnp.float32, prograde=True, backend="xla",
+                       profile="shakura"):
     """One compiled program: camera -> disk integration -> shade + classify
     -> RGB.  Mirrors render_pixels_generic with the disk overlay on top;
     obs_pos is a full (3,) position (the disk camera may sit above the
@@ -263,7 +306,8 @@ def render_pixels_disk(bg_array, obs_pos, fov, mass, spin, charge,
     disk_mask = status == STATUS_DISK
     g_fac, disk_rgb01 = shade_disk(hit_q, hit_p, params, r_obs_bl, r_in,
                                    prograde=prograde, t_peak=t_peak,
-                                   exposure=exposure, theta_obs=th_obs)
+                                   exposure=exposure, theta_obs=th_obs,
+                                   profile=profile, r_out=r_out)
 
     # --- classify non-disk rays exactly like render_pixels_generic ---
     fq = final_q.reshape(height, width, 4)
@@ -321,7 +365,7 @@ def render_pixels_disk(bg_array, obs_pos, fov, mass, spin, charge,
     }
 
 
-def save_disk_maps(result, out_dir):
+def save_disk_maps(result, out_dir, emissivity_index=3.0):
     """Write the disk mode's science products from a render_disk result:
 
     redshift_map.csv — one row per DISK pixel: i, j, g (= nu_obs/nu_em,
@@ -331,10 +375,12 @@ def save_disk_maps(result, out_dir):
     approaching limb, red = redshifted receding/inner disk), the standard
     presentation of thin-disk line-emission models.
     line_profile.csv/.png — the relativistic line profile: observed flux
-    vs g for a monochromatic line with the standard r^-3 emissivity
-    (each pixel subtends equal image-plane solid angle and Liouville
-    gives I_obs = g^4 I_em, so pixel flux ~ g^4 r_em^-3).  This is the
-    classic skewed double-horned broad-iron-line shape.
+    vs g for a monochromatic line with power-law emissivity
+    I_em ~ r^-q, q = `emissivity_index` (3.0 = the standard far-field
+    value; each pixel subtends equal image-plane solid angle and
+    Liouville gives I_obs = g^4 I_em, so pixel flux ~ g^4 r_em^-q).
+    This is the classic skewed double-horned broad-iron-line shape;
+    steeper q weights the inner disk and stretches the red wing.
     """
     import os
 
@@ -354,7 +400,7 @@ def save_disk_maps(result, out_dir):
 
     g_disk = g[dm]
     if g_disk.size:
-        flux = g_disk ** 4 * r_em ** -3.0
+        flux = g_disk ** 4 * r_em ** -float(emissivity_index)
         hist, edges = np.histogram(g_disk, bins=48, weights=flux)
         centers = 0.5 * (edges[1:] + edges[:-1])
         peak = hist.max()
@@ -373,7 +419,8 @@ def save_disk_maps(result, out_dir):
         ax.plot(centers, hist, drawstyle="steps-mid")
         ax.set_xlabel("g = $\\nu_{obs}/\\nu_{em}$")
         ax.set_ylabel("relative flux")
-        ax.set_title("relativistic line profile ($r^{-3}$ emissivity)")
+        ax.set_title("relativistic line profile "
+                     f"($r^{{-{float(emissivity_index):g}}}$ emissivity)")
         fig.savefig(os.path.join(out_dir, "line_profile.png"), dpi=110,
                     bbox_inches="tight")
         plt.close(fig)
@@ -446,7 +493,7 @@ def render_disk(scene, disk: DiskConfig = None, *, bg_array=None, dtype=None,
             flip_theta=scene.patch.flip_theta,
             flip_phi=scene.patch.flip_phi,
             has_background=has_bg, dtype=dtype, prograde=disk.prograde,
-            backend=backend)
+            backend=backend, profile=disk.profile)
 
         # the counts fetch is the device sync, so it belongs to the stage
         cv = np.asarray(out.pop("count_vec"))

@@ -21,6 +21,7 @@ main.py:14-18).
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from .spacetime import kerr_g_inv
@@ -60,6 +61,24 @@ def keplerian_omega(r, mass, a, charge=0.0, prograde=True):
     return sign * s / (r * r + sign * a * s)
 
 
+def _invert_bl_metric(g_inv):
+    """Invert a Boyer-Lindquist-structured 4x4 metric analytically.
+
+    BL metrics of the Kerr-Newman family couple only (t, phi); (r, theta)
+    are diagonal.  The block inverse — reciprocal diagonals plus the 2x2
+    (t, phi) inverse — avoids jnp.linalg.inv's LU path, which the TPU
+    backend does not implement for float64 (and which is slower than the
+    closed form for 4x4 anyway).
+    """
+    det2 = g_inv[0, 0] * g_inv[3, 3] - g_inv[0, 3] * g_inv[3, 0]
+    z = jnp.zeros_like(det2)
+    row_t = jnp.stack([g_inv[3, 3] / det2, z, z, -g_inv[0, 3] / det2])
+    row_r = jnp.stack([z, 1.0 / g_inv[1, 1], z, z])
+    row_h = jnp.stack([z, z, 1.0 / g_inv[2, 2], z])
+    row_p = jnp.stack([-g_inv[3, 0] / det2, z, z, g_inv[0, 0] / det2])
+    return jnp.stack([row_t, row_r, row_h, row_p])
+
+
 def equatorial_g_cov(r, params):
     """Covariant Boyer-Lindquist metric at (r, theta = pi/2).
 
@@ -68,7 +87,7 @@ def equatorial_g_cov(r, params):
     """
     zero = jnp.zeros_like(r)
     q = jnp.stack([zero, r, jnp.full_like(r, jnp.pi / 2), zero])
-    return jnp.linalg.inv(kerr_g_inv(q, params))
+    return _invert_bl_metric(kerr_g_inv(q, params))
 
 
 def circular_u_t(r, params, prograde=True):
@@ -89,8 +108,71 @@ def static_u_t(r, params, theta=jnp.pi / 2):
     """u^t of a static observer at BL (r, theta): 1/sqrt(-g_tt)."""
     zero = jnp.zeros_like(r)
     q = jnp.stack([zero, r, jnp.broadcast_to(theta, jnp.shape(r)), zero])
-    g = jnp.linalg.inv(kerr_g_inv(q, params))
+    g = _invert_bl_metric(kerr_g_inv(q, params))
     return 1.0 / jnp.sqrt(jnp.maximum(-g[0, 0], 1e-30))
+
+
+def circular_e_lz(r, params, prograde=True):
+    """Specific energy E = -u_t and axial angular momentum L = u_phi of
+    the circular equatorial geodesic at BL radius r — the covariant
+    Killing charges, lowered through the tested metric rather than
+    restated from the textbook closed forms."""
+    u_t, omega = circular_u_t(r, params, prograde)
+    g = equatorial_g_cov(r, params)
+    energy = -u_t * (g[0, 0] + omega * g[0, 3])
+    l_z = u_t * (g[0, 3] + omega * g[3, 3])
+    return energy, l_z
+
+
+def _sqrt_g3_equatorial(r, params):
+    """sqrt(-det g3) of the equatorial (t, r, phi) metric block — the
+    proper-area measure in the Page-Thorne flux (equals r for Kerr; kept
+    general so charge flows through the determinant, not a memory of it)."""
+    g = equatorial_g_cov(r, params)
+    idx = jnp.array([0, 1, 3])
+    g3 = g[idx][:, idx]
+    return jnp.sqrt(jnp.maximum(-jnp.linalg.det(g3), 1e-30))
+
+
+def page_thorne_flux(r_grid, params, prograde=True):
+    """Time-averaged radiative flux F(r) of the relativistic thin disk
+    (Novikov-Thorne), from the Page & Thorne (1974) angular-momentum
+    conservation law, eq. (11b):
+
+        F(r) = -(Mdot / (4 pi sqrt(-g3))) * dOmega/dr * (E - Omega L)^-2
+               * int_{r0}^{r} (E - Omega L) dL/dr dr'
+
+    with E(r), L(r), Omega(r) the circular-geodesic quantities above, the
+    radial derivatives by autodiff, and the integral by trapezoid on
+    `r_grid` (r_grid[0] = the torque-free inner boundary).  No closed form
+    is trusted — none exists for charge != 0 anyway; the Kerr closed form
+    (PT eq. 15n) and the Newtonian Shakura-Sunyaev limit are used as
+    *checks* in tests/test_disk.py, not as the implementation.  Mdot = 1
+    (callers normalize the profile to its peak).  Returns F on r_grid.
+    """
+    from .spacetime import _charge
+
+    mass, a, q = params[0], params[1], _charge(params)
+
+    def eol(r):
+        e, l = circular_e_lz(r, params, prograde)
+        return e, l, keplerian_omega(r, mass, a, q, prograde)
+
+    e, l, omega = jax.vmap(eol)(r_grid)
+    dl_dr = jax.vmap(jax.grad(
+        lambda r: circular_e_lz(r, params, prograde)[1]))(r_grid)
+    domega_dr = jax.vmap(jax.grad(
+        lambda r: keplerian_omega(r, mass, a, q, prograde)))(r_grid)
+
+    integrand = (e - omega * l) * dl_dr
+    dr = jnp.diff(r_grid)
+    segments = 0.5 * (integrand[1:] + integrand[:-1]) * dr
+    cumulative = jnp.concatenate([jnp.zeros((1,), r_grid.dtype),
+                                  jnp.cumsum(segments)])
+    sqrt_g3 = jax.vmap(lambda r: _sqrt_g3_equatorial(r, params))(r_grid)
+    flux = (-domega_dr * cumulative
+            / ((e - omega * l) ** 2 * 4.0 * jnp.pi * sqrt_g3))
+    return jnp.maximum(flux, 0.0)
 
 
 def redshift_factor(energy, l_z, r_em, r_obs, params, prograde=True,

@@ -275,3 +275,159 @@ def test_render_disk_polar_camera_redshift_closed_form():
     r_em = np.sqrt(hq[:, 1] ** 2 + hq[:, 2] ** 2 + hq[:, 3] ** 2)
     expect = np.sqrt(1.0 - 3.0 / r_em) / np.sqrt(1.0 - 2.0 / 30.0)
     np.testing.assert_allclose(g, expect, rtol=2e-3)
+
+
+# ---------------------------------------------------------------------------
+# Novikov-Thorne (Page-Thorne) profile
+# ---------------------------------------------------------------------------
+
+def test_page_thorne_flux_matches_kerr_closed_form():
+    """The production quadrature (autodiff E, L, Omega + trapezoid on the
+    tested metric) against the INDEPENDENT Page & Thorne 1974 eq. 15n
+    closed form for Kerr — two derivations, one answer."""
+    for a in (0.9, 0.5):
+        params = jnp.array([1.0, a, 0.0])
+        r0 = float(orbits.isco_radius(1.0, a))
+        r = r0 * (1 + 1e-9) * (300.0 / r0) ** jnp.linspace(0.0, 1.0, 4096)
+        flux = np.asarray(orbits.page_thorne_flux(r, params))
+        r_np = np.asarray(r)
+        x = np.sqrt(r_np)
+        x0 = np.sqrt(r0)
+        th = np.arccos(a)
+        x1 = 2 * np.cos(th / 3 - np.pi / 3)
+        x2 = 2 * np.cos(th / 3 + np.pi / 3)
+        x3 = -2 * np.cos(th / 3)
+
+        def coef(xi, xj, xk):
+            return 3 * (xi - a) ** 2 / (xi * (xi - xj) * (xi - xk))
+
+        f = (3 / (2 * x ** 2 * (x ** 3 - 3 * x + 2 * a))) * (
+            x - x0 - 1.5 * a * np.log(x / x0)
+            - coef(x1, x2, x3) * np.log((x - x1) / (x0 - x1))
+            - coef(x2, x1, x3) * np.log((x - x2) / (x0 - x2))
+            - coef(x3, x1, x2) * np.log((x - x3) / (x0 - x3)))
+        closed = f / (4 * np.pi * r_np)
+        sl = slice(64, None)  # skip the near-ISCO zero (relative tol blows)
+        np.testing.assert_allclose(flux[sl], closed[sl], rtol=5e-5)
+
+
+def test_page_thorne_flux_newtonian_limit_is_shakura_sunyaev():
+    """As r -> inf the PT flux must approach the Newtonian Shakura-Sunyaev
+    profile with the same inner edge — absolute normalization included
+    (this pins the 4 pi sqrt(-g3) measure, which the closed-form
+    comparison alone would not)."""
+    params = jnp.array([1.0, 0.0, 0.0])
+    r0 = 6.0 * (1 + 1e-9)
+    r = r0 * (2e5 / r0) ** jnp.linspace(0.0, 1.0, 8192)
+    flux = np.asarray(orbits.page_thorne_flux(r, params))
+    r_np = np.asarray(r)
+    f_ss = 3.0 / (8 * np.pi * r_np ** 3) * (1 - np.sqrt(6.0 / r_np))
+    ratio = flux / np.where(f_ss > 0, f_ss, 1.0)
+    i3 = np.argmin(np.abs(r_np - 1e3))
+    i4 = np.argmin(np.abs(r_np - 1e4))
+    assert abs(ratio[i4] - 1.0) < 0.02
+    assert abs(ratio[i4] - 1.0) < abs(ratio[i3] - 1.0)  # converging
+    # structural facts of the relativistic profile
+    assert flux[0] == 0.0                              # zero torque at ISCO
+    r_peak = r_np[np.argmax(flux)]
+    assert 9.0 < r_peak < 10.0                         # NT peak ~ 9.55 M
+    # vs the Newtonian peak at 49/36 * 6 = 8.17 M
+
+
+def test_circular_e_lz_against_schwarzschild_closed_form():
+    """E = (1 - 2M/r)/sqrt(1 - 3M/r), L = sqrt(M r)/sqrt(1 - 3M/r)."""
+    params = jnp.array([1.0, 0.0, 0.0])
+    for r in (4.0, 6.0, 12.0, 40.0):
+        e, l = orbits.circular_e_lz(jnp.asarray(r, jnp.float64), params)
+        assert float(e) == pytest.approx(
+            (1 - 2 / r) / np.sqrt(1 - 3 / r), rel=1e-12)
+        assert float(l) == pytest.approx(
+            np.sqrt(r) / np.sqrt(1 - 3 / r), rel=1e-12)
+
+
+def test_render_disk_novikov_profile():
+    """profile='novikov' leaves the redshift physics untouched (bit-level
+    same g map) but rescales the emission: the near-ISCO annulus goes
+    dark (T -> 0 at the inner edge with zero slope under PT, much faster
+    than SS's fourth-root vanish)."""
+    scene = SceneConfig(size=40, metric="kerr", spin=0.0, n_samples=0,
+                        integrator=IntegratorConfig(steps=2500, delta=0.06,
+                                                    dtype="float64"))
+    res_ss = render_disk(scene, DiskConfig(elevation_deg=89.9,
+                                           show_background=False))
+    res_nt = render_disk(scene, DiskConfig(elevation_deg=89.9,
+                                           show_background=False,
+                                           profile="novikov"))
+    dm = res_ss.cls == 5
+    assert (res_nt.cls == 5).sum() == dm.sum()
+    np.testing.assert_allclose(np.asarray(res_nt.device("redshift"))[dm],
+                               np.asarray(res_ss.device("redshift"))[dm],
+                               rtol=1e-12)
+    hq = np.asarray(res_ss.device("hit_q"))[dm]
+    r_em = np.sqrt((hq[:, 1:] ** 2).sum(axis=-1))
+    lum_ss = res_ss.image[dm].astype(np.float64).sum(axis=-1)
+    lum_nt = res_nt.image[dm].astype(np.float64).sum(axis=-1)
+    inner = r_em < 6.8
+    assert inner.sum() > 3
+    # the innermost ring is strictly dimmer under the relativistic profile
+    assert lum_nt[inner].mean() < 0.7 * lum_ss[inner].mean()
+    # but the peak region is comparably bright (both are peak-normalized)
+    mid = (r_em > 8.0) & (r_em < 11.0)
+    assert lum_nt[mid].mean() > 0.7 * lum_ss[mid].mean()
+
+
+def test_disk_config_rejects_unknown_profile():
+    with pytest.raises(ValueError):
+        DiskConfig(profile="page")
+
+
+def test_line_profile_emissivity_index(tmp_path):
+    """The q knob reshapes the line profile: steeper emissivity weights
+    the inner disk, where — at this near-edge-on inclination — Doppler
+    beaming of the approaching limb (the g^4 blue horn) outweighs the
+    gravitational red wing, pushing the flux centroid blueward."""
+    from grtrace.engine.disk import save_disk_maps
+    scene = SceneConfig(size=40, metric="kerr", spin=0.9, n_samples=0,
+                        integrator=IntegratorConfig(steps=2500, delta=0.06,
+                                                    dtype="float64"))
+    res = render_disk(scene, DiskConfig(show_background=False))
+    out3 = tmp_path / "q3"
+    out5 = tmp_path / "q5"
+    out3.mkdir()
+    out5.mkdir()
+    save_disk_maps(res, str(out3), emissivity_index=3.0)
+    save_disk_maps(res, str(out5), emissivity_index=5.0)
+    p3 = np.loadtxt(out3 / "line_profile.csv", delimiter=",", skiprows=1)
+    p5 = np.loadtxt(out5 / "line_profile.csv", delimiter=",", skiprows=1)
+    assert p3[:, 1].max() == pytest.approx(1.0)
+    assert p5[:, 1].max() == pytest.approx(1.0)
+    # the q=5 centroid sits blueward of the q=3 one (inner-disk beaming)
+    c3 = (p3[:, 0] * p3[:, 1]).sum() / p3[:, 1].sum()
+    c5 = (p5[:, 0] * p5[:, 1]).sum() / p5[:, 1].sum()
+    assert c5 > c3 + 0.02
+
+def test_render_disk_retrograde():
+    """A counter-rotating disk around a = 0.9: the inner edge moves out to
+    the retrograde ISCO (~8.7 M) and the Doppler horns swap sides — the
+    approaching limb (g > 1) flips to the opposite half of the image."""
+    mk = lambda pro: render_disk(
+        SceneConfig(size=40, metric="kerr", spin=0.9, n_samples=0,
+                    integrator=IntegratorConfig(steps=2500, delta=0.06,
+                                                dtype="float64")),
+        DiskConfig(show_background=False, prograde=pro, r_out=16.0))
+    res_p, res_r = mk(True), mk(False)
+    from grtrace.physics.orbits import isco_radius
+    r_isco_retro = float(isco_radius(1.0, 0.9, prograde=False))
+    assert r_isco_retro == pytest.approx(8.717, abs=2e-3)
+    dm_r = res_r.cls == 5
+    assert dm_r.sum() > 10
+    hq = np.asarray(res_r.device("hit_q"))[dm_r]
+    r_em = np.sqrt((hq[:, 1:] ** 2).sum(axis=-1))
+    assert r_em.min() >= r_isco_retro - 1e-6
+    # horn swap: the column-mean blueshift flips side between the runs
+    g_p = np.ma.masked_where(res_p.cls != 5,
+                             np.asarray(res_p.device("redshift")))
+    g_r = np.ma.masked_where(~dm_r, np.asarray(res_r.device("redshift")))
+    left_p, right_p = g_p[:, :20].max(), g_p[:, 20:].max()
+    left_r, right_r = g_r[:, :20].max(), g_r[:, 20:].max()
+    assert (left_p - right_p) * (left_r - right_r) < 0  # opposite sides
