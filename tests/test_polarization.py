@@ -1,0 +1,228 @@
+"""Walker-Penrose polarization transport, validated against a numerical
+parallel-transport oracle.
+
+The oracle integrates the transport equation df/dlam = -Gamma k f along
+the geodesic with RK4 and autodiff Christoffel symbols of the KS metric —
+fully independent of the WP algebra under test.  If any piece of the
+pipeline (KS->BL phase-space map, the WP constant, the epsilon-tensor
+emission geometry, the camera screen solve) had a wrong sign or factor,
+kappa would drift or the reconstructed EVPA would diverge from the
+directly-transported one.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from grtrace.physics import polarization as pol
+from grtrace.physics.orbits import circular_u_t
+from grtrace.physics.spacetime import (kerr_g_inv, kerr_schild_g_inv,
+                                       ks_radius)
+
+PARAMS = jnp.array([1.0, 0.9, 0.0])
+
+
+def _g_cov_ks(q, params):
+    """Covariant KS metric eta + 2 H l l (oracle-side, independent of
+    pol.ks_lower which builds the product directly)."""
+    mass, a = params[0], params[1]
+    x, y, z = q[1], q[2], q[3]
+    r = ks_radius(x, y, z, a)
+    w = r * r + a * a
+    h = mass * r / (r * r + (a * z / r) ** 2)
+    l_cov = jnp.stack([jnp.ones_like(r), (r * x + a * y) / w,
+                       (r * y - a * x) / w, z / r])
+    eta = jnp.diag(jnp.array([-1.0, 1.0, 1.0, 1.0]))
+    return eta + 2.0 * h * jnp.outer(l_cov, l_cov)
+
+
+def _christoffel(q, params):
+    dg = jax.jacfwd(lambda qq: _g_cov_ks(qq, params))(q)   # d_c g_{ab}
+    g_inv = kerr_schild_g_inv(q, params)
+    d_a = jnp.transpose(dg, (2, 0, 1))                     # (a, n, b)
+    return 0.5 * jnp.einsum(
+        "mn,anb->mab", g_inv,
+        d_a + jnp.transpose(d_a, (2, 1, 0)) - jnp.transpose(d_a, (1, 0, 2)))
+
+
+def _transport_rhs(state, params):
+    q, k, f = state[:4], state[4:8], state[8:12]
+    gam = _christoffel(q, params)
+    dk = -jnp.einsum("mab,a,b->m", gam, k, k)
+    df = -jnp.einsum("mab,a,b->m", gam, k, f)
+    return jnp.concatenate([k, dk, df])
+
+
+@jax.jit
+def _rk4(state, params, h, n):
+    def body(_, s):
+        k1 = _transport_rhs(s, params)
+        k2 = _transport_rhs(s + 0.5 * h * k1, params)
+        k3 = _transport_rhs(s + 0.5 * h * k2, params)
+        k4 = _transport_rhs(s + h * k3, params)
+        return s + (h / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4)
+    return jax.lax.fori_loop(0, n, body, state)
+
+
+def _null_k(q, direction, params):
+    """Future-pointing null vector along the given spatial direction."""
+    g = _g_cov_ks(q, params)
+    d = direction / jnp.linalg.norm(direction)
+    gtt, gti, gij = g[0, 0], g[0, 1:] @ d, d @ g[1:, 1:] @ d
+    disc = jnp.sqrt(gti * gti - gtt * gij)
+    kt = (-gti + disc) / gtt
+    kt = jnp.where(kt > 0, kt, (-gti - disc) / gtt)
+    return jnp.concatenate([kt[None], d])
+
+
+@pytest.fixture(scope="module")
+def transported_ray():
+    """One escaping ray from an equatorial emission event at a = 0.9,
+    with its synchrotron polarization vector parallel-transported by the
+    RK4 oracle to r ~ 41."""
+    q0 = jnp.array([0.0, 8.0, 0.0, 0.0])
+    k0 = _null_k(q0, jnp.array([0.55, 0.3, 0.8]), PARAMS)
+    g0 = _g_cov_ks(q0, PARAMS)
+    p0_cov = g0 @ k0
+    q_bl0, p_bl0 = pol.bl_from_ks(q0, p0_cov, PARAMS)
+
+    # build the emission f in BL (the module's own recipe), then map the
+    # vector back to KS to seed the oracle
+    u_t, om = circular_u_t(q_bl0[1], PARAMS, True)
+    u_up = jnp.array([1.0, 0.0, 0.0, 0.0]) * u_t + \
+        jnp.array([0.0, 0.0, 0.0, 1.0]) * (u_t * om)
+    b_up = pol.disk_field_b(q_bl0, u_up, PARAMS, "vertical")
+    gcov_bl = pol._bl_lower_matrix(q_bl0, PARAMS)
+    f_bl = pol._eps_contract(q_bl0, gcov_bl @ u_up, p_bl0, gcov_bl @ b_up,
+                             PARAMS)
+    f_bl = f_bl / jnp.sqrt(f_bl @ gcov_bl @ f_bl)
+    jac = jax.jacfwd(lambda w: pol.bl_cov_from_ks_cov(q0, w, PARAMS))(
+        jnp.zeros(4))
+    f0 = kerr_schild_g_inv(q0, PARAMS) @ jnp.linalg.solve(jac, gcov_bl @ f_bl)
+
+    kap1, kap2, _ = pol.emission_polarization(q_bl0, p_bl0, PARAMS,
+                                              True, "vertical")
+    state = jnp.concatenate([q0, k0, f0])
+    checkpoints = [state]
+    for _ in range(8):
+        state = _rk4(state, PARAMS, 0.005, 1000)
+        checkpoints.append(state)
+    return dict(q0=q0, k0=k0, f0=f0, kappa=(float(kap1), float(kap2)),
+                checkpoints=checkpoints)
+
+
+def test_ks_bl_map_hamiltonian_invariance():
+    """The chart map is exact: H computed from the two independent metric
+    implementations agrees at random phase points (incl. charge)."""
+    rng = np.random.default_rng(7)
+    for params in (jnp.array([1.0, 0.9, 0.3]), jnp.array([1.0, 0.7, 0.0]),
+                   jnp.array([1.0, 0.0, 0.0])):
+        for _ in range(8):
+            pos = rng.normal(size=3) * 6 + np.array([8.0, 0.0, 0.0])
+            q_ks = jnp.array([0.3, *pos])
+            p_ks = jnp.array(rng.normal(size=4))
+            q_bl, p_bl = pol.bl_from_ks(q_ks, p_ks, params)
+            h_ks = 0.5 * p_ks @ kerr_schild_g_inv(q_ks, params) @ p_ks
+            h_bl = 0.5 * p_bl @ kerr_g_inv(q_bl, params) @ p_bl
+            assert float(h_bl) == pytest.approx(float(h_ks), abs=1e-12,
+                                                rel=1e-12)
+
+
+def test_walker_penrose_conserved_along_transport(transported_ray):
+    """kappa evaluated from the oracle-transported (k, f) at every
+    checkpoint equals the emission value to near roundoff; transport
+    also preserves f.k = 0 and f.f = 1 (internal oracle health)."""
+    kap1_0, kap2_0 = transported_ray["kappa"]
+    for st in transported_ray["checkpoints"]:
+        q, k, f = st[:4], st[4:8], st[8:12]
+        g = _g_cov_ks(q, PARAMS)
+        q_bl, p_bl = pol.bl_from_ks(q, g @ k, PARAMS)
+        f_bl = pol.raise_bl(q_bl, pol.bl_cov_from_ks_cov(q, g @ f, PARAMS),
+                            PARAMS)
+        k_bl = pol.raise_bl(q_bl, p_bl, PARAMS)
+        kap1, kap2 = pol.walker_penrose(q_bl, k_bl, f_bl, PARAMS[1])
+        assert float(kap1) == pytest.approx(kap1_0, abs=1e-9)
+        assert float(kap2) == pytest.approx(kap2_0, abs=1e-9)
+        assert abs(float(f @ g @ k)) < 1e-10
+        assert float(f @ g @ f) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_observer_evpa_matches_transported_polarization(transported_ray):
+    """The WP screen reconstruction at the far end of the ray reproduces
+    the directly-transported polarization angle — the full pipeline
+    (emission algebra -> conservation -> camera solve) in one assert."""
+    st = transported_ray["checkpoints"][-1]
+    q, k, f = st[:4], st[4:8], st[8:12]
+    g = _g_cov_ks(q, PARAMS)
+    p_cov = g @ k
+    up3 = jnp.array([0.1, -0.2, 0.97])
+    right3 = jnp.array([0.9, 0.4, 0.1])
+    kap1, kap2 = transported_ray["kappa"]
+    evpa, cnorm = pol.observer_evpa(jnp.asarray(kap1), jnp.asarray(kap2),
+                                    q, p_cov, up3, right3, PARAMS)
+    assert float(cnorm) == pytest.approx(1.0, abs=1e-6)
+
+    # direct projection of the transported f on the same screen
+    def dot(a_up, b_up):
+        return float(pol.ks_dot(q, a_up, b_up, PARAMS))
+
+    u_obs = jnp.array([1.0, 0.0, 0.0, 0.0])
+    u_obs = u_obs / np.sqrt(-dot(u_obs, u_obs))
+    n_hat = k + dot(k, u_obs) * u_obs
+    n_hat = n_hat / np.sqrt(dot(n_hat, n_hat))
+
+    def screen(v3):
+        e = jnp.concatenate([jnp.zeros(1), v3 / jnp.linalg.norm(v3)])
+        e = e + dot(e, u_obs) * u_obs
+        return e - dot(e, n_hat) * n_hat
+
+    e1 = screen(up3)
+    e1 = e1 / np.sqrt(dot(e1, e1))
+    e2 = screen(right3)
+    e2 = e2 - dot(e2, e1) * e1
+    e2 = e2 / np.sqrt(dot(e2, e2))
+    evpa_direct = np.mod(np.arctan2(dot(f, e2), dot(f, e1)), np.pi)
+    diff = abs(float(evpa) - evpa_direct)
+    assert min(diff, np.pi - diff) < 1e-6
+
+
+def test_emission_polarization_flat_limit():
+    """Far from the hole the emitter is Newtonian: sin^2(theta_B) reduces
+    to the flat 3-vector pitch angle between the photon direction and
+    the field."""
+    params = jnp.array([1.0, 0.0, 0.0])
+    r = 1.0e6
+    q_bl = jnp.array([0.0, r, jnp.pi / 2, 0.3])
+    g_cov = pol._bl_lower_matrix(q_bl, params)
+    for dirn, expect in [
+        (jnp.array([0.0, 0.0, -1.0, 0.0]), 0.0),    # along +z = along B
+        (jnp.array([0.0, 1.0, 0.0, 0.0]), 1.0),     # radial: perp to B
+    ]:
+        d = dirn / jnp.sqrt(dirn @ g_cov @ dirn)
+        t_hat = jnp.array([1.0, 0.0, 0.0, 0.0]) / jnp.sqrt(-g_cov[0, 0])
+        p_bl = g_cov @ (t_hat + d)                   # null to O(M/r)
+        _, _, s2b = pol.emission_polarization(q_bl, p_bl, params,
+                                              True, "vertical")
+        assert float(s2b) == pytest.approx(expect, abs=2e-3)
+
+
+def test_wp_gauge_invariance_and_linearity(transported_ray):
+    """kappa(f + lam k) = kappa(f) and kappa is linear in f — the two
+    properties the camera solve relies on."""
+    st = transported_ray["checkpoints"][3]
+    q, k, f = st[:4], st[4:8], st[8:12]
+    g = _g_cov_ks(q, PARAMS)
+    q_bl, p_bl = pol.bl_from_ks(q, g @ k, PARAMS)
+    k_bl = pol.raise_bl(q_bl, p_bl, PARAMS)
+
+    def kap(v_ks):
+        v_bl = pol.raise_bl(q_bl, pol.bl_cov_from_ks_cov(q, g @ v_ks,
+                                                         PARAMS), PARAMS)
+        return np.array([float(x) for x in
+                         pol.walker_penrose(q_bl, k_bl, v_bl, PARAMS[1])])
+
+    base = kap(f)
+    np.testing.assert_allclose(kap(f + 17.3 * k), base, atol=1e-8)
+    np.testing.assert_allclose(kap(2.5 * f), 2.5 * base, rtol=1e-12)
+    w = jnp.array([0.3, -1.2, 0.8, 0.05])
+    np.testing.assert_allclose(kap(f + w), base + kap(w), rtol=1e-10)
