@@ -123,6 +123,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument('--disk-emissivity', type=float, default=3.0,
                    help='Emissivity power-law index q (I_em ~ r^-q) for '
                         'the line-profile artifact')
+    p.add_argument('--disk-bfield', choices=('vertical', 'toroidal',
+                                             'radial'), default=None,
+                   help='Polarized imaging: magnetic-field geometry for '
+                        'Walker-Penrose EVPA maps (physics.polarization)')
     p.add_argument('--disk-retrograde', action='store_true',
                    help='Disk counter-rotates with the hole')
     p.add_argument('--out-dir', type=str, default='.',
@@ -152,7 +156,8 @@ def disk_from_args(args):
                       t_peak=args.disk_temp, exposure=args.disk_exposure,
                       elevation_deg=args.disk_elevation,
                       profile=args.disk_profile,
-                      emissivity_index=args.disk_emissivity)
+                      emissivity_index=args.disk_emissivity,
+                      bfield=args.disk_bfield)
 
 
 def scene_from_args(args) -> SceneConfig:

@@ -61,6 +61,10 @@ class DiskConfig:
     # science product (save_disk_maps); 3.0 = the standard lamp-post far
     # field / Newtonian dissipation scaling
     emissivity_index: float = 3.0
+    # magnetic-field geometry for polarized imaging (Walker-Penrose EVPA
+    # maps, physics.polarization): None = unpolarized, or one of
+    # 'vertical' | 'toroidal' | 'radial'
+    bfield: Optional[str] = None
     # camera elevation above the disk plane, degrees.  0 = edge-on (the
     # scene's standard equatorial observer; the infinitely thin disk then
     # shows only its lensed arcs).  The default gives the classic
@@ -72,6 +76,10 @@ class DiskConfig:
             raise ValueError(
                 f"DiskConfig.profile must be 'shakura' or 'novikov', "
                 f"got {self.profile!r}")
+        if self.bfield not in (None, "vertical", "toroidal", "radial"):
+            raise ValueError(
+                f"DiskConfig.bfield must be None, 'vertical', 'toroidal' "
+                f"or 'radial', got {self.bfield!r}")
 
     def inner_edge(self, mass, a):
         return (self.r_in if self.r_in is not None
@@ -254,7 +262,7 @@ def shade_disk(hit_q, hit_p, params, r_obs, r_in, *, prograde=True,
 @partial(jax.jit,
          static_argnames=("height", "width", "steps", "order", "flip_theta",
                           "flip_phi", "has_background", "dtype", "prograde",
-                          "backend", "profile"))
+                          "backend", "profile", "bfield"))
 def render_pixels_disk(bg_array, obs_pos, fov, mass, spin, charge,
                        boundary_radius, steps, delta, omega,
                        r_in, r_out, t_peak, exposure,
@@ -263,7 +271,7 @@ def render_pixels_disk(bg_array, obs_pos, fov, mass, spin, charge,
                        *, height, width, order=2, flip_theta=False,
                        flip_phi=False, has_background=True,
                        dtype=jnp.float32, prograde=True, backend="xla",
-                       profile="shakura"):
+                       profile="shakura", bfield=None):
     """One compiled program: camera -> disk integration -> shade + classify
     -> RGB.  Mirrors render_pixels_generic with the disk overlay on top;
     obs_pos is a full (3,) position (the disk camera may sit above the
@@ -308,6 +316,29 @@ def render_pixels_disk(bg_array, obs_pos, fov, mass, spin, charge,
                                    prograde=prograde, t_peak=t_peak,
                                    exposure=exposure, theta_obs=th_obs,
                                    profile=profile, r_out=r_out)
+
+    # --- polarized imaging: Walker-Penrose EVPA per disk pixel ---
+    if bfield is not None:
+        from ..physics.camera import _lookat_frame
+        from ..physics.polarization import (bl_from_ks,
+                                            emission_polarization,
+                                            observer_evpa)
+
+        def _emit(hq, hp):
+            q_bl, p_bl = bl_from_ks(hq, hp, params)
+            return emission_polarization(q_bl, p_bl, params, prograde,
+                                         bfield)
+
+        kap1, kap2, sin2_b = jax.vmap(_emit)(hit_q, hit_p)
+        _, _, _, cam_right, cam_up = _lookat_frame(obs_pos, fov, height,
+                                                   width, dtype)
+        evpa, c_norm = jax.vmap(
+            lambda k1, k2, qi, pi: observer_evpa(k1, k2, qi, pi, cam_up,
+                                                 cam_right, params)
+        )(kap1, kap2, q0.reshape(n, 4), p0.reshape(n, 4))
+        evpa = jnp.where(disk_mask, evpa, 0.0)
+        pol_weight = jnp.where(disk_mask, sin2_b, 0.0)
+        pol_check = jnp.where(disk_mask, c_norm, 1.0)
 
     # --- classify non-disk rays exactly like render_pixels_generic ---
     fq = final_q.reshape(height, width, 4)
@@ -362,7 +393,11 @@ def render_pixels_disk(bg_array, obs_pos, fov, mass, spin, charge,
         "hit_q": hit_q.reshape(height, width, 4),
         "redshift": g_fac.reshape(height, width),
         "count_vec": count_vec,
-    }
+    } | ({} if bfield is None else {
+        "evpa": evpa.reshape(height, width),
+        "pol_weight": pol_weight.reshape(height, width),
+        "pol_check": pol_check.reshape(height, width),
+    })
 
 
 def save_disk_maps(result, out_dir, emissivity_index=3.0):
@@ -437,6 +472,54 @@ def save_disk_maps(result, out_dir, emissivity_index=3.0):
                 bbox_inches="tight")
     plt.close(fig)
 
+    if result.has("evpa"):
+        _save_polarization_maps(result, out_dir, dm, ii, jj)
+
+
+def _save_polarization_maps(result, out_dir, dm, ii, jj):
+    """Polarized-imaging artifacts (bfield set on DiskConfig):
+
+    polarization_map.csv — per disk pixel: i, j, evpa (radians, mod pi,
+    measured from camera-up toward camera-right), pol_weight
+    (sin^2 pitch angle: the synchrotron fractional-polarization
+    geometry factor), pol_check (WP screen-solve norm, ~1).
+    polarization_map.png — EVPA ticks over the rendered disk, the
+    standard EHT-style presentation.
+    """
+    import os
+
+    import numpy as np
+
+    evpa = np.asarray(result.device("evpa"))
+    wgt = np.asarray(result.device("pol_weight"))
+    chk = np.asarray(result.device("pol_check"))
+    rows = np.column_stack([ii, jj, evpa[dm], wgt[dm], chk[dm]])
+    np.savetxt(os.path.join(out_dir, "polarization_map.csv"), rows,
+               delimiter=",", comments="",
+               header="i,j,evpa_rad,pol_weight,pol_check",
+               fmt=("%d", "%d", "%.8g", "%.8g", "%.8g"))
+
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(6, 6))
+    ax.imshow(result.image)
+    if dm.any():
+        # EVPA chi: screen direction cos(chi)*up + sin(chi)*right; image
+        # rows advance along the camera's up vector and columns along
+        # right, so the tick in (col, row) components is (sin, cos)
+        dj = np.sin(evpa[dm]) * wgt[dm]
+        di = np.cos(evpa[dm]) * wgt[dm]
+        ax.quiver(jj, ii, dj, di, color="white", scale=28,
+                  headwidth=1, headlength=0, headaxislength=0,
+                  pivot="middle", width=0.003)
+    ax.set_title("disk polarization (EVPA ticks, length ~ sin$^2\\theta_B$)")
+    ax.set_axis_off()
+    fig.savefig(os.path.join(out_dir, "polarization_map.png"), dpi=110,
+                bbox_inches="tight")
+    plt.close(fig)
+
 
 def render_disk(scene, disk: DiskConfig = None, *, bg_array=None, dtype=None,
                 metrics=None):
@@ -493,7 +576,7 @@ def render_disk(scene, disk: DiskConfig = None, *, bg_array=None, dtype=None,
             flip_theta=scene.patch.flip_theta,
             flip_phi=scene.patch.flip_phi,
             has_background=has_bg, dtype=dtype, prograde=disk.prograde,
-            backend=backend, profile=disk.profile)
+            backend=backend, profile=disk.profile, bfield=disk.bfield)
 
         # the counts fetch is the device sync, so it belongs to the stage
         cv = np.asarray(out.pop("count_vec"))

@@ -67,6 +67,11 @@ class RenderResult:
         """The raw device array (no host transfer)."""
         return self._dev[name]
 
+    def has(self, name):
+        """Whether an optional per-pixel field (e.g. the disk mode's
+        'evpa') was produced by this render."""
+        return name in self._dev
+
 
 @partial(jax.jit,
          static_argnames=("height", "width", "steps", "flip_theta",
