@@ -499,25 +499,45 @@ def _save_polarization_maps(result, out_dir, dm, ii, jj):
                header="i,j,evpa_rad,pol_weight,pol_check",
                fmt=("%d", "%d", "%.8g", "%.8g", "%.8g"))
 
+    polarization_ticks_png(result, os.path.join(out_dir,
+                                                "polarization_map.png"))
+
+
+def polarization_ticks_png(result, path, stride=1, dpi=110, scale=28.0,
+                           width=0.003):
+    """EVPA tick overlay on the rendered frame (EHT-style presentation).
+
+    `stride` subsamples the tick grid for dense images.  EVPA chi is the
+    screen direction cos(chi)*up + sin(chi)*right; image rows advance
+    along the camera's up vector and columns along right, so the tick in
+    (col, row) components is (sin, cos), scaled by the pitch-angle
+    weight."""
+    import numpy as np
+
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
+    evpa = np.asarray(result.device("evpa"))
+    wgt = np.asarray(result.device("pol_weight"))
+    dm = np.asarray(result.device("status")) == STATUS_DISK
+    if stride > 1:
+        keep = np.zeros_like(dm)
+        keep[::stride, ::stride] = True
+        dm = dm & keep
+    ii, jj = np.nonzero(dm)
+
     fig, ax = plt.subplots(figsize=(6, 6))
     ax.imshow(result.image)
     if dm.any():
-        # EVPA chi: screen direction cos(chi)*up + sin(chi)*right; image
-        # rows advance along the camera's up vector and columns along
-        # right, so the tick in (col, row) components is (sin, cos)
         dj = np.sin(evpa[dm]) * wgt[dm]
         di = np.cos(evpa[dm]) * wgt[dm]
-        ax.quiver(jj, ii, dj, di, color="white", scale=28,
+        ax.quiver(jj, ii, dj, di, color="white", scale=scale,
                   headwidth=1, headlength=0, headaxislength=0,
-                  pivot="middle", width=0.003)
+                  pivot="middle", width=width)
     ax.set_title("disk polarization (EVPA ticks, length ~ sin$^2\\theta_B$)")
     ax.set_axis_off()
-    fig.savefig(os.path.join(out_dir, "polarization_map.png"), dpi=110,
-                bbox_inches="tight")
+    fig.savefig(path, dpi=dpi, bbox_inches="tight")
     plt.close(fig)
 
 

@@ -31,6 +31,11 @@ CONFIGS = [
     ("kerr_disk_a09_512", "disk",
      SceneConfig(size=512, metric="kerr", spin=0.9, n_samples=0,
                  integrator=IntegratorConfig(steps=30_000, delta=0.02))),
+    # polarized Novikov-Thorne disk: EVPA ticks from the Walker-Penrose
+    # constant, vertical field (the EHT-style presentation)
+    ("kerr_disk_pol_a09_384", "disk_pol",
+     SceneConfig(size=384, metric="kerr", spin=0.9, n_samples=0,
+                 integrator=IntegratorConfig(steps=30_000, delta=0.02))),
 ]
 
 
@@ -40,6 +45,16 @@ def main():
         scene = mode_scene[-1]
         if mode_scene[0] == "disk":
             res = render_disk(scene, DiskConfig(), bg_array=BG)
+        elif mode_scene[0] == "disk_pol":
+            from grtrace.engine.disk import polarization_ticks_png
+            res = render_disk(scene, DiskConfig(profile="novikov",
+                                                bfield="vertical"),
+                              bg_array=BG)
+            polarization_ticks_png(res, f"images/{name}.png", stride=12,
+                                   dpi=150, scale=34.0, width=0.0035)
+            print(name, "counts:", res.counts, f"{time.time()-t0:.1f}s",
+                  flush=True)
+            continue
         else:
             res = render(scene, bg_array=BG)
         Image.fromarray(np.asarray(res.image)).save(f"images/{name}.png")
