@@ -53,6 +53,9 @@ def main(argv=None):
     p.add_argument('--disk-elevation', type=float, default=12.0,
                    help='camera elevation above the disk plane (deg)')
     p.add_argument('--disk-r-out', type=float, default=14.0)
+    p.add_argument('--disk-profile', choices=('shakura', 'novikov'),
+                   default='shakura',
+                   help='radial temperature law (engine.disk)')
     p.add_argument('--out-dir', type=str, default='orbit_out')
     p.add_argument('--gif', action='store_true',
                    help='also write orbit.gif')
@@ -147,7 +150,8 @@ def main(argv=None):
                 np.pi / 2, phis[ks],
                 scene.patch.size_theta, scene.patch.size_phi,
                 height=args.size, width=args.size,
-                backend=kerr_backend, charge=args.charge)
+                backend=kerr_backend, charge=args.charge,
+                profile=args.disk_profile)
         if kerr:
             return render_kerr_sharded(
                 mesh, bg_dev,

@@ -224,7 +224,7 @@ def render_kerr_sharded(mesh, bg_array, obs_x, fov, mass, spin,
 @partial(jax.jit,
          static_argnames=("mesh", "height", "width", "steps", "flip_theta",
                           "flip_phi", "has_background", "dtype", "backend",
-                          "order", "prograde"))
+                          "order", "prograde", "profile"))
 def render_disk_sharded(mesh, bg_array, obs_x, fov, mass, spin,
                         boundary_radius, steps, delta, omega,
                         elevation, r_in, r_out, t_peak, exposure,
@@ -232,7 +232,8 @@ def render_disk_sharded(mesh, bg_array, obs_x, fov, mass, spin,
                         patch_size_theta, patch_size_phi,
                         *, height, width, flip_theta=False, flip_phi=False,
                         has_background=True, dtype=jnp.float32,
-                        order=2, backend="xla", charge=0.0, prograde=True):
+                        order=2, backend="xla", charge=0.0, prograde=True,
+                        profile="shakura"):
     """Accretion-disk frames over the ('frames', 'rays') mesh.
 
     The thin equatorial disk is axisymmetric like the hole, so the
@@ -289,7 +290,8 @@ def render_disk_sharded(mesh, bg_array, obs_x, fov, mass, spin,
                     r_in, r_out, order=order)
         _, disk_rgb01 = shade_disk(hit_q, hit_p, params, r_obs_bl, r_in,
                                    prograde=prograde, t_peak=t_peak,
-                                   exposure=exposure, theta_obs=th_obs)
+                                   exposure=exposure, theta_obs=th_obs,
+                                   profile=profile, r_out=r_out)
         rho, th, ph = cartesian_to_spherical(
             final_q[:, 1], final_q[:, 2], final_q[:, 3])
         rho = jnp.where(status == STATUS_CAPTURED, jnp.zeros_like(rho), rho)
