@@ -100,6 +100,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help='Disable flat (no-gravity) trajectory rendering')
     p.add_argument('--n-samples', type=int, default=20,
                    help='Number of sampled diagnostic trajectories')
+    p.add_argument('--aa', type=int, default=0, metavar='S',
+                   help='Adaptive shadow-edge antialiasing: re-trace SxS '
+                        'stratified sub-rays for the boundary pixels only '
+                        'and average their colors (engine/aa.py; class '
+                        'map and CSVs keep center-sample semantics)')
     # --- accretion disk mode (beyond the reference; engine/disk.py) ---
     p.add_argument('--disk', action='store_true',
                    help='Render a thin equatorial accretion disk (GR '

@@ -80,7 +80,7 @@ def main(argv=None):
                                  metrics=rm)
         else:
             result = render(scene, bg_array=bg_array, seed=args.seed,
-                            metrics=rm)
+                            metrics=rm, aa_samples=args.aa or None)
     logging.info("Curved render finished in %.2fs (%s backend)",
                  time.time() - t0, scene.integrator.backend)
     if rm is not None:

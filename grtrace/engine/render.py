@@ -179,11 +179,12 @@ def _effective_omega(scene: SceneConfig) -> float:
 
 
 def render(scene: SceneConfig, *, bg_array=None, n_samples=None, seed=0,
-           dtype=None, metrics=None) -> RenderResult:
+           dtype=None, metrics=None, aa_samples=None) -> RenderResult:
     """Full-frame render with artifacts data — the run_manual_simulation
     analog.  bg_array: (th, tw, 3) uint8 numpy/jnp array or None.
     metrics: optional engine.metrics.RenderMetrics to fill with stage
-    timings and throughput counters.
+    timings and throughput counters.  aa_samples: adaptive shadow-edge
+    antialiasing factor (generic-chart metrics; engine/aa.py).
     """
     scene_metric = getattr(scene, "metric", "Schwarzschild").lower()
     charge = float(getattr(scene, "charge", 0.0))
@@ -205,7 +206,8 @@ def render(scene: SceneConfig, *, bg_array=None, n_samples=None, seed=0,
         return render_generic(scene, spin=scene.spin, metric=metric,
                               bg_array=bg_array, dtype=dtype,
                               n_samples=n_samples, seed=seed,
-                              metrics=metrics, charge=charge)
+                              metrics=metrics, charge=charge,
+                              aa_samples=aa_samples)
 
     from .metrics import RenderMetrics
     want_metrics = metrics is not None
@@ -240,6 +242,26 @@ def render(scene: SceneConfig, *, bg_array=None, n_samples=None, seed=0,
             has_background=has_bg, dtype=dtype,
             backend=resolve_backend(integ.backend),
             order=integ.order)
+        if aa_samples:
+            from .aa import refine_edges_schwarzschild
+            out["image"], out["aa_mask"] = refine_edges_schwarzschild(
+                out["cls"], out["image"], bg_dev,
+                jnp.asarray(scene.observer_distance, dtype),
+                jnp.asarray(scene.fov, dtype),
+                jnp.asarray(scene.bh_mass, dtype),
+                jnp.asarray(scene.boundary_radius, dtype),
+                integ.steps,
+                jnp.asarray(integ.delta, dtype),
+                jnp.asarray(_effective_omega(scene), dtype),
+                jnp.asarray(scene.patch.center_theta, dtype),
+                jnp.asarray(scene.patch.center_phi, dtype),
+                jnp.asarray(scene.patch.size_theta, dtype),
+                jnp.asarray(scene.patch.size_phi, dtype),
+                height=h, width=w, samples=int(aa_samples),
+                order=integ.order, backend=resolve_backend(integ.backend),
+                flip_theta=scene.patch.flip_theta,
+                flip_phi=scene.patch.flip_phi,
+                has_background=has_bg, dtype=dtype)
 
     with metrics.stage("device_pipeline"):
         # the count_vec fetch synchronizes the whole device pipeline

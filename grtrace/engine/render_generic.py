@@ -179,11 +179,16 @@ def _sample_trajectories_generic(q0, p0, scene, spin, metric, dtype, seed,
 
 def render_generic(scene, *, spin=0.0, metric="Kerr", bg_array=None,
                    dtype=None, n_samples=None, seed=0, metrics=None,
-                   charge=0.0):
+                   charge=0.0, aa_samples=None):
     """SceneConfig-driven generic-metric render -> engine.render.RenderResult.
 
     Mirrors engine.render.render's surface for the Kerr path, including
     sampled-trajectory diagnostics and RenderMetrics support.
+
+    aa_samples = s (>= 2) runs the adaptive edge-refinement pass
+    (engine.aa): s x s stratified sub-rays re-traced for the top-scoring
+    boundary pixels, colors averaged into the image (class map and CSV
+    fields keep center-sample semantics).
     """
     from .metrics import RenderMetrics
     from .render import RenderResult
@@ -227,6 +232,28 @@ def render_generic(scene, *, spin=0.0, metric="Kerr", bg_array=None,
             has_background=has_bg, dtype=dtype, metric=metric,
             order=integ.order, backend=backend,
             charge=jnp.asarray(charge, dtype))
+        if aa_samples:
+            from .aa import refine_edges_generic
+            out["image"], out["aa_mask"] = refine_edges_generic(
+                out["cls"], out["image"], bg_dev,
+                jnp.asarray(scene.observer_distance, dtype),
+                jnp.asarray(scene.fov, dtype),
+                jnp.asarray(scene.bh_mass, dtype),
+                jnp.asarray(spin, dtype),
+                jnp.asarray(charge, dtype),
+                jnp.asarray(scene.boundary_radius, dtype),
+                integ.steps,
+                jnp.asarray(integ.delta, dtype),
+                jnp.asarray(integ.omega, dtype),
+                jnp.asarray(scene.patch.center_theta, dtype),
+                jnp.asarray(scene.patch.center_phi, dtype),
+                jnp.asarray(scene.patch.size_theta, dtype),
+                jnp.asarray(scene.patch.size_phi, dtype),
+                height=h, width=w, samples=int(aa_samples),
+                metric=metric, order=integ.order, backend=backend,
+                flip_theta=scene.patch.flip_theta,
+                flip_phi=scene.patch.flip_phi,
+                has_background=has_bg, dtype=dtype)
         # the counts fetch is the device sync, so it belongs to the stage
         cv = np.asarray(out.pop("count_vec"))
     counts = {"captured": int(cv[0]), "in_domain": int(cv[1]),

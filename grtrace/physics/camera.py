@@ -55,6 +55,27 @@ def pixel_grid(obs_pos, fov, height, width, dtype=jnp.float32):
     return plane_center + offsets
 
 
+def pixel_positions_fractional(obs_pos, fov, height, width, i_f, j_f,
+                               dtype=jnp.float32):
+    """Image-plane positions at FRACTIONAL pixel indices (i_f, j_f), same
+    geometry as pixel_grid (reference raytracing.py:60-88) — integer
+    centers reproduce pixel_grid exactly.  The adaptive edge-refinement
+    pass (engine/aa.py) feeds stratified sub-pixel indices through here."""
+    obs_pos = jnp.asarray(obs_pos, dtype=dtype)
+    optical_axis = jnp.array([-1.0, 0.0, 0.0], dtype=dtype)
+    right = jnp.array([0.0, 1.0, 0.0], dtype=dtype)
+    up = jnp.array([0.0, 0.0, 1.0], dtype=dtype)
+
+    plane_dist = 0.2 * jnp.linalg.norm(obs_pos)
+    plane_center = obs_pos + optical_axis * plane_dist
+    plane_width = 2.0 * plane_dist * jnp.tan(fov / 2.0)
+    plane_height = plane_width * (height / width)
+    u = (j_f + 0.5) / width - 0.5
+    v = (i_f + 0.5) / height - 0.5
+    return (plane_center + u[:, None] * plane_width * right
+            + v[:, None] * plane_height * up)
+
+
 def _lookat_frame(obs_pos, fov, height, width, dtype):
     """(plane_center, plane_width, plane_height, right, up) of the
     origin-aimed image plane for an observer anywhere; the up-reference
@@ -203,11 +224,19 @@ def camera_rays_unfolded(obs_pos, fov, height, width, *, params, g_inv_fn,
 
     Returns (q0, p0, alpha0) with shapes (H, W, 4|4|-).
     """
+    pix = pixel_grid(obs_pos, fov, height, width, dtype=dtype)
+    return unfolded_ics_from_pixels(jnp.asarray(obs_pos, dtype=dtype), pix,
+                                    params=params, g_inv_fn=g_inv_fn)
+
+
+def unfolded_ics_from_pixels(obs, pix, *, params, g_inv_fn):
+    """Core of the unfolded spherical-chart camera for arbitrary pixel
+    positions (the adaptive edge-refinement pass feeds sub-pixel
+    positions through here; engine/aa.py)."""
     from .spacetime import null_p_t as generic_null_p_t
     import jax
 
-    pix = pixel_grid(obs_pos, fov, height, width, dtype=dtype)
-    obs = jnp.asarray(obs_pos, dtype=dtype)
+    dtype = pix.dtype
     ray = pix - obs
     ray = ray / jnp.linalg.norm(ray, axis=-1, keepdims=True)
 
