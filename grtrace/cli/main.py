@@ -77,7 +77,7 @@ def main(argv=None):
         if disk_cfg is not None:
             from ..engine.disk import render_disk
             result = render_disk(scene, disk_cfg, bg_array=bg_array,
-                                 metrics=rm)
+                                 metrics=rm, aa_samples=args.aa or None)
         else:
             result = render(scene, bg_array=bg_array, seed=args.seed,
                             metrics=rm, aa_samples=args.aa or None)

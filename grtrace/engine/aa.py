@@ -218,3 +218,55 @@ def refine_edges_schwarzschild(cls, image, bg_array, obs_x, fov, mass,
                                  else jnp.zeros((1, 1, 3), dtype=jnp.uint8))
     return _scatter_averaged(image, idx, valid, colors, k_edge, samples,
                              height, width)
+
+
+@partial(jax.jit,
+         static_argnames=("height", "width", "steps", "samples", "k_edge",
+                          "order", "backend", "flip_theta", "flip_phi",
+                          "has_background", "dtype", "prograde", "profile"))
+def refine_edges_disk(cls, image, bg_array, obs_pos, fov, mass, spin,
+                      charge, boundary_radius, steps, delta, omega,
+                      r_in, r_out, t_peak, exposure,
+                      patch_center_theta, patch_center_phi,
+                      patch_size_theta, patch_size_phi,
+                      *, height, width, samples=2, k_edge=None, order=2,
+                      backend="xla", flip_theta=False, flip_phi=False,
+                      has_background=True, dtype=jnp.float32,
+                      prograde=True, profile="shakura"):
+    """The accretion-disk twin: sub-rays ride the inclined look-at camera
+    and disk._trace_shade_flat — the disk silhouette and its lensed
+    far-side arc are the sharpest (most aliased) edges in the framework.
+    The edge score includes CLS_DISK transitions automatically since it
+    only compares class labels."""
+    from ..physics.camera import (cartesian_ics_from_pixels,
+                                  pixel_positions_fractional_lookat)
+    from ..physics.spacetime import ks_radius
+    from .disk import _trace_shade_flat
+
+    if k_edge is None:
+        k_edge = default_k_edge(height, width)
+    g_inv_fn = METRICS["KerrSchild"]
+    params = jnp.stack([jnp.asarray(mass, dtype), jnp.asarray(spin, dtype),
+                        jnp.asarray(charge, dtype)])
+    obs_pos = jnp.asarray(obs_pos, dtype)
+    r_obs = jnp.linalg.norm(obs_pos)
+    r_obs_bl = ks_radius(obs_pos[0], obs_pos[1], obs_pos[2], params[1])
+    th_obs = jnp.arccos(jnp.clip(obs_pos[2] / jnp.maximum(r_obs_bl, 1e-30),
+                                 -1.0, 1.0))
+
+    idx, valid, ii, jj = _select_edges(cls, width, k_edge, dtype)
+    i_f, j_f = _subpixel_indices(ii, jj, samples, dtype)
+    pix = pixel_positions_fractional_lookat(obs_pos, fov, height, width,
+                                            i_f, j_f, dtype=dtype)
+    q0, p0, _ = cartesian_ics_from_pixels(obs_pos, pix, params=params,
+                                          g_inv_fn=g_inv_fn)
+    flat = _trace_shade_flat(
+        q0.reshape(-1, 4), p0.reshape(-1, 4), bg_array, params, r_obs,
+        r_obs_bl, th_obs, boundary_radius, steps, delta, omega, r_in,
+        r_out, t_peak, exposure, patch_center_theta, patch_center_phi,
+        patch_size_theta, patch_size_phi, order=order, backend=backend,
+        dtype=dtype, prograde=prograde, profile=profile,
+        flip_theta=flip_theta, flip_phi=flip_phi,
+        has_background=has_background)
+    return _scatter_averaged(image, idx, valid, flat["colors"], k_edge,
+                             samples, height, width)

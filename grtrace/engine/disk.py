@@ -259,6 +259,69 @@ def shade_disk(hit_q, hit_p, params, r_obs, r_in, *, prograde=True,
 # Full-frame disk render
 # ---------------------------------------------------------------------------
 
+def _trace_shade_flat(q0f, p0f, bg_array, params, r_obs, r_obs_bl, th_obs,
+                      boundary_radius, steps, delta, omega, r_in, r_out,
+                      t_peak, exposure, patch_center_theta, patch_center_phi,
+                      patch_size_theta, patch_size_phi, *, order, backend,
+                      dtype, prograde, profile, flip_theta, flip_phi,
+                      has_background):
+    """The per-ray disk chain on FLAT (N, 4) phase points: integrate with
+    crossing capture -> shade -> classify non-disk -> composite + opaque
+    overlay.  Shared verbatim by the full-frame program and the adaptive
+    edge-refinement sub-ray pass (engine/aa.py) so a sub-ray through a
+    pixel center reproduces the base color bit-for-bit."""
+    from ..physics.coords import cartesian_to_spherical
+    from . import classify as _classify
+
+    n = q0f.shape[0]
+    if backend == "pallas":
+        from .integrate_pallas_ks import integrate_batch_pallas_disk
+        final_q, final_p, status, n_steps, hit_q, hit_p = \
+            integrate_batch_pallas_disk(
+                q0f, p0f, steps, delta, params, boundary_radius, omega,
+                r_in, r_out, order=order, compensated=dtype == jnp.float32)
+    else:
+        final_q, final_p, status, n_steps, hit_q, hit_p = \
+            integrate_batch_disk(
+                q0f, p0f, steps, delta, params, boundary_radius, omega,
+                r_in, r_out, order=order)
+
+    disk_mask = status == STATUS_DISK
+    g_fac, disk_rgb01 = shade_disk(hit_q, hit_p, params, r_obs_bl, r_in,
+                                   prograde=prograde, t_peak=t_peak,
+                                   exposure=exposure, theta_obs=th_obs,
+                                   profile=profile, r_out=r_out)
+
+    rho, th, ph = cartesian_to_spherical(final_q[:, 1], final_q[:, 2],
+                                         final_q[:, 3])
+    rho = jnp.where(status == STATUS_CAPTURED, jnp.zeros_like(rho), rho)
+    fq_sph = jnp.stack([final_q[:, 0], rho, th, ph], axis=-1)
+
+    r_plus = horizon_radius("Kerr", params[0], params[1], params[2])
+    rs_classify = (1.05 / 1.2) * r_plus
+    cls, th_csv, ph_csv, u01, v01 = _classify.classify_rays(
+        fq_sph, jnp.full((n,), jnp.pi, dtype), jnp.zeros((n,), dtype),
+        rs=rs_classify, r_obs_x=r_obs, boundary_radius=boundary_radius,
+        patch_center_theta=patch_center_theta,
+        patch_center_phi=patch_center_phi,
+        patch_size_theta=patch_size_theta,
+        patch_size_phi=patch_size_phi,
+        flip_theta=flip_theta, flip_phi=flip_phi,
+        has_background=has_background)
+    image = _classify.composite(cls, u01, v01, bg_array if has_background
+                                else jnp.zeros((1, 1, 3), dtype=jnp.uint8))
+
+    disk_u8 = jnp.clip(disk_rgb01 * 255.0 + 0.5, 0.0,
+                       255.0).astype(jnp.uint8)
+    image = jnp.where(disk_mask[:, None], disk_u8, image)
+    cls = jnp.where(disk_mask, CLS_DISK, cls)
+    return {
+        "colors": image, "cls": cls, "status": status, "n_steps": n_steps,
+        "hit_q": hit_q, "hit_p": hit_p, "g_fac": g_fac, "fq_sph": fq_sph,
+        "th_csv": th_csv, "ph_csv": ph_csv,
+    }
+
+
 @partial(jax.jit,
          static_argnames=("height", "width", "steps", "order", "flip_theta",
                           "flip_phi", "has_background", "dtype", "prograde",
@@ -282,7 +345,6 @@ def render_pixels_disk(bg_array, obs_pos, fov, mass, spin, charge,
     in float32, like render_generic's production path); 'xla' the
     autodiff while_loop engine (integrate_batch_disk)."""
     from ..physics.camera import cartesian_ics_from_pixels, pixel_grid_lookat
-    from ..physics.coords import cartesian_to_spherical
     from . import classify as _classify
 
     g_inv_fn = METRICS["KerrSchild"]
@@ -298,24 +360,18 @@ def render_pixels_disk(bg_array, obs_pos, fov, mass, spin, charge,
     q0, p0, alpha0 = cartesian_ics_from_pixels(obs_pos, pix, params=params,
                                                g_inv_fn=g_inv_fn)
     n = height * width
-    if backend == "pallas":
-        from .integrate_pallas_ks import integrate_batch_pallas_disk
-        final_q, final_p, status, n_steps, hit_q, hit_p = \
-            integrate_batch_pallas_disk(
-                q0.reshape(n, 4), p0.reshape(n, 4), steps, delta, params,
-                boundary_radius, omega, r_in, r_out, order=order,
-                compensated=dtype == jnp.float32)
-    else:
-        final_q, final_p, status, n_steps, hit_q, hit_p = \
-            integrate_batch_disk(
-                q0.reshape(n, 4), p0.reshape(n, 4), steps, delta, params,
-                boundary_radius, omega, r_in, r_out, order=order)
-
+    flat = _trace_shade_flat(
+        q0.reshape(n, 4), p0.reshape(n, 4), bg_array, params, r_obs,
+        r_obs_bl, th_obs, boundary_radius, steps, delta, omega, r_in,
+        r_out, t_peak, exposure, patch_center_theta, patch_center_phi,
+        patch_size_theta, patch_size_phi, order=order, backend=backend,
+        dtype=dtype, prograde=prograde, profile=profile,
+        flip_theta=flip_theta, flip_phi=flip_phi,
+        has_background=has_background)
+    status, n_steps = flat["status"], flat["n_steps"]
+    hit_q, hit_p = flat["hit_q"], flat["hit_p"]
+    g_fac = flat["g_fac"]
     disk_mask = status == STATUS_DISK
-    g_fac, disk_rgb01 = shade_disk(hit_q, hit_p, params, r_obs_bl, r_in,
-                                   prograde=prograde, t_peak=t_peak,
-                                   exposure=exposure, theta_obs=th_obs,
-                                   profile=profile, r_out=r_out)
 
     # --- polarized imaging: Walker-Penrose EVPA per disk pixel ---
     if bfield is not None:
@@ -340,35 +396,11 @@ def render_pixels_disk(bg_array, obs_pos, fov, mass, spin, charge,
         pol_weight = jnp.where(disk_mask, sin2_b, 0.0)
         pol_check = jnp.where(disk_mask, c_norm, 1.0)
 
-    # --- classify non-disk rays exactly like render_pixels_generic ---
-    fq = final_q.reshape(height, width, 4)
-    rho, th, ph = cartesian_to_spherical(fq[..., 1], fq[..., 2], fq[..., 3])
-    rho = jnp.where(status.reshape(height, width) == STATUS_CAPTURED,
-                    jnp.zeros_like(rho), rho)
-    fq_sph = jnp.stack([fq[..., 0], rho, th, ph], axis=-1)
-
-    r_plus = horizon_radius("Kerr", params[0], params[1], params[2])
-    rs_classify = (1.05 / 1.2) * r_plus
-    beta0 = jnp.zeros((height, width), dtype)
-    alpha_off = jnp.full((height, width), jnp.pi, dtype)
-    cls, th_csv, ph_csv, u01, v01 = _classify.classify_rays(
-        fq_sph, alpha_off, beta0, rs=rs_classify, r_obs_x=r_obs,
-        boundary_radius=boundary_radius,
-        patch_center_theta=patch_center_theta,
-        patch_center_phi=patch_center_phi,
-        patch_size_theta=patch_size_theta,
-        patch_size_phi=patch_size_phi,
-        flip_theta=flip_theta, flip_phi=flip_phi,
-        has_background=has_background)
-    image = _classify.composite(cls, u01, v01, bg_array if has_background
-                                else jnp.zeros((1, 1, 3), dtype=jnp.uint8))
-
-    # --- opaque disk overlay ---
-    dm = disk_mask.reshape(height, width)
-    disk_u8 = jnp.clip(disk_rgb01 * 255.0 + 0.5, 0.0, 255.0
-                       ).astype(jnp.uint8).reshape(height, width, 3)
-    image = jnp.where(dm[..., None], disk_u8, image)
-    cls = jnp.where(dm, CLS_DISK, cls)
+    image = flat["colors"].reshape(height, width, 3)
+    cls = flat["cls"].reshape(height, width)
+    fq_sph = flat["fq_sph"].reshape(height, width, 4)
+    th_csv = flat["th_csv"].reshape(height, width)
+    ph_csv = flat["ph_csv"].reshape(height, width)
 
     count_vec = jnp.stack([
         jnp.sum(cls == _classify.CLS_BH),
@@ -542,7 +574,7 @@ def polarization_ticks_png(result, path, stride=1, dpi=110, scale=28.0,
 
 
 def render_disk(scene, disk: DiskConfig = None, *, bg_array=None, dtype=None,
-                metrics=None):
+                metrics=None, aa_samples=None):
     """SceneConfig-driven disk render -> engine.render.RenderResult.
 
     scene.metric/spin/charge select the hole (everything runs on the
@@ -597,6 +629,34 @@ def render_disk(scene, disk: DiskConfig = None, *, bg_array=None, dtype=None,
             flip_phi=scene.patch.flip_phi,
             has_background=has_bg, dtype=dtype, prograde=disk.prograde,
             backend=backend, profile=disk.profile, bfield=disk.bfield)
+
+        if aa_samples:
+            from .aa import refine_edges_disk
+            out["image"], out["aa_mask"] = refine_edges_disk(
+                out["cls"], out["image"], bg_dev,
+                jnp.asarray(obs_pos, dtype),
+                jnp.asarray(scene.fov, dtype),
+                jnp.asarray(scene.bh_mass, dtype),
+                jnp.asarray(scene.spin, dtype),
+                jnp.asarray(scene.charge, dtype),
+                jnp.asarray(scene.boundary_radius, dtype),
+                integ.steps,
+                jnp.asarray(integ.delta, dtype),
+                jnp.asarray(integ.omega, dtype),
+                jnp.asarray(r_in, dtype),
+                jnp.asarray(disk.r_out, dtype),
+                jnp.asarray(disk.t_peak, dtype),
+                jnp.asarray(disk.exposure, dtype),
+                jnp.asarray(scene.patch.center_theta, dtype),
+                jnp.asarray(scene.patch.center_phi, dtype),
+                jnp.asarray(scene.patch.size_theta, dtype),
+                jnp.asarray(scene.patch.size_phi, dtype),
+                height=h, width=w, samples=int(aa_samples),
+                order=integ.order, backend=backend,
+                flip_theta=scene.patch.flip_theta,
+                flip_phi=scene.patch.flip_phi,
+                has_background=has_bg, dtype=dtype,
+                prograde=disk.prograde, profile=disk.profile)
 
         # the counts fetch is the device sync, so it belongs to the stage
         cv = np.asarray(out.pop("count_vec"))

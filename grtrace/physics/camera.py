@@ -118,6 +118,19 @@ def pixel_grid_lookat(obs_pos, fov, height, width, dtype=jnp.float32):
     return plane_center + offsets
 
 
+def pixel_positions_fractional_lookat(obs_pos, fov, height, width, i_f, j_f,
+                                      dtype=jnp.float32):
+    """Look-at image-plane positions at FRACTIONAL pixel indices — the
+    inclined-camera twin of pixel_positions_fractional (disk-mode
+    adaptive edge refinement, engine/aa.py)."""
+    plane_center, plane_width, plane_height, right, up = _lookat_frame(
+        obs_pos, fov, height, width, dtype)
+    u = (j_f + 0.5) / width - 0.5
+    v = (i_f + 0.5) / height - 0.5
+    return (plane_center + u[:, None] * plane_width * right
+            + v[:, None] * plane_height * up)
+
+
 def pixel_positions_for_indices_lookat(obs_pos, fov, height, width,
                                        flat_idx, dtype=jnp.float32):
     """Look-at pixel positions for a slice of flat indices (i*W + j) —

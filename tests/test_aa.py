@@ -111,3 +111,38 @@ def test_refine_edges_schwarzschild_matches_uniform_supersampling():
                                   np.asarray(base.image)[~mask])
     np.testing.assert_array_equal(aa.cls, base.cls)
     assert aa.counts == base.counts
+
+
+def test_refine_edges_disk_matches_uniform_supersampling():
+    """The disk twin: sub-rays ride the inclined look-at camera and the
+    full crossing-capture + shading chain; ground truth is the 2x disk
+    render box-averaged."""
+    from grtrace.engine.disk import DiskConfig, render_disk
+    size, s = 20, 2
+    rng = np.random.default_rng(6)
+    bg = rng.integers(0, 255, (size, size, 3), dtype=np.uint8)
+
+    def dsc(n):
+        return SceneConfig(size=n, metric="kerr", spin=0.9, n_samples=0,
+                           integrator=IntegratorConfig(steps=1500,
+                                                       delta=0.06,
+                                                       backend="xla",
+                                                       dtype="float64"),
+                           patch=PatchConfig())
+
+    cfg = DiskConfig()
+    base = render_disk(dsc(size), cfg, bg_array=bg)
+    aa = render_disk(dsc(size), cfg, bg_array=bg, aa_samples=s)
+    hi = render_disk(dsc(size * s), cfg, bg_array=bg)
+
+    mask = np.asarray(aa.device("aa_mask"))
+    assert mask.sum() > 8           # disk silhouette + shadow edges found
+    # the disk boundary must be among the refined pixels
+    assert (np.asarray(base.cls)[mask] == 5).any()
+    blocks = np.asarray(hi.image, np.float32).reshape(size, s, size, s, 3)
+    expect = np.clip(blocks.mean(axis=(1, 3)) + 0.5, 0, 255).astype(np.uint8)
+    np.testing.assert_array_equal(np.asarray(aa.image)[mask], expect[mask])
+    np.testing.assert_array_equal(np.asarray(aa.image)[~mask],
+                                  np.asarray(base.image)[~mask])
+    np.testing.assert_array_equal(aa.cls, base.cls)
+    assert aa.counts == base.counts

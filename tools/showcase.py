@@ -41,22 +41,25 @@ CONFIGS = [
 
 def main():
     t0 = time.time()
+    # every panel gets the adaptive edge-refinement pass (--aa 3): 3x3
+    # sub-rays at the shadow boundary / disk silhouette, ~10% of a frame
     for name, *mode_scene in CONFIGS:
         scene = mode_scene[-1]
         if mode_scene[0] == "disk":
-            res = render_disk(scene, DiskConfig(), bg_array=BG)
+            res = render_disk(scene, DiskConfig(), bg_array=BG,
+                              aa_samples=3)
         elif mode_scene[0] == "disk_pol":
             from grtrace.engine.disk import polarization_ticks_png
             res = render_disk(scene, DiskConfig(profile="novikov",
                                                 bfield="vertical"),
-                              bg_array=BG)
+                              bg_array=BG, aa_samples=3)
             polarization_ticks_png(res, f"images/{name}.png", stride=12,
                                    dpi=150, scale=34.0, width=0.0035)
             print(name, "counts:", res.counts, f"{time.time()-t0:.1f}s",
                   flush=True)
             continue
         else:
-            res = render(scene, bg_array=BG)
+            res = render(scene, bg_array=BG, aa_samples=3)
         Image.fromarray(np.asarray(res.image)).save(f"images/{name}.png")
         print(name, "counts:", res.counts, f"{time.time()-t0:.1f}s",
               flush=True)
