@@ -134,6 +134,11 @@ def build_parser() -> argparse.ArgumentParser:
                         'Walker-Penrose EVPA maps (physics.polarization)')
     p.add_argument('--disk-retrograde', action='store_true',
                    help='Disk counter-rotates with the hole')
+    p.add_argument('--save-transfer', type=str, default=None, metavar='NPZ',
+                   help='Persist the geodesic transfer map (per-pixel '
+                        'crossing invariants) so the disk can be re-shaded '
+                        'without retracing (io.transfer; see '
+                        'python -m grtrace.cli.reshade)')
     p.add_argument('--out-dir', type=str, default='.',
                    help='Output directory for artifacts')
     p.add_argument('--no-plots', action='store_true',

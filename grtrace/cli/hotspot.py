@@ -46,6 +46,13 @@ def main(argv=None):
     p.add_argument('--frames', type=int, default=64)
     p.add_argument('--periods', type=float, default=1.0)
     p.add_argument('--no-gif', action='store_true')
+    p.add_argument('--transfer', type=str, default=None, metavar='NPZ',
+                   help='shade the movie from a saved geodesic transfer '
+                        'map (io.transfer) instead of tracing — all '
+                        'scene/integrator flags are then ignored')
+    p.add_argument('--save-transfer', type=str, default=None, metavar='NPZ',
+                   help='persist this run\'s transfer map for later '
+                        're-shading (cli.reshade / --transfer here)')
     p.add_argument('--out-dir', type=str, default='hotspot_out')
     p.add_argument('--bench', action='store_true',
                    help='print one JSON line: render wall time + frame '
@@ -66,33 +73,47 @@ def main(argv=None):
                                   save_hotspot_artifacts)
     from ..io import artifacts
 
-    scene = SceneConfig(
-        size=args.size, fov_deg=args.fov, background=args.background,
-        bh_mass=args.bh_mass, spin=args.spin, charge=args.charge,
-        metric='kerr' if (args.metric == 'kerr' or args.charge) else
-        'schwarzschild',
-        boundary_radius=args.boundary_radius,
-        observer_distance=args.observer_distance, n_samples=0,
-        integrator=IntegratorConfig(steps=args.steps, delta=args.delta,
-                                    omega=1.0, backend=args.backend),
-        patch=PatchConfig())
-
-    if artifacts.background_available(args.background):
-        bg = artifacts.load_background(args.background,
-                                       size=(args.size, args.size))
-    else:
-        from ..io import textures
-        bg = textures.starfield(args.size, args.size)
-
-    disk = DiskConfig(r_out=args.disk_r_out, profile=args.disk_profile,
-                      elevation_deg=args.disk_elevation)
     hs = HotspotConfig(r_blob=args.blob_r, sigma=args.blob_sigma,
                        phi0=args.blob_phi0, t_blob=args.blob_temp,
                        amplitude=args.amplitude, n_frames=args.frames,
                        n_periods=args.periods)
 
     os.makedirs(args.out_dir, exist_ok=True)
-    out = render_hotspot(scene, disk, hs, bg_array=bg)
+    if args.transfer:
+        from ..io.transfer import TransferMap, hotspot_from_transfer, reshade
+        tm = TransferMap.load(args.transfer)
+        out = hotspot_from_transfer(tm, hs)
+        res = reshade(tm)           # for --bench's per-pixel inputs
+        mass, spin, charge = (float(v) for v in tm.params)
+    else:
+        scene = SceneConfig(
+            size=args.size, fov_deg=args.fov, background=args.background,
+            bh_mass=args.bh_mass, spin=args.spin, charge=args.charge,
+            metric='kerr' if (args.metric == 'kerr' or args.charge) else
+            'schwarzschild',
+            boundary_radius=args.boundary_radius,
+            observer_distance=args.observer_distance, n_samples=0,
+            integrator=IntegratorConfig(steps=args.steps, delta=args.delta,
+                                        omega=1.0, backend=args.backend),
+            patch=PatchConfig())
+
+        if artifacts.background_available(args.background):
+            bg = artifacts.load_background(args.background,
+                                           size=(args.size, args.size))
+        else:
+            from ..io import textures
+            bg = textures.starfield(args.size, args.size)
+
+        disk = DiskConfig(r_out=args.disk_r_out, profile=args.disk_profile,
+                          elevation_deg=args.disk_elevation)
+        out = render_hotspot(scene, disk, hs, bg_array=bg)
+        res = out["result"]
+        mass, spin, charge = args.bh_mass, args.spin, args.charge
+        if args.save_transfer:
+            from ..io.transfer import TransferMap
+            TransferMap.from_result(res, scene, disk).save(
+                args.save_transfer)
+            print(f"transfer map -> {args.save_transfer}")
     save_hotspot_artifacts(out, args.out_dir, gif=not args.no_gif)
     print(f"blob r = {out['r_blob']:.4g} M, period = {out['period']:.5g} M, "
           f"{args.frames} frames -> {args.out_dir}")
@@ -105,9 +126,7 @@ def main(argv=None):
 
         from ..engine.hotspot import hotspot_statics, shade_hotspot_frames
 
-        res = out["result"]
-        params = jnp.asarray(np.array([args.bh_mass, args.spin,
-                                       args.charge]),
+        params = jnp.asarray(np.array([mass, spin, charge]),
                              res.device("hit_q").dtype)
         psi, r_hit, g, valid = hotspot_statics(
             res.device("hit_q"), res.device("status"),
@@ -124,13 +143,14 @@ def main(argv=None):
             shade(1e-3 * (i + 1))
         dt = time.time() - t0
         fps = reps * args.frames / dt
+        size = res.device("image").shape[0]
         line = json.dumps({
-            "metric": f"hotspot_{args.size}_shading_frames_per_s",
+            "metric": f"hotspot_{size}_shading_frames_per_s",
             "value": round(fps, 1), "unit": "frames/s",
-            "vs_baseline": round(fps * args.size ** 2 / 400 ** 2, 2),
-            "frames": args.frames, "size": args.size,
-            "metric_family": args.metric, "spin": args.spin,
-            "wall_s": round(dt, 4),
+            "vs_baseline": round(fps * size ** 2 / 400 ** 2, 2),
+            "frames": args.frames, "size": size,
+            "metric_family": "kerr" if spin else "schwarzschild",
+            "spin": spin, "wall_s": round(dt, 4),
         })
         print(line)
         if args.out_json:

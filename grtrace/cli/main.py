@@ -73,6 +73,9 @@ def main(argv=None):
     from ..engine.metrics import RenderMetrics, trace
     rm = RenderMetrics() if args.print_metrics else None
     disk_cfg = disk_from_args(args)
+    if args.save_transfer and disk_cfg is None:
+        raise SystemExit("--save-transfer requires --disk (the transfer "
+                         "map records disk-crossing invariants)")
     with trace(os.path.join(out, "jax_trace") if args.profile else None):
         if disk_cfg is not None:
             from ..engine.disk import render_disk
@@ -99,6 +102,13 @@ def main(argv=None):
         save_disk_maps(result, out,
                        emissivity_index=disk_cfg.emissivity_index)
         logging.info("Saved redshift_map.csv/.png + line_profile.csv/.png")
+        if args.save_transfer:
+            from ..io.transfer import TransferMap
+            TransferMap.from_result(result, scene, disk_cfg).save(
+                args.save_transfer)
+            logging.info("Saved geodesic transfer map to %s "
+                         "(re-shade with python -m grtrace.cli.reshade)",
+                         args.save_transfer)
 
     artifacts.save_photon_data(result, os.path.join(out, "photon_data.csv"))
     if result.sampled_trajectories:

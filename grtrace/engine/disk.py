@@ -255,6 +255,46 @@ def shade_disk(hit_q, hit_p, params, r_obs, r_in, *, prograde=True,
     return g, rgb
 
 
+def polarization_fields(hit_q, hit_p, q0f, p0f, obs_pos, fov, height, width,
+                        params, prograde, bfield, disk_mask, dtype):
+    """Walker-Penrose EVPA per disk pixel on flat (N, 4) arrays.
+
+    Shared by the full-frame program (render_pixels_disk) and transfer-map
+    reshading (io.transfer.reshade) — the EVPA is a pure function of the
+    emission event, the camera ray, and the field geometry, so a saved
+    transfer map can be re-polarized for a new `bfield` without retracing.
+    Returns (evpa, pol_weight, pol_check), each masked to disk pixels.
+    """
+    from ..physics.camera import _lookat_frame
+    from ..physics.polarization import (bl_from_ks, emission_polarization,
+                                        observer_evpa)
+
+    def _emit(hq, hp):
+        q_bl, p_bl = bl_from_ks(hq, hp, params)
+        return emission_polarization(q_bl, p_bl, params, prograde, bfield)
+
+    kap1, kap2, sin2_b = jax.vmap(_emit)(hit_q, hit_p)
+    _, _, _, cam_right, cam_up = _lookat_frame(obs_pos, fov, height,
+                                               width, dtype)
+    evpa, c_norm = jax.vmap(
+        lambda k1, k2, qi, pi: observer_evpa(k1, k2, qi, pi, cam_up,
+                                             cam_right, params)
+    )(kap1, kap2, q0f, p0f)
+    evpa = jnp.where(disk_mask, evpa, 0.0)
+    pol_weight = jnp.where(disk_mask, sin2_b, 0.0)
+    pol_check = jnp.where(disk_mask, c_norm, 1.0)
+    return evpa, pol_weight, pol_check
+
+
+def disk_observer_position(scene, disk):
+    """Camera position of the disk scene: `disk.elevation_deg` above the
+    equatorial plane at the scene's observer distance (the inclined
+    look-at camera physics/camera.pixel_grid_lookat points at the hole)."""
+    elev = np.deg2rad(disk.elevation_deg)
+    return np.array([scene.observer_distance * np.cos(elev), 0.0,
+                     scene.observer_distance * np.sin(elev)])
+
+
 # ---------------------------------------------------------------------------
 # Full-frame disk render
 # ---------------------------------------------------------------------------
@@ -375,26 +415,9 @@ def render_pixels_disk(bg_array, obs_pos, fov, mass, spin, charge,
 
     # --- polarized imaging: Walker-Penrose EVPA per disk pixel ---
     if bfield is not None:
-        from ..physics.camera import _lookat_frame
-        from ..physics.polarization import (bl_from_ks,
-                                            emission_polarization,
-                                            observer_evpa)
-
-        def _emit(hq, hp):
-            q_bl, p_bl = bl_from_ks(hq, hp, params)
-            return emission_polarization(q_bl, p_bl, params, prograde,
-                                         bfield)
-
-        kap1, kap2, sin2_b = jax.vmap(_emit)(hit_q, hit_p)
-        _, _, _, cam_right, cam_up = _lookat_frame(obs_pos, fov, height,
-                                                   width, dtype)
-        evpa, c_norm = jax.vmap(
-            lambda k1, k2, qi, pi: observer_evpa(k1, k2, qi, pi, cam_up,
-                                                 cam_right, params)
-        )(kap1, kap2, q0.reshape(n, 4), p0.reshape(n, 4))
-        evpa = jnp.where(disk_mask, evpa, 0.0)
-        pol_weight = jnp.where(disk_mask, sin2_b, 0.0)
-        pol_check = jnp.where(disk_mask, c_norm, 1.0)
+        evpa, pol_weight, pol_check = polarization_fields(
+            hit_q, hit_p, q0.reshape(n, 4), p0.reshape(n, 4), obs_pos, fov,
+            height, width, params, prograde, bfield, disk_mask, dtype)
 
     image = flat["colors"].reshape(height, width, 3)
     cls = flat["cls"].reshape(height, width)
@@ -423,6 +446,7 @@ def render_pixels_disk(bg_array, obs_pos, fov, mass, spin, charge,
         "n_steps": n_steps.reshape(height, width),
         "status": status.reshape(height, width),
         "hit_q": hit_q.reshape(height, width, 4),
+        "hit_p": hit_p.reshape(height, width, 4),
         "redshift": g_fac.reshape(height, width),
         "count_vec": count_vec,
     } | ({} if bfield is None else {
@@ -600,9 +624,7 @@ def render_disk(scene, disk: DiskConfig = None, *, bg_array=None, dtype=None,
     bg_dev = (jnp.asarray(bg_array, dtype=jnp.uint8) if has_bg
               else jnp.zeros((1, 1, 3), dtype=jnp.uint8))
     r_in = disk.inner_edge(scene.bh_mass, scene.spin)
-    elev = np.deg2rad(disk.elevation_deg)
-    obs_pos = np.array([scene.observer_distance * np.cos(elev), 0.0,
-                        scene.observer_distance * np.sin(elev)])
+    obs_pos = disk_observer_position(scene, disk)
 
     with metrics.stage("device_pipeline"):
         out = render_pixels_disk(

@@ -178,6 +178,61 @@ def shade_hotspot_frames(image, psi, r_hit, g, valid, times, omega_s,
     return frames, flux, weighted_g
 
 
+def hotspot_movie(image, hit_q, status, redshift, params, r_in, r_out,
+                  prograde=True, hotspot=None, *, frames_per_chunk=None):
+    """Movie + light curve from per-pixel invariants — no geodesic work.
+
+    The inputs are exactly what a disk render (or a saved
+    io.transfer.TransferMap) carries: the base image, the crossing events
+    hit_q, the status mask and the redshift map, plus the annulus
+    geometry.  Returns the render_hotspot dict minus the 'result' entry.
+
+    `frames_per_chunk` bounds device memory for big frames x resolution
+    products (the shading is elementwise, so chunking is exact).
+    """
+    hotspot = hotspot if hotspot is not None else HotspotConfig()
+    params = np.asarray(params, np.float64)
+
+    r_blob = hotspot.orbit_radius(r_in, r_out)
+    if not (r_in <= r_blob <= r_out):
+        raise ValueError(f"blob radius {r_blob} outside the disk annulus "
+                         f"[{r_in:.3g}, {r_out:.3g}]")
+    omega_s = float(keplerian_omega(r_blob, params[0], params[1],
+                                    params[2], prograde))
+    period = 2.0 * np.pi / abs(omega_s)
+    times = np.linspace(0.0, hotspot.n_periods * period, hotspot.n_frames,
+                        endpoint=False)
+
+    hit_q = jnp.asarray(hit_q)
+    psi, r_hit, g, valid = hotspot_statics(
+        hit_q, jnp.asarray(status), jnp.asarray(redshift),
+        jnp.asarray(params, hit_q.dtype), omega_s)
+
+    image = jnp.asarray(image)
+    chunk = frames_per_chunk or hotspot.n_frames
+    frames, flux, wg = [], [], []
+    for k in range(0, hotspot.n_frames, chunk):
+        ts = times[k:k + chunk]
+        f, fl, w = shade_hotspot_frames(
+            image, psi, r_hit, g, valid,
+            jnp.asarray(ts), omega_s, r_blob, hotspot.sigma, hotspot.phi0,
+            t_blob=hotspot.t_blob, amplitude=hotspot.amplitude)
+        frames.append(np.asarray(f))
+        flux.append(np.asarray(fl, np.float64))
+        wg.append(np.asarray(w, np.float64))
+    flux = np.concatenate(flux)
+    return {
+        "frames": np.concatenate(frames),
+        "times": times,
+        "flux": flux,
+        "flux_norm": flux / max(flux.max(), 1e-30),
+        "weighted_g": np.concatenate(wg),
+        "period": period,
+        "omega": omega_s,
+        "r_blob": r_blob,
+    }
+
+
 def render_hotspot(scene, disk=None, hotspot=None, *, bg_array=None,
                    metrics=None, frames_per_chunk=None):
     """Disk render + hot-spot movie.  Returns a dict:
@@ -189,57 +244,22 @@ def render_hotspot(scene, disk=None, hotspot=None, *, bg_array=None,
     flux_norm  — flux / max(flux)
     weighted_g — (F,) flux-weighted mean redshift factor (Doppler tracker)
     period     — the blob's coordinate orbital period 2 pi / |Omega_s|
-
-    `frames_per_chunk` bounds device memory for big frames x resolution
-    products (the shading is elementwise, so chunking is exact).
     """
     from .disk import DiskConfig, render_disk
 
     disk = disk if disk is not None else DiskConfig()
-    hotspot = hotspot if hotspot is not None else HotspotConfig()
 
     result = render_disk(scene, disk, bg_array=bg_array, metrics=metrics)
 
     r_in = disk.inner_edge(scene.bh_mass, scene.spin)
-    r_blob = hotspot.orbit_radius(r_in, disk.r_out)
-    if not (r_in <= r_blob <= disk.r_out):
-        raise ValueError(f"blob radius {r_blob} outside the disk annulus "
-                         f"[{r_in:.3g}, {disk.r_out:.3g}]")
-    params = np.array([scene.bh_mass, scene.spin, scene.charge])
-    omega_s = float(keplerian_omega(r_blob, scene.bh_mass, scene.spin,
-                                    scene.charge, disk.prograde))
-    period = 2.0 * np.pi / abs(omega_s)
-    times = np.linspace(0.0, hotspot.n_periods * period, hotspot.n_frames,
-                        endpoint=False)
-
-    hit_q = result.device("hit_q")
-    psi, r_hit, g, valid = hotspot_statics(
-        hit_q, result.device("status"), result.device("redshift"),
-        jnp.asarray(params, hit_q.dtype), omega_s)
-
-    chunk = frames_per_chunk or hotspot.n_frames
-    frames, flux, wg = [], [], []
-    for k in range(0, hotspot.n_frames, chunk):
-        ts = times[k:k + chunk]
-        f, fl, w = shade_hotspot_frames(
-            result.device("image"), psi, r_hit, g, valid,
-            jnp.asarray(ts), omega_s, r_blob, hotspot.sigma, hotspot.phi0,
-            t_blob=hotspot.t_blob, amplitude=hotspot.amplitude)
-        frames.append(np.asarray(f))
-        flux.append(np.asarray(fl, np.float64))
-        wg.append(np.asarray(w, np.float64))
-    flux = np.concatenate(flux)
-    return {
-        "result": result,
-        "frames": np.concatenate(frames),
-        "times": times,
-        "flux": flux,
-        "flux_norm": flux / max(flux.max(), 1e-30),
-        "weighted_g": np.concatenate(wg),
-        "period": period,
-        "omega": omega_s,
-        "r_blob": r_blob,
-    }
+    out = hotspot_movie(
+        result.device("image"), result.device("hit_q"),
+        result.device("status"), result.device("redshift"),
+        np.array([scene.bh_mass, scene.spin, scene.charge]),
+        r_in, disk.r_out, disk.prograde, hotspot,
+        frames_per_chunk=frames_per_chunk)
+    out["result"] = result
+    return out
 
 
 def save_hotspot_artifacts(out, out_dir, gif=True):

@@ -1,1 +1,1 @@
-from . import artifacts, scene
+from . import artifacts, scene, transfer

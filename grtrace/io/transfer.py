@@ -1,0 +1,265 @@
+"""Geodesic transfer maps: trace once, re-shade forever.
+
+The ray bundle from a static camera through a stationary spacetime is a
+pure function of (metric params, camera, integrator) — completely
+independent of what the disk *looks like*.  Every disk-shading question
+the framework answers — temperature laws, emissivity indices, exposure,
+blackbody color, hot-spot flare movies, relativistic line profiles, even
+polarized EVPA maps for a new magnetic-field geometry — consumes only the
+per-pixel equatorial-crossing invariants (hit_q, hit_p, status) plus the
+camera/annulus geometry.  A `TransferMap` persists exactly those
+invariants to one compressed ``.npz``, so model exploration (fitting an
+iron-line profile, scanning color temperatures, animating a flare) runs
+at millisecond fused-shading cost with zero geodesic work.
+
+TPU-native framing: the expensive compiled trace program runs once; every
+reshade is a small elementwise XLA program over the saved arrays — the
+same split engine/hotspot.py exploits within a single movie, made durable
+across processes.  This generalizes the astrophysics notion of a disk
+"transfer function" (Cunningham 1975) from (g, r_em) tables to the full
+crossing phase-space event, which is why arbitrary re-shading stays exact
+rather than interpolated.
+
+No reference counterpart: the reference pipeline
+(/root/reference/simulation/raytracing.py) recomputes its full trace for
+every rendering question and persists only final images/CSVs.
+
+Workflow:
+
+    scene, disk = SceneConfig(...), DiskConfig(...)
+    result = render_disk(scene, disk, bg_array=bg)
+    tm = TransferMap.from_result(result, scene, disk)
+    tm.save("scene.transfer.npz")
+    # ... later, any process, no re-trace:
+    tm = TransferMap.load("scene.transfer.npz")
+    res2 = reshade(tm, profile="novikov", t_peak=12000.0)
+    movie = hotspot_from_transfer(tm, HotspotConfig(sigma=0.4))
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+import json
+
+import numpy as np
+
+_FORMAT_VERSION = 1
+
+
+@dataclasses.dataclass
+class TransferMap:
+    """Per-pixel geodesic crossing invariants + the geometry metadata the
+    shading algebra needs.  All arrays are host numpy; reshading moves
+    them to device once per program."""
+
+    status: np.ndarray          # (H, W) int32 engine status (3 = disk hit)
+    hit_q: np.ndarray           # (H, W, 4) Kerr-Schild crossing position
+    hit_p: np.ndarray           # (H, W, 4) crossing covariant momentum
+    image: np.ndarray           # (H, W, 3) uint8 base render (bg + shadow)
+    params: np.ndarray          # (3,) mass, spin, charge
+    obs_pos: np.ndarray         # (3,) camera position (look-at the hole)
+    fov: float                  # radians
+    r_in: float                 # disk annulus (the capture geometry —
+    r_out: float                # NOT reshadable; bake at trace time)
+    prograde: bool              # emitter flow direction at trace time
+    meta: dict                  # shading defaults + provenance (json-able)
+
+    @property
+    def shape(self):
+        return self.status.shape
+
+    # -- construction -----------------------------------------------------
+
+    @classmethod
+    def from_result(cls, result, scene, disk):
+        """Capture a render_disk RenderResult's invariants.
+
+        `scene`/`disk` are the configs the render ran with; their shading
+        knobs become the reshade defaults recorded in `meta`."""
+        from .. import __version__
+        from ..engine.disk import disk_observer_position
+
+        r_in = disk.inner_edge(scene.bh_mass, scene.spin)
+        meta = {
+            "format": _FORMAT_VERSION,
+            "grtrace": __version__,
+            # shading defaults (reshade(None) -> these)
+            "t_peak": float(disk.t_peak),
+            "exposure": float(disk.exposure),
+            "profile": disk.profile,
+            "bfield": disk.bfield,
+            "emissivity_index": float(disk.emissivity_index),
+            # provenance (informational)
+            "steps": int(scene.integrator.steps),
+            "delta": float(scene.integrator.delta),
+            "order": int(scene.integrator.order),
+            "backend": scene.integrator.backend,
+            "dtype": scene.integrator.dtype,
+        }
+        return cls(
+            status=np.asarray(result.device("status"), np.int32),
+            hit_q=np.asarray(result.device("hit_q")),
+            hit_p=np.asarray(result.device("hit_p")),
+            image=np.asarray(result.device("image"), np.uint8),
+            params=np.array([scene.bh_mass, scene.spin, scene.charge],
+                            np.float64),
+            obs_pos=np.asarray(disk_observer_position(scene, disk),
+                               np.float64),
+            fov=float(scene.fov),
+            r_in=float(r_in),
+            r_out=float(disk.r_out),
+            prograde=bool(disk.prograde),
+            meta=meta,
+        )
+
+    # -- persistence --------------------------------------------------------
+
+    def save(self, path):
+        """One compressed .npz; scalars/meta ride a json sidecar array."""
+        scalars = {
+            "fov": self.fov, "r_in": self.r_in, "r_out": self.r_out,
+            "prograde": self.prograde, "meta": self.meta,
+        }
+        np.savez_compressed(
+            path, status=self.status, hit_q=self.hit_q, hit_p=self.hit_p,
+            image=self.image, params=self.params, obs_pos=self.obs_pos,
+            scalars=np.frombuffer(
+                json.dumps(scalars).encode(), dtype=np.uint8))
+
+    @classmethod
+    def load(cls, path):
+        with np.load(path) as z:
+            scalars = json.loads(bytes(z["scalars"]).decode())
+            if scalars["meta"].get("format", 0) > _FORMAT_VERSION:
+                raise ValueError(
+                    f"transfer map {path!r} written by a newer grtrace "
+                    f"(format {scalars['meta']['format']} > "
+                    f"{_FORMAT_VERSION})")
+            return cls(
+                status=z["status"], hit_q=z["hit_q"], hit_p=z["hit_p"],
+                image=z["image"], params=z["params"], obs_pos=z["obs_pos"],
+                fov=scalars["fov"], r_in=scalars["r_in"],
+                r_out=scalars["r_out"], prograde=scalars["prograde"],
+                meta=scalars["meta"])
+
+
+# ---------------------------------------------------------------------------
+# Reshading
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _reshade_program(height, width, profile, prograde, bfield):
+    """Build the jitted reshading program for one (shape, static-knobs)
+    combination.  Mirrors the shading tail of
+    engine.disk.render_pixels_disk exactly (same shade_disk +
+    polarization_fields calls on the same inputs), so reshading with the
+    trace-time knobs reproduces the original render."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..engine.disk import (STATUS_DISK, polarization_fields, shade_disk)
+    from ..physics.spacetime import METRICS, ks_radius
+
+    @jax.jit
+    def run(hit_q, hit_p, status, image, params, obs_pos, fov, r_in, r_out,
+            t_peak, exposure):
+        dtype = hit_q.dtype
+        n = height * width
+        hq = hit_q.reshape(n, 4)
+        hp = hit_p.reshape(n, 4)
+        disk_mask = status.reshape(n) == STATUS_DISK
+
+        r_obs_bl = ks_radius(obs_pos[0], obs_pos[1], obs_pos[2], params[1])
+        th_obs = jnp.arccos(jnp.clip(
+            obs_pos[2] / jnp.maximum(r_obs_bl, 1e-30), -1.0, 1.0))
+
+        g, rgb01 = shade_disk(hq, hp, params, r_obs_bl, r_in,
+                              prograde=prograde, t_peak=t_peak,
+                              exposure=exposure, theta_obs=th_obs,
+                              profile=profile, r_out=r_out)
+        disk_u8 = jnp.clip(rgb01 * 255.0 + 0.5, 0.0,
+                           255.0).astype(jnp.uint8)
+        out_img = jnp.where(disk_mask[:, None], disk_u8,
+                            image.reshape(n, 3)).reshape(height, width, 3)
+        out = {"image": out_img,
+               "redshift": g.reshape(height, width),
+               "disk_count": jnp.sum(disk_mask)}
+        if bfield is not None:
+            from ..physics.camera import (cartesian_ics_from_pixels,
+                                          pixel_grid_lookat)
+            pix = pixel_grid_lookat(obs_pos, fov, height, width,
+                                    dtype=dtype)
+            q0, p0, _ = cartesian_ics_from_pixels(
+                obs_pos, pix, params=params,
+                g_inv_fn=METRICS["KerrSchild"])
+            evpa, wgt, chk = polarization_fields(
+                hq, hp, q0.reshape(n, 4), p0.reshape(n, 4), obs_pos, fov,
+                height, width, params, prograde, bfield, disk_mask, dtype)
+            out |= {"evpa": evpa.reshape(height, width),
+                    "pol_weight": wgt.reshape(height, width),
+                    "pol_check": chk.reshape(height, width)}
+        return out
+
+    return run
+
+
+def reshade(tm: TransferMap, *, t_peak=None, exposure=None, profile=None,
+            prograde=None, bfield=None):
+    """Re-shade a transfer map under new disk-model knobs.
+
+    Any kwarg left None keeps the value the map was traced with
+    (`tm.meta` / `tm.prograde`); with all-None this reproduces the
+    original render's disk pixels.  `bfield` may differ from trace time —
+    the camera rays the EVPA screen-solve needs are recomputed from the
+    saved camera geometry (a deterministic function, no trace required).
+
+    Returns an engine.render.RenderResult carrying image / status / hit_q
+    / hit_p / redshift (and the polarization maps when bfield is set), so
+    engine.disk.save_disk_maps and engine.hotspot consume it like a fresh
+    render.  Note `prograde` flips only the emitter flow in the shading;
+    the annulus [r_in, r_out] was fixed at trace time.
+    """
+    import jax.numpy as jnp
+
+    from ..engine.render import RenderResult
+
+    t_peak = tm.meta["t_peak"] if t_peak is None else float(t_peak)
+    exposure = tm.meta["exposure"] if exposure is None else float(exposure)
+    profile = tm.meta["profile"] if profile is None else profile
+    prograde = tm.prograde if prograde is None else bool(prograde)
+    bfield = tm.meta.get("bfield") if bfield is None else (
+        None if bfield == "none" else bfield)
+
+    h, w = tm.shape
+    dtype = jnp.asarray(tm.hit_q).dtype
+    run = _reshade_program(h, w, profile, prograde, bfield)
+    out = run(jnp.asarray(tm.hit_q), jnp.asarray(tm.hit_p),
+              jnp.asarray(tm.status), jnp.asarray(tm.image),
+              jnp.asarray(tm.params, dtype), jnp.asarray(tm.obs_pos, dtype),
+              jnp.asarray(tm.fov, dtype), jnp.asarray(tm.r_in, dtype),
+              jnp.asarray(tm.r_out, dtype), jnp.asarray(t_peak, dtype),
+              jnp.asarray(exposure, dtype))
+    disk_count = int(out.pop("disk_count"))
+    dev = {"status": jnp.asarray(tm.status), "hit_q": jnp.asarray(tm.hit_q),
+           "hit_p": jnp.asarray(tm.hit_p)} | out
+    counts = {"disk": disk_count,
+              "total": int(h * w)}
+    return RenderResult(dev, counts)
+
+
+def hotspot_from_transfer(tm: TransferMap, hotspot=None, *,
+                          frames_per_chunk=None):
+    """Hot-spot flare movie + light curve from a saved transfer map —
+    the whole GRAVITY-style product without a single geodesic step.
+
+    The redshift map is recomputed from the saved crossings (it is a pure
+    function of hit_q/hit_p and the observer), then the movie is the same
+    fused shading engine.hotspot.hotspot_movie runs on a fresh render.
+    """
+    from ..engine.hotspot import hotspot_movie
+
+    res = reshade(tm)
+    return hotspot_movie(
+        res.device("image"), res.device("hit_q"), res.device("status"),
+        res.device("redshift"), tm.params, tm.r_in, tm.r_out, tm.prograde,
+        hotspot, frames_per_chunk=frames_per_chunk)
