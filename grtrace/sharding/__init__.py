@@ -1,1 +1,1 @@
-from . import mesh
+from . import grid, mesh
