@@ -134,6 +134,14 @@ def build_parser() -> argparse.ArgumentParser:
                         'Walker-Penrose EVPA maps (physics.polarization)')
     p.add_argument('--disk-retrograde', action='store_true',
                    help='Disk counter-rotates with the hole')
+    p.add_argument('--camera-omega', type=str, default=None,
+                   metavar='W|keplerian|zamo',
+                   help='Put the camera on a circular worldline with this '
+                        'coordinate angular velocity (exact GR aberration '
+                        '+ Doppler via the orthonormal camera tetrad); '
+                        "'keplerian' = the circular-geodesic rate at the "
+                        "camera radius, 'zamo' = the locally nonrotating "
+                        'observer')
     p.add_argument('--save-transfer', type=str, default=None, metavar='NPZ',
                    help='Persist the geodesic transfer map (per-pixel '
                         'crossing invariants) so the disk can be re-shaded '
@@ -161,13 +169,21 @@ def disk_from_args(args):
     if not getattr(args, 'disk', False):
         return None
     from ..engine.disk import DiskConfig
+    cam = getattr(args, 'camera_omega', None)
+    if cam is not None and cam not in ('keplerian', 'zamo'):
+        try:
+            cam = float(cam)
+        except ValueError:
+            raise SystemExit(f"--camera-omega must be a number, "
+                             f"'keplerian' or 'zamo', got {cam!r}")
     return DiskConfig(r_in=args.disk_r_in, r_out=args.disk_r_out,
                       prograde=not args.disk_retrograde,
                       t_peak=args.disk_temp, exposure=args.disk_exposure,
                       elevation_deg=args.disk_elevation,
                       profile=args.disk_profile,
                       emissivity_index=args.disk_emissivity,
-                      bfield=args.disk_bfield)
+                      bfield=args.disk_bfield,
+                      camera_omega=cam)
 
 
 def scene_from_args(args) -> SceneConfig:

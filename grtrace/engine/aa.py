@@ -223,16 +223,19 @@ def refine_edges_schwarzschild(cls, image, bg_array, obs_x, fov, mass,
 @partial(jax.jit,
          static_argnames=("height", "width", "steps", "samples", "k_edge",
                           "order", "backend", "flip_theta", "flip_phi",
-                          "has_background", "dtype", "prograde", "profile"))
+                          "has_background", "dtype", "prograde", "profile",
+                          "camera_moving"))
 def refine_edges_disk(cls, image, bg_array, obs_pos, fov, mass, spin,
                       charge, boundary_radius, steps, delta, omega,
                       r_in, r_out, t_peak, exposure,
                       patch_center_theta, patch_center_phi,
                       patch_size_theta, patch_size_phi,
+                      camera_omega=0.0,
                       *, height, width, samples=2, k_edge=None, order=2,
                       backend="xla", flip_theta=False, flip_phi=False,
                       has_background=True, dtype=jnp.float32,
-                      prograde=True, profile="shakura"):
+                      prograde=True, profile="shakura",
+                      camera_moving=False):
     """The accretion-disk twin: sub-rays ride the inclined look-at camera
     and disk._trace_shade_flat — the disk silhouette and its lensed
     far-side arc are the sharpest (most aliased) edges in the framework.
@@ -258,8 +261,15 @@ def refine_edges_disk(cls, image, bg_array, obs_pos, fov, mass, spin,
     i_f, j_f = _subpixel_indices(ii, jj, samples, dtype)
     pix = pixel_positions_fractional_lookat(obs_pos, fov, height, width,
                                             i_f, j_f, dtype=dtype)
-    q0, p0, _ = cartesian_ics_from_pixels(obs_pos, pix, params=params,
-                                          g_inv_fn=g_inv_fn)
+    camera_omega = jnp.asarray(camera_omega, dtype)
+    if camera_moving:
+        from ..physics.camera import boosted_ics_from_pixels
+        q0, p0, _ = boosted_ics_from_pixels(obs_pos, pix, params=params,
+                                            g_inv_fn=g_inv_fn,
+                                            omega_cam=camera_omega)
+    else:
+        q0, p0, _ = cartesian_ics_from_pixels(obs_pos, pix, params=params,
+                                              g_inv_fn=g_inv_fn)
     flat = _trace_shade_flat(
         q0.reshape(-1, 4), p0.reshape(-1, 4), bg_array, params, r_obs,
         r_obs_bl, th_obs, boundary_radius, steps, delta, omega, r_in,
@@ -267,6 +277,7 @@ def refine_edges_disk(cls, image, bg_array, obs_pos, fov, mass, spin,
         patch_size_theta, patch_size_phi, order=order, backend=backend,
         dtype=dtype, prograde=prograde, profile=profile,
         flip_theta=flip_theta, flip_phi=flip_phi,
-        has_background=has_background)
+        has_background=has_background,
+        omega_obs=camera_omega if camera_moving else None)
     return _scatter_averaged(image, idx, valid, flat["colors"], k_edge,
                              samples, height, width)

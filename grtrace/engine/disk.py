@@ -70,6 +70,14 @@ class DiskConfig:
     # shows only its lensed arcs).  The default gives the classic
     # foreground-band + far-side-arc view.
     elevation_deg: float = 12.0
+    # camera worldline: None = static observer; a float = circular
+    # worldline u = u^t (d_t + omega d_phi) with that coordinate angular
+    # velocity; 'keplerian' = the circular-geodesic rate at the camera's
+    # BL radius; 'zamo' = the zero-angular-momentum (locally nonrotating)
+    # observer.  Exact GR aberration + Doppler via the orthonormal camera
+    # tetrad (physics.camera.boosted_ics_from_pixels) and the Killing-
+    # constant receiver leg (physics.orbits.redshift_factor omega_obs).
+    camera_omega: "float | str | None" = None
 
     def __post_init__(self):
         if self.profile not in ("shakura", "novikov"):
@@ -80,6 +88,17 @@ class DiskConfig:
             raise ValueError(
                 f"DiskConfig.bfield must be None, 'vertical', 'toroidal' "
                 f"or 'radial', got {self.bfield!r}")
+        if isinstance(self.camera_omega, str) and \
+                self.camera_omega not in ("keplerian", "zamo"):
+            raise ValueError(
+                f"DiskConfig.camera_omega must be None, a float, "
+                f"'keplerian' or 'zamo', got {self.camera_omega!r}")
+        if self.bfield is not None and self.camera_omega is not None:
+            raise NotImplementedError(
+                "polarized imaging with a moving camera is not supported: "
+                "the EVPA screen solve measures the polarization angle in "
+                "the STATIC observer's screen basis (physics.polarization."
+                "observer_evpa); a boosted screen basis is future work")
 
     def inner_edge(self, mass, a):
         return (self.r_in if self.r_in is not None
@@ -222,13 +241,15 @@ def _nt_temp_table(r_in, r_out, params, prograde, dtype):
 
 def shade_disk(hit_q, hit_p, params, r_obs, r_in, *, prograde=True,
                t_peak=9000.0, exposure=2.5, theta_obs=jnp.pi / 2,
-               profile="shakura", r_out=14.0):
+               profile="shakura", r_out=14.0, omega_obs=0.0):
     """(N, 4) crossings -> (g, rgb01): per-ray redshift factor and shaded
     color.  Physics: I_obs = g^4 I_em (Liouville), blackbody color at the
     observed temperature g * T_em(r), tone-mapped 1 - exp(-exposure * I).
 
     `profile` picks the radial temperature law: Shakura-Sunyaev
     (Newtonian) or Novikov-Thorne (relativistic Page-Thorne flux).
+    `omega_obs` is the camera worldline's angular velocity (0 = static);
+    it changes only the receiver leg of the Killing-constant redshift.
     """
     x, y = hit_q[:, 1], hit_q[:, 2]
     energy = -hit_p[:, 0]
@@ -237,7 +258,8 @@ def shade_disk(hit_q, hit_p, params, r_obs, r_in, *, prograde=True,
     r_em = ks_radius(hit_q[:, 1], hit_q[:, 2], hit_q[:, 3], params[1])
 
     g = jax.vmap(lambda e, l, r: redshift_factor(
-        e, l, r, r_obs, params, prograde, theta_obs))(energy, l_z, r_em)
+        e, l, r, r_obs, params, prograde, theta_obs,
+        omega_obs))(energy, l_z, r_em)
 
     if profile == "novikov":
         r_grid, t_tab = _nt_temp_table(r_in, jnp.asarray(r_out, r_em.dtype),
@@ -295,6 +317,44 @@ def disk_observer_position(scene, disk):
                      scene.observer_distance * np.sin(elev)])
 
 
+def resolve_camera_omega(scene, disk):
+    """DiskConfig.camera_omega -> (moving, omega) host-side.
+
+    'keplerian' and 'zamo' resolve at the camera's BL (r, theta); an
+    explicit float passes through.  Any moving camera is validated
+    timelike: -(g_tt + 2 w g_tph + w^2 g_phph) > 0 at the camera event
+    (otherwise the requested angular velocity exceeds the local light
+    cone and no such observer exists — raise, don't clamp)."""
+    from ..physics.orbits import (_invert_bl_metric, kerr_g_inv,
+                                  keplerian_omega, zamo_omega)
+
+    spec = disk.camera_omega
+    if spec is None:
+        return False, 0.0
+    obs = disk_observer_position(scene, disk)
+    params = np.array([scene.bh_mass, scene.spin, scene.charge])
+    r_bl = float(ks_radius(obs[0], obs[1], obs[2], scene.spin))
+    th = float(np.arccos(np.clip(obs[2] / max(r_bl, 1e-30), -1.0, 1.0)))
+    if spec == "keplerian":
+        omega = float(keplerian_omega(r_bl, scene.bh_mass, scene.spin,
+                                      scene.charge, disk.prograde))
+    elif spec == "zamo":
+        omega = float(zamo_omega(r_bl, jnp.asarray(params, jnp.float64),
+                                 th))
+    else:
+        omega = float(spec)
+    q = jnp.array([0.0, r_bl, th, 0.0], jnp.float64)
+    g = np.asarray(_invert_bl_metric(kerr_g_inv(
+        q, jnp.asarray(params, jnp.float64))))
+    denom = -(g[0, 0] + 2.0 * omega * g[0, 3] + omega * omega * g[3, 3])
+    if not denom > 0.0:
+        raise ValueError(
+            f"camera_omega = {omega:.6g} is superluminal at the camera "
+            f"(BL r = {r_bl:.4g}, theta = {np.rad2deg(th):.3g} deg): the "
+            f"circular worldline is not timelike there")
+    return True, omega
+
+
 # ---------------------------------------------------------------------------
 # Full-frame disk render
 # ---------------------------------------------------------------------------
@@ -304,7 +364,7 @@ def _trace_shade_flat(q0f, p0f, bg_array, params, r_obs, r_obs_bl, th_obs,
                       t_peak, exposure, patch_center_theta, patch_center_phi,
                       patch_size_theta, patch_size_phi, *, order, backend,
                       dtype, prograde, profile, flip_theta, flip_phi,
-                      has_background):
+                      has_background, omega_obs=None):
     """The per-ray disk chain on FLAT (N, 4) phase points: integrate with
     crossing capture -> shade -> classify non-disk -> composite + opaque
     overlay.  Shared verbatim by the full-frame program and the adaptive
@@ -327,10 +387,13 @@ def _trace_shade_flat(q0f, p0f, bg_array, params, r_obs, r_obs_bl, th_obs,
                 r_in, r_out, order=order)
 
     disk_mask = status == STATUS_DISK
+    if omega_obs is None:
+        omega_obs = jnp.zeros((), dtype)
     g_fac, disk_rgb01 = shade_disk(hit_q, hit_p, params, r_obs_bl, r_in,
                                    prograde=prograde, t_peak=t_peak,
                                    exposure=exposure, theta_obs=th_obs,
-                                   profile=profile, r_out=r_out)
+                                   profile=profile, r_out=r_out,
+                                   omega_obs=omega_obs)
 
     rho, th, ph = cartesian_to_spherical(final_q[:, 1], final_q[:, 2],
                                          final_q[:, 3])
@@ -365,16 +428,18 @@ def _trace_shade_flat(q0f, p0f, bg_array, params, r_obs, r_obs_bl, th_obs,
 @partial(jax.jit,
          static_argnames=("height", "width", "steps", "order", "flip_theta",
                           "flip_phi", "has_background", "dtype", "prograde",
-                          "backend", "profile", "bfield"))
+                          "backend", "profile", "bfield", "camera_moving"))
 def render_pixels_disk(bg_array, obs_pos, fov, mass, spin, charge,
                        boundary_radius, steps, delta, omega,
                        r_in, r_out, t_peak, exposure,
                        patch_center_theta, patch_center_phi,
                        patch_size_theta, patch_size_phi,
+                       camera_omega=0.0,
                        *, height, width, order=2, flip_theta=False,
                        flip_phi=False, has_background=True,
                        dtype=jnp.float32, prograde=True, backend="xla",
-                       profile="shakura", bfield=None):
+                       profile="shakura", bfield=None,
+                       camera_moving=False):
     """One compiled program: camera -> disk integration -> shade + classify
     -> RGB.  Mirrors render_pixels_generic with the disk overlay on top;
     obs_pos is a full (3,) position (the disk camera may sit above the
@@ -397,8 +462,15 @@ def render_pixels_disk(bg_array, obs_pos, fov, mass, spin, charge,
     th_obs = jnp.arccos(jnp.clip(obs_pos[2] / jnp.maximum(r_obs_bl, 1e-30),
                                  -1.0, 1.0))
     pix = pixel_grid_lookat(obs_pos, fov, height, width, dtype=dtype)
-    q0, p0, alpha0 = cartesian_ics_from_pixels(obs_pos, pix, params=params,
-                                               g_inv_fn=g_inv_fn)
+    camera_omega = jnp.asarray(camera_omega, dtype)
+    if camera_moving:
+        from ..physics.camera import boosted_ics_from_pixels
+        q0, p0, alpha0 = boosted_ics_from_pixels(
+            obs_pos, pix, params=params, g_inv_fn=g_inv_fn,
+            omega_cam=camera_omega)
+    else:
+        q0, p0, alpha0 = cartesian_ics_from_pixels(
+            obs_pos, pix, params=params, g_inv_fn=g_inv_fn)
     n = height * width
     flat = _trace_shade_flat(
         q0.reshape(n, 4), p0.reshape(n, 4), bg_array, params, r_obs,
@@ -407,7 +479,8 @@ def render_pixels_disk(bg_array, obs_pos, fov, mass, spin, charge,
         patch_size_theta, patch_size_phi, order=order, backend=backend,
         dtype=dtype, prograde=prograde, profile=profile,
         flip_theta=flip_theta, flip_phi=flip_phi,
-        has_background=has_background)
+        has_background=has_background,
+        omega_obs=camera_omega if camera_moving else None)
     status, n_steps = flat["status"], flat["n_steps"]
     hit_q, hit_p = flat["hit_q"], flat["hit_p"]
     g_fac = flat["g_fac"]
@@ -625,6 +698,7 @@ def render_disk(scene, disk: DiskConfig = None, *, bg_array=None, dtype=None,
               else jnp.zeros((1, 1, 3), dtype=jnp.uint8))
     r_in = disk.inner_edge(scene.bh_mass, scene.spin)
     obs_pos = disk_observer_position(scene, disk)
+    camera_moving, camera_omega = resolve_camera_omega(scene, disk)
 
     with metrics.stage("device_pipeline"):
         out = render_pixels_disk(
@@ -646,11 +720,13 @@ def render_disk(scene, disk: DiskConfig = None, *, bg_array=None, dtype=None,
             jnp.asarray(scene.patch.center_phi, dtype),
             jnp.asarray(scene.patch.size_theta, dtype),
             jnp.asarray(scene.patch.size_phi, dtype),
+            jnp.asarray(camera_omega, dtype),
             height=h, width=w, order=integ.order,
             flip_theta=scene.patch.flip_theta,
             flip_phi=scene.patch.flip_phi,
             has_background=has_bg, dtype=dtype, prograde=disk.prograde,
-            backend=backend, profile=disk.profile, bfield=disk.bfield)
+            backend=backend, profile=disk.profile, bfield=disk.bfield,
+            camera_moving=camera_moving)
 
         if aa_samples:
             from .aa import refine_edges_disk
@@ -673,12 +749,14 @@ def render_disk(scene, disk: DiskConfig = None, *, bg_array=None, dtype=None,
                 jnp.asarray(scene.patch.center_phi, dtype),
                 jnp.asarray(scene.patch.size_theta, dtype),
                 jnp.asarray(scene.patch.size_phi, dtype),
+                jnp.asarray(camera_omega, dtype),
                 height=h, width=w, samples=int(aa_samples),
                 order=integ.order, backend=backend,
                 flip_theta=scene.patch.flip_theta,
                 flip_phi=scene.patch.flip_phi,
                 has_background=has_bg, dtype=dtype,
-                prograde=disk.prograde, profile=disk.profile)
+                prograde=disk.prograde, profile=disk.profile,
+                camera_moving=camera_moving)
 
         # the counts fetch is the device sync, so it belongs to the stage
         cv = np.asarray(out.pop("count_vec"))

@@ -179,13 +179,25 @@ def shade_hotspot_frames(image, psi, r_hit, g, valid, times, omega_s,
 
 
 def hotspot_movie(image, hit_q, status, redshift, params, r_in, r_out,
-                  prograde=True, hotspot=None, *, frames_per_chunk=None):
+                  prograde=True, hotspot=None, *, frames_per_chunk=None,
+                  camera_omega=0.0):
     """Movie + light curve from per-pixel invariants — no geodesic work.
 
     The inputs are exactly what a disk render (or a saved
     io.transfer.TransferMap) carries: the base image, the crossing events
     hit_q, the status mask and the redshift map, plus the annulus
     geometry.  Returns the render_hotspot dict minus the 'result' entry.
+
+    `camera_omega` is the camera worldline's angular velocity when the
+    render used a rotating camera (DiskConfig.camera_omega).  By
+    axisymmetry a rotating camera sees the whole scene rotate with it:
+    the pixel's disk point at observer time tau sits at BL azimuth
+    phi_bl + camera_omega tau while the blob sits at
+    phi0 + Omega_s (tau + t_bl), so the pattern speed in the frame-time
+    term becomes Omega_s - camera_omega; the per-pixel statics
+    (psi = phi_bl - Omega_s t_bl) and the light-travel delays are
+    unchanged (circular worldline — the camera-scene distances are
+    constant).
 
     `frames_per_chunk` bounds device memory for big frames x resolution
     products (the shading is elementwise, so chunking is exact).
@@ -209,14 +221,16 @@ def hotspot_movie(image, hit_q, status, redshift, params, r_in, r_out,
         jnp.asarray(params, hit_q.dtype), omega_s)
 
     image = jnp.asarray(image)
+    omega_pattern = omega_s - float(camera_omega)   # see docstring
     chunk = frames_per_chunk or hotspot.n_frames
     frames, flux, wg = [], [], []
     for k in range(0, hotspot.n_frames, chunk):
         ts = times[k:k + chunk]
         f, fl, w = shade_hotspot_frames(
             image, psi, r_hit, g, valid,
-            jnp.asarray(ts), omega_s, r_blob, hotspot.sigma, hotspot.phi0,
-            t_blob=hotspot.t_blob, amplitude=hotspot.amplitude)
+            jnp.asarray(ts), omega_pattern, r_blob, hotspot.sigma,
+            hotspot.phi0, t_blob=hotspot.t_blob,
+            amplitude=hotspot.amplitude)
         frames.append(np.asarray(f))
         flux.append(np.asarray(fl, np.float64))
         wg.append(np.asarray(w, np.float64))
@@ -245,19 +259,20 @@ def render_hotspot(scene, disk=None, hotspot=None, *, bg_array=None,
     weighted_g — (F,) flux-weighted mean redshift factor (Doppler tracker)
     period     — the blob's coordinate orbital period 2 pi / |Omega_s|
     """
-    from .disk import DiskConfig, render_disk
+    from .disk import DiskConfig, render_disk, resolve_camera_omega
 
     disk = disk if disk is not None else DiskConfig()
 
     result = render_disk(scene, disk, bg_array=bg_array, metrics=metrics)
 
     r_in = disk.inner_edge(scene.bh_mass, scene.spin)
+    _, camera_omega = resolve_camera_omega(scene, disk)
     out = hotspot_movie(
         result.device("image"), result.device("hit_q"),
         result.device("status"), result.device("redshift"),
         np.array([scene.bh_mass, scene.spin, scene.charge]),
         r_in, disk.r_out, disk.prograde, hotspot,
-        frames_per_chunk=frames_per_chunk)
+        frames_per_chunk=frames_per_chunk, camera_omega=camera_omega)
     out["result"] = result
     return out
 

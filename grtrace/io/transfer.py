@@ -77,9 +77,11 @@ class TransferMap:
         `scene`/`disk` are the configs the render ran with; their shading
         knobs become the reshade defaults recorded in `meta`."""
         from .. import __version__
-        from ..engine.disk import disk_observer_position
+        from ..engine.disk import (disk_observer_position,
+                                   resolve_camera_omega)
 
         r_in = disk.inner_edge(scene.bh_mass, scene.spin)
+        _, camera_omega = resolve_camera_omega(scene, disk)
         meta = {
             "format": _FORMAT_VERSION,
             "grtrace": __version__,
@@ -89,6 +91,10 @@ class TransferMap:
             "profile": disk.profile,
             "bfield": disk.bfield,
             "emissivity_index": float(disk.emissivity_index),
+            # camera worldline angular velocity baked into the traced
+            # rays (aberration is in hit_q/hit_p; reshading only needs
+            # the receiver leg of the redshift)
+            "camera_omega": float(camera_omega),
             # provenance (informational)
             "steps": int(scene.integrator.steps),
             "delta": float(scene.integrator.delta),
@@ -162,7 +168,7 @@ def _reshade_program(height, width, profile, prograde, bfield):
 
     @jax.jit
     def run(hit_q, hit_p, status, image, params, obs_pos, fov, r_in, r_out,
-            t_peak, exposure):
+            t_peak, exposure, omega_obs):
         dtype = hit_q.dtype
         n = height * width
         hq = hit_q.reshape(n, 4)
@@ -176,7 +182,8 @@ def _reshade_program(height, width, profile, prograde, bfield):
         g, rgb01 = shade_disk(hq, hp, params, r_obs_bl, r_in,
                               prograde=prograde, t_peak=t_peak,
                               exposure=exposure, theta_obs=th_obs,
-                              profile=profile, r_out=r_out)
+                              profile=profile, r_out=r_out,
+                              omega_obs=omega_obs)
         disk_u8 = jnp.clip(rgb01 * 255.0 + 0.5, 0.0,
                            255.0).astype(jnp.uint8)
         out_img = jnp.where(disk_mask[:, None], disk_u8,
@@ -229,6 +236,11 @@ def reshade(tm: TransferMap, *, t_peak=None, exposure=None, profile=None,
     prograde = tm.prograde if prograde is None else bool(prograde)
     bfield = tm.meta.get("bfield") if bfield is None else (
         None if bfield == "none" else bfield)
+    camera_omega = tm.meta.get("camera_omega", 0.0)
+    if bfield is not None and camera_omega != 0.0:
+        raise NotImplementedError(
+            "polarized reshading of a moving-camera transfer map is not "
+            "supported (see DiskConfig.camera_omega)")
 
     h, w = tm.shape
     dtype = jnp.asarray(tm.hit_q).dtype
@@ -238,7 +250,8 @@ def reshade(tm: TransferMap, *, t_peak=None, exposure=None, profile=None,
               jnp.asarray(tm.params, dtype), jnp.asarray(tm.obs_pos, dtype),
               jnp.asarray(tm.fov, dtype), jnp.asarray(tm.r_in, dtype),
               jnp.asarray(tm.r_out, dtype), jnp.asarray(t_peak, dtype),
-              jnp.asarray(exposure, dtype))
+              jnp.asarray(exposure, dtype),
+              jnp.asarray(camera_omega, dtype))
     disk_count = int(out.pop("disk_count"))
     dev = {"status": jnp.asarray(tm.status), "hit_q": jnp.asarray(tm.hit_q),
            "hit_p": jnp.asarray(tm.hit_p)} | out

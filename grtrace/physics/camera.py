@@ -341,6 +341,88 @@ def cartesian_ics_from_pixels(obs, pix, *, params, g_inv_fn):
     return q0, p0, alpha0
 
 
+def boosted_ics_from_pixels(obs, pix, *, params, g_inv_fn, omega_cam):
+    """Initial conditions for a camera on a circular worldline
+    u = u^t (partial_t + omega_cam partial_phi) — exact GR aberration and
+    Doppler through an orthonormal camera tetrad (no weak-field boosts).
+
+    Construction, all at the camera event on the Cartesian chart:
+      1. covariant metric g = inv(g_inv) (one 4x4);
+      2. e0 = the camera 4-velocity (1, -omega y, omega x, 0)/norm;
+      3. {e1, e2, e3} = Gram-Schmidt of the look-at frame's (axis,
+         right, up) coordinate vectors against e0 under g — an
+         orthonormal triad of the camera's local rest space.  The
+         aberration is NOT inserted by hand: equal pixel angles in this
+         rest frame simply subtend different coordinate directions when
+         the frame moves, and the compression of the sky toward the
+         motion comes out of the tracing;
+      4. pixel (c_ax, c_r, c_up) image-plane coefficients give the unit
+         rest-frame direction d = sum c_i e_i / |c|, and the (past-
+         directed, scene-ward) photon momentum is p = d - e0 — null by
+         construction (g(d,d)=1, g(d,e0)=0, g(e0,e0)=-1), normalized to
+         unit camera-frame frequency |p.u| = 1.
+
+    omega_cam = 0 reproduces cartesian_ics_from_pixels' pixel->direction
+    map exactly in Schwarzschild (the reference's sqrt(1-2M/r) radial
+    covector scaling IS the static-tetrad map; pinned in
+    tests/test_boosted_camera.py) and the exact static tetrad in Kerr.
+    Returns (q0, p0, alpha0) shaped like cartesian_ics_from_pixels.
+    """
+    dtype = pix.dtype
+    obs = jnp.asarray(obs, dtype)
+    params_arr = jnp.asarray(params, dtype)
+
+    shape = pix.shape[:-1]
+    q0 = jnp.concatenate([jnp.zeros(shape + (1,), dtype),
+                          jnp.broadcast_to(obs, shape + (3,))], axis=-1)
+
+    g = jnp.linalg.inv(g_inv_fn(jnp.concatenate(
+        [jnp.zeros((1,), dtype), obs]), params_arr))
+
+    def dot(a, b):
+        return a @ g @ b
+
+    v0 = jnp.concatenate([jnp.ones((1,), dtype),
+                          omega_cam * jnp.stack([-obs[1], obs[0],
+                                                 jnp.zeros((), dtype)])])
+    e0 = v0 / jnp.sqrt(jnp.maximum(-dot(v0, v0), 1e-30))
+
+    d_norm = jnp.linalg.norm(obs)
+    axis = -obs / d_norm
+    z_hat = jnp.array([0.0, 0.0, 1.0], dtype)
+    r_raw = jnp.cross(axis, z_hat)
+    r_nrm = jnp.linalg.norm(r_raw)
+    right = jnp.where(r_nrm > 1e-6, r_raw / jnp.maximum(r_nrm, 1e-30),
+                      jnp.array([0.0, 1.0, 0.0], dtype))
+    up = jnp.cross(right, axis)
+
+    def spatial4(v):
+        return jnp.concatenate([jnp.zeros((1,), dtype), v])
+
+    triad = []
+    for v in (spatial4(axis), spatial4(right), spatial4(up)):
+        w = v + dot(v, e0) * e0              # project out e0 (g(e0,e0)=-1)
+        for e in triad:
+            w = w - dot(v, e) * e
+        triad.append(w / jnp.sqrt(jnp.maximum(dot(w, w), 1e-30)))
+    e1, e2, e3 = triad
+
+    # image-plane coefficients of each pixel in the look-at frame
+    rel = pix - obs
+    c_ax = rel @ axis
+    c_r = rel @ right
+    c_up = rel @ up
+    c = jnp.stack([c_ax, c_r, c_up], axis=-1)
+    c = c / jnp.linalg.norm(c, axis=-1, keepdims=True)
+
+    d = (c[..., 0:1] * e1 + c[..., 1:2] * e2 + c[..., 2:3] * e3)
+    p_up = d - e0                                   # contravariant, null
+    p0 = p_up @ g.T                                 # lower: p_mu = g_mn p^n
+
+    alpha0 = jnp.arccos(jnp.clip(c[..., 0], -1.0, 1.0))
+    return q0, p0, alpha0
+
+
 def pixel_positions_for_indices(obs_pos, fov, height, width, flat_idx,
                                 dtype=jnp.float32):
     """Pixel positions for a slice of flat indices (i*W + j).

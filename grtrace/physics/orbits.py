@@ -112,6 +112,30 @@ def static_u_t(r, params, theta=jnp.pi / 2):
     return 1.0 / jnp.sqrt(jnp.maximum(-g[0, 0], 1e-30))
 
 
+def rotating_u_t(r, params, theta=jnp.pi / 2, omega=0.0):
+    """u^t of the rotating observer u = u^t (partial_t + omega partial_phi)
+    at BL (r, theta) — a static observer when omega = 0, a circular-orbit
+    camera at any omega for which the worldline stays timelike
+    (-(g_tt + 2 omega g_tph + omega^2 g_phph) > 0; the sqrt is clamped,
+    callers validate the regime)."""
+    zero = jnp.zeros_like(r)
+    q = jnp.stack([zero, r, jnp.broadcast_to(theta, jnp.shape(r)), zero])
+    g = _invert_bl_metric(kerr_g_inv(q, params))
+    denom = -(g[0, 0] + 2.0 * omega * g[0, 3] + omega * omega * g[3, 3])
+    return 1.0 / jnp.sqrt(jnp.maximum(denom, 1e-30))
+
+
+def zamo_omega(r, params, theta=jnp.pi / 2):
+    """Angular velocity omega = -g_tph / g_phph of the zero-angular-
+    momentum observer (ZAMO) at BL (r, theta) — the locally nonrotating
+    frame dragged by the hole; the physically preferred 'hovering' camera
+    in Kerr (reduces to static in Schwarzschild where g_tph = 0)."""
+    zero = jnp.zeros_like(r)
+    q = jnp.stack([zero, r, jnp.broadcast_to(theta, jnp.shape(r)), zero])
+    g = _invert_bl_metric(kerr_g_inv(q, params))
+    return -g[0, 3] / g[3, 3]
+
+
 def circular_e_lz(r, params, prograde=True):
     """Specific energy E = -u_t and axial angular momentum L = u_phi of
     the circular equatorial geodesic at BL radius r — the covariant
@@ -176,16 +200,22 @@ def page_thorne_flux(r_grid, params, prograde=True):
 
 
 def redshift_factor(energy, l_z, r_em, r_obs, params, prograde=True,
-                    theta_obs=jnp.pi / 2):
+                    theta_obs=jnp.pi / 2, omega_obs=0.0):
     """g = nu_obs / nu_em for a photon with conserved (E = -p_t, L_z)
     emitted by a circular equatorial geodesic at r_em and received by the
-    static observer at r_obs.
+    observer u_obs = u^t (partial_t + omega_obs partial_phi) at
+    (r_obs, theta_obs) — static by default (omega_obs = 0), a rotating /
+    orbiting camera otherwise.
 
-    nu ~ -p.u;  emitter: -p.u_em = u^t (E - Omega L_z);  observer:
-    -p.u_obs = E u_obs^t.  Both Doppler beaming (through Omega L_z) and
-    gravitational redshift (through the u^t factors) are in here — no
-    separate treatment needed.
+    nu ~ -p.u with the Killing charges only:  emitter
+    -p.u_em = u^t (E - Omega L_z);  observer
+    -p.u_obs = u_obs^t (E - omega_obs L_z).  Both Doppler beaming
+    (through the Omega L_z terms) and gravitational redshift (through
+    the u^t factors) are in here — no separate treatment needed.  The
+    expression is homogeneous of degree zero in (E, L_z), so the
+    past-directed tracing convention cancels.
     """
     u_t_em, omega = circular_u_t(r_em, params, prograde)
-    u_t_obs = static_u_t(r_obs, params, theta_obs)
-    return (energy * u_t_obs) / (u_t_em * (energy - omega * l_z))
+    u_t_obs = rotating_u_t(r_obs, params, theta_obs, omega_obs)
+    return ((energy - omega_obs * l_z) * u_t_obs) / (
+        u_t_em * (energy - omega * l_z))
