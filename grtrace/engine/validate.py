@@ -53,15 +53,15 @@ def _pixel_positions(rho_px, psi):
     return np.stack([x, y, z], axis=-1)
 
 
-def bisect_boundary(escape_fn, lo, hi, rounds=3, k=17):
+def bisect_boundary(escape_fn, lo, hi, rounds=3, k=17, n_psi=N_PSI):
     """Per-azimuth radial bisection of the capture->escape transition.
 
     escape_fn((P, K) pixel radii) -> (P, K) bool.  Returns (midpoints (P,),
     max bracket width) — sub-pixel boundary positions, far sharper than
     counting mask pixels.
     """
-    lo = np.full(N_PSI, float(lo))
-    hi = np.full(N_PSI, float(hi))
+    lo = np.full(n_psi, float(lo))
+    hi = np.full(n_psi, float(hi))
     for _ in range(rounds):
         rhos = np.linspace(lo, hi, k, axis=-1)           # (P, K)
         esc = np.asarray(escape_fn(rhos))
@@ -69,7 +69,7 @@ def bisect_boundary(escape_fn, lo, hi, rounds=3, k=17):
             raise ValueError("bisection bracket does not straddle the "
                              "shadow boundary")
         first = esc.argmax(axis=1)                       # first escaped idx
-        idx = np.arange(N_PSI)
+        idx = np.arange(n_psi)
         lo = rhos[idx, first - 1]
         hi = rhos[idx, first]
     return 0.5 * (lo + hi), float((hi - lo).max())
@@ -87,7 +87,7 @@ def schwarzschild_analytic_rho(mass=1.0):
     return tan_cam * PLANE_D / PLANE_W * SIZE
 
 
-def bardeen_escapes(rhos, spin, charge=0.0):
+def bardeen_escapes(rhos, spin, charge=0.0, psis=None):
     """Analytic escape predicate for camera rays at the given pixel radii:
     each ray's conserved (xi, eta) = (L_z/E, Q/E^2) follows in closed form
     from its initial covector; the backward ray escapes iff the Bardeen
@@ -97,8 +97,10 @@ def bardeen_escapes(rhos, spin, charge=0.0):
     sees exactly the rays the renderer shoots."""
     from ..physics.camera import cartesian_ics_from_pixels
     from ..physics.spacetime import kerr_schild_g_inv
+    if psis is None:
+        psis = PSIS
     params = jnp.asarray([1.0, spin, charge])
-    pix = jnp.asarray(_pixel_positions(rhos, PSIS[:, None]))
+    pix = jnp.asarray(_pixel_positions(rhos, np.asarray(psis)[:, None]))
     _, p0, _ = cartesian_ics_from_pixels(
         jnp.asarray([R0, 0.0, 0.0]), pix, params=params,
         g_inv_fn=kerr_schild_g_inv)

@@ -320,9 +320,17 @@ def cartesian_ics_from_pixels(obs, pix, *, params, g_inv_fn):
     # camera scales the radial covector component by sqrt(1 - 2M/r)
     # (utils.py:179-186); the covector transform of
     # (n_r sqrt(f), n_th r, n_ph r) to Cartesian is exactly
-    # n + (sqrt(f) - 1)(n . rhat) rhat.  Keeping this makes the pixel ->
-    # viewing-angle map — hence the apparent shadow size — identical across
-    # the spherical and Cartesian chart cameras.
+    # n + (sqrt(f) - 1)(n . rhat) rhat.  NOTE this reproduces the
+    # spherical camera's covector COMPONENTS, not its physical
+    # pixel -> viewing-angle map: the Kerr-Schild chart's radial covector
+    # differs from the Schwarzschild chart's by (2 M r / Delta) p_t
+    # (the dt-shift of the chart map), so the two cameras shoot slightly
+    # different bundles — an O(2M/r_obs) apparent-size gauge (at the
+    # headline r_obs = 30 the critical curve sits at 22.63 vs 24.16 px
+    # per 256; both conventions are exactly self-consistent within their
+    # chart and each is pinned against its own closed form:
+    # tests/test_shadow_analytic.py arcsin vs Bardeen rows).  The exact
+    # static-tetrad map is available via boosted_ics_from_pixels(omega=0).
     params_arr = jnp.asarray(params, dtype)
     r_obs = jnp.linalg.norm(obs)
     rhat = obs / r_obs
