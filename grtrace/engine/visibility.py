@@ -1,0 +1,125 @@
+"""Interferometric visibilities: the u-v-plane observables of a render.
+
+Radio interferometers (the EHT) never see the image — they sample its
+2-D Fourier transform, the complex visibility V(u, v), at baselines
+u, v measured in wavelengths.  This module turns any grtrace render into
+those observables in one fused device program (jnp.fft.fft2 — FFTs map
+straight onto the accelerator):
+
+  * the normalized visibility amplitude map |V(u, v)| (V(0,0) = 1),
+  * the azimuthally averaged radial profile |V|(b) vs baseline length,
+  * the first-null baseline, the classic ring-diameter estimator: an
+    infinitesimally thin ring of angular diameter theta_d has
+    V(b) = J0(pi theta_d b), first null at b = j01/(pi theta_d),
+    j01 = 2.4048 — so theta_d = j01/(pi b_null) (EHT 2019 Paper IV's
+    crest-line logic).  Validated in tests/test_visibility.py against a
+    synthetic thin ring and a Gaussian (whose visibility is Gaussian).
+
+Angular scale.  The camera sits at r_obs (30 M by default), not at
+infinity; pixel angles are camera angles.  For physical baselines the
+CLI converts with theta = alpha_pixel * (M_geom / D): the O(M/r_obs)
+difference between the camera angle and the asymptotic angle is ~3% at
+the headline scene and is quoted, not hidden (metrics carry the raw
+per-radian baselines too).
+
+No reference counterpart: the reference produces images only.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+J01 = 2.404825557695773        # first zero of the Bessel J0
+
+
+def _luminance(image):
+    """(H, W [,3]) uint8/float -> (H, W) float64 intensity (Rec.601)."""
+    img = np.asarray(image, np.float64)
+    if img.ndim == 3:
+        img = img @ np.array([0.299, 0.587, 0.114])
+    return img
+
+
+def visibility_map(image, pixel_rad, pad=4):
+    """|V(u, v)| of an image with square pixels of `pixel_rad` radians.
+
+    Returns (amp (pH, pW) with the zero baseline at the center, u (pW,),
+    v (pH,) baselines in wavelengths (= cycles per radian)).  Computed
+    on device (jnp.fft.fft2) in one jit; output is host numpy.  `pad`
+    zero-pads the image by that factor — padding adds no information but
+    interpolates the u-v plane, sharpening null localization (the
+    frequency resolution of the raw FFT is 1 cycle per field of view).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    lum = _luminance(image)
+    h, w = lum.shape
+    ph, pw = int(pad) * h, int(pad) * w
+
+    @jax.jit
+    def run(x):
+        vis = jnp.fft.fft2(x, s=(ph, pw))
+        amp = jnp.abs(vis) / jnp.maximum(jnp.abs(vis[0, 0]), 1e-30)
+        return jnp.fft.fftshift(amp)
+
+    amp = np.asarray(run(jnp.asarray(lum)))
+    u = np.fft.fftshift(np.fft.fftfreq(pw, d=pixel_rad))
+    v = np.fft.fftshift(np.fft.fftfreq(ph, d=pixel_rad))
+    return amp, u, v
+
+
+def radial_profile(amp, u, v, n_bins=None, b_max=None):
+    """Azimuthal average of |V|: (baseline (B,), mean amp (B,)).
+
+    `b_max` crops the profile (the physical structure usually lives at a
+    small fraction of the Nyquist baseline)."""
+    uu, vv = np.meshgrid(u, v)
+    b = np.hypot(uu, vv).ravel()
+    a = np.asarray(amp).ravel()
+    if b_max is None:
+        b_max = min(u.max(), v.max())
+    if n_bins is None:
+        n_bins = min(len(u), len(v)) // 2
+    edges = np.linspace(0.0, b_max, n_bins + 1)
+    idx = np.clip(np.digitize(b, edges) - 1, 0, n_bins - 1)
+    keep = b <= b_max
+    sums = np.bincount(idx[keep], weights=a[keep], minlength=n_bins)
+    cnts = np.bincount(idx[keep], minlength=n_bins)
+    centers = 0.5 * (edges[1:] + edges[:-1])
+    # drop empty bins (bin width below the frequency-grid spacing) —
+    # keeping them as zeros would fabricate visibility nulls
+    filled = cnts > 0
+    return centers[filled], sums[filled] / cnts[filled]
+
+
+def first_null(baselines, amps, prominence=0.005, depth=0.25):
+    """Baseline of the first SIGNIFICANT local minimum of |V|(b)
+    (parabolic sub-bin refine).
+
+    Significant = the minimum is deep (a[k] < `depth`: a true null dips
+    toward zero) AND the profile rebounds by at least `prominence` (in
+    V(0) = 1 units) afterwards — together these reject both the sparse-
+    bin ripple near V ~ 1 and the numerical noise of a null-free (e.g.
+    Gaussian) tail.  Returns np.nan when no such null exists in the
+    sampled range."""
+    a = np.asarray(amps)
+    for k in range(1, len(a) - 1):
+        if a[k] <= a[k - 1] and a[k] < a[k + 1]:
+            if a[k] >= depth:
+                continue
+            rebound = a[k + 1:min(k + 1 + max(3, len(a) // 20),
+                                  len(a))].max() - a[k]
+            if rebound < prominence:
+                continue
+            denom = a[k - 1] - 2.0 * a[k] + a[k + 1]
+            shift = 0.5 * (a[k - 1] - a[k + 1]) / denom if denom != 0 \
+                else 0.0
+            db = 0.5 * (baselines[k + 1] - baselines[k - 1])
+            return float(baselines[k] + shift * db)
+    return float("nan")
+
+
+def ring_diameter_from_null(b_null):
+    """Thin-ring estimator: angular diameter (radians) from the first
+    visibility null, theta_d = j01 / (pi b_null)."""
+    return J01 / (np.pi * b_null)
