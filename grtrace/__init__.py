@@ -13,7 +13,7 @@ from .engine.render import RenderResult, render, render_pixels
 from .engine.integrate import SchwarzschildIntegrator
 from .engine.disk import DiskConfig, render_disk
 
-__version__ = "0.3.0"
+__version__ = "0.4.0"
 
 
 def enable_compilation_cache(path=None):

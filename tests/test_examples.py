@@ -34,3 +34,15 @@ def test_einsteinpy_ray_example(tmp_path, monkeypatch):
     out = str(tmp_path / "ray.png")
     mod.main([out])
     assert os.path.exists(out)
+
+
+def test_observables_workflow(tmp_path):
+    """The trace-once/derive-everything workflow example runs end to end
+    (tiny scene) and drops every advertised product."""
+    mod = _load("observables_workflow")
+    out = mod.main(str(tmp_path), size=40, steps=2000, delta=0.1)
+    for f in ("scene.transfer.npz", "disk.png", "disk_nt.png",
+              "redshift_map.png", "shadow_overlay.png",
+              "shadow_metrics.json", "visibility_amp.png",
+              os.path.join("hotspot", "lightcurve.csv")):
+        assert os.path.exists(os.path.join(out, f)), f
