@@ -123,3 +123,58 @@ def ring_diameter_from_null(b_null):
     """Thin-ring estimator: angular diameter (radians) from the first
     visibility null, theta_d = j01 / (pi b_null)."""
     return J01 / (np.pi * b_null)
+
+
+def complex_visibility(image, pixel_rad, pad=4):
+    """Complex V(u, v) (fftshifted, V(0,0) = 1) + (u, v) axes — the
+    phase-bearing twin of visibility_map, for closure quantities."""
+    import jax
+    import jax.numpy as jnp
+
+    lum = _luminance(image)
+    h, w = lum.shape
+    ph, pw = int(pad) * h, int(pad) * w
+
+    @jax.jit
+    def run(x):
+        vis = jnp.fft.fft2(x, s=(ph, pw))
+        return jnp.fft.fftshift(vis / vis[0, 0])
+
+    vis = np.asarray(run(jnp.asarray(lum, jnp.complex64)))
+    u = np.fft.fftshift(np.fft.fftfreq(pw, d=pixel_rad))
+    v = np.fft.fftshift(np.fft.fftfreq(ph, d=pixel_rad))
+    return vis, u, v
+
+
+def closure_phases(vis, u, v, triangles):
+    """Closure phases (radians) on baseline triangles.
+
+    `triangles`: (T, 3, 2) array of (u, v) baselines per leg, with the
+    three legs summing to ~zero (a closed antenna triangle: AB + BC +
+    CA = 0).  Each leg's V is sampled at the nearest grid point; the
+    closure phase arg(V1 V2 V3) cancels any station-based phase (and,
+    exactly, any image translation — a shift multiplies V by
+    e^{-2 pi i (u dx + v dy)}, which telescopes to 1 around a closed
+    triangle; pinned in tests/test_visibility.py).
+
+    Returns (T,) phases in (-pi, pi].
+    """
+    tri = np.asarray(triangles, np.float64)
+    if tri.ndim != 3 or tri.shape[1:] != (3, 2):
+        raise ValueError(f"triangles must be (T, 3, 2), got {tri.shape}")
+
+    du = u[1] - u[0]
+    dv = v[1] - v[0]
+    ju = np.clip(np.round((tri[..., 0] - u[0]) / du).astype(int),
+                 0, len(u) - 1)
+    jv = np.clip(np.round((tri[..., 1] - v[0]) / dv).astype(int),
+                 0, len(v) - 1)
+    # closure must hold on the SNAPPED baselines — that is what makes
+    # the shift phase telescope exactly on the FFT lattice
+    snapped_sum = np.abs(u[ju].sum(axis=1)).max() + \
+        np.abs(v[jv].sum(axis=1)).max()
+    if snapped_sum > 1e-6 * max(u.max(), v.max()):
+        raise ValueError("triangle legs do not close on the u-v grid "
+                         "(snapped sum != 0)")
+    legs = np.asarray(vis)[jv, ju]                     # (T, 3)
+    return np.angle(legs.prod(axis=1))

@@ -53,6 +53,52 @@ def test_gaussian_visibility_is_gaussian():
     assert amp.max() == amp[np.argmin(np.abs(v)), np.argmin(np.abs(u))]
 
 
+def test_closure_phases_shift_invariant_and_symmetric():
+    """Closure phases: exactly zero (mod pi sign conventions) for a
+    point-symmetric source, and EXACTLY invariant under image
+    translation (the shift phase telescopes around a closed triangle) —
+    the property that makes them calibration-robust observables."""
+    from grtrace.engine.visibility import closure_phases, complex_visibility
+
+    n = 128
+    yy, xx = np.indices((n, n)) - (n - 1) / 2.0
+    rr = np.hypot(xx, yy)
+    ring = np.exp(-0.5 * ((rr - 20.0) / 1.5) ** 2)
+    asym = ring * (1.0 + 0.5 * np.tanh(xx / 10.0))   # break the symmetry
+
+    vis, u, v = complex_visibility(asym, PIX, pad=2)
+    du = u[1] - u[0]
+    # grid-aligned closed triangles
+    tris = []
+    for (a, b) in [((6, 2), (-2, 5)), ((10, 0), (0, 7)), ((3, 9), (4, -4))]:
+        l1 = (a[0] * du, a[1] * du)
+        l2 = (b[0] * du, b[1] * du)
+        l3 = (-(a[0] + b[0]) * du, -(a[1] + b[1]) * du)
+        tris.append([l1, l2, l3])
+    tris = np.array(tris)
+
+    ph = closure_phases(vis, u, v, tris)
+    assert np.abs(ph).max() > 1e-3                   # asymmetric: nonzero
+
+    shifted = np.roll(np.roll(asym, 9, axis=0), -13, axis=1)
+    vis_s, _, _ = complex_visibility(shifted, PIX, pad=2)
+    ph_s = closure_phases(vis_s, u, v, tris)
+    wrap = np.angle(np.exp(1j * (ph - ph_s)))
+    np.testing.assert_allclose(wrap, 0.0, atol=1e-5)
+
+    # point-symmetric source: V is real -> closure phases 0 or pi
+    vis_r, _, _ = complex_visibility(ring, PIX, pad=2)
+    ph_r = closure_phases(vis_r, u, v, tris)
+    assert np.abs(np.sin(ph_r)).max() < 1e-5
+
+    # non-closing triangle rejected
+    import pytest
+    bad = tris.copy()
+    bad[0, 2, 0] += 3 * du
+    with pytest.raises(ValueError, match="close"):
+        closure_phases(vis, u, v, bad)
+
+
 def test_cli_artifacts(tmp_path):
     from grtrace.cli import visibility as cli
 
@@ -65,3 +111,9 @@ def test_cli_artifacts(tmp_path):
                         delimiter=",", names=True)
     assert csv["visibility_amp"][0] > 0.5           # short-baseline ~ 1
     assert np.all(csv["visibility_amp"] <= 1.0 + 1e-9)
+    cph = np.genfromtxt(os.path.join(out, "closure_phases.csv"),
+                        delimiter=",", names=True)
+    assert cph.size == 24
+    assert "closure_rms_deg" in m
+    # the inclined disk is NOT point-symmetric: closure phases nonzero
+    assert np.abs(cph["closure_deg"]).max() > 0.5
