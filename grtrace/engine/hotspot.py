@@ -155,7 +155,9 @@ def shade_hotspot_frames(image, psi, r_hit, g, valid, times, omega_s,
     magnification is automatically included through the pixel count of
     each (possibly multiple) blob image.
 
-    Returns (frames (F, H, W, 3) uint8, flux (F,), weighted_g (F,)).
+    Returns (frames (F, H, W, 3) uint8, flux (F,), weighted_g (F,),
+    centroid (F, 2) — the flux-weighted image position in pixels about
+    the frame center, (column/right, row/up)).
     """
     dtype = psi.dtype
     times = jnp.asarray(times, dtype)
@@ -165,8 +167,18 @@ def shade_hotspot_frames(image, psi, r_hit, g, valid, times, omega_s,
     g4 = jnp.where(valid, g ** 4, 0.0)
     lum = w * g4[None]                                    # (F, H, W)
     flux = jnp.sum(lum, axis=(1, 2))
-    weighted_g = jnp.sum(lum * g[None], axis=(1, 2)) / jnp.maximum(
-        flux, jnp.asarray(1e-30, dtype))
+    safe = jnp.maximum(flux, jnp.asarray(1e-30, dtype))
+    weighted_g = jnp.sum(lum * g[None], axis=(1, 2)) / safe
+    # flux-weighted image centroid: GRAVITY's astrometric observable —
+    # the flare's apparent position wobbles on the sky as the blob (and
+    # its lensed secondary images) orbit.  Pixel units about the frame
+    # center; columns advance along camera-right, rows along camera-up.
+    h_px, w_px = psi.shape
+    ii = jnp.arange(h_px, dtype=dtype) - (h_px - 1) / 2.0
+    jj = jnp.arange(w_px, dtype=dtype) - (w_px - 1) / 2.0
+    cen_col = jnp.sum(lum * jj[None, None, :], axis=(1, 2)) / safe
+    cen_row = jnp.sum(lum * ii[None, :, None], axis=(1, 2)) / safe
+    centroid = jnp.stack([cen_col, cen_row], axis=-1)     # (F, 2)
 
     # overlay: blackbody color at the observed blob temperature, additive
     # glow with the disk's tone-map/gamma conventions (engine/disk.py)
@@ -175,7 +187,7 @@ def shade_hotspot_frames(image, psi, r_hit, g, valid, times, omega_s,
     glow = tone[..., None] * rgb[None] * 255.0
     frames = jnp.clip(image[None].astype(jnp.float32) + glow, 0.0,
                       255.0).astype(jnp.uint8)
-    return frames, flux, weighted_g
+    return frames, flux, weighted_g, centroid
 
 
 def hotspot_movie(image, hit_q, status, redshift, params, r_in, r_out,
@@ -223,10 +235,10 @@ def hotspot_movie(image, hit_q, status, redshift, params, r_in, r_out,
     image = jnp.asarray(image)
     omega_pattern = omega_s - float(camera_omega)   # see docstring
     chunk = frames_per_chunk or hotspot.n_frames
-    frames, flux, wg = [], [], []
+    frames, flux, wg, cen = [], [], [], []
     for k in range(0, hotspot.n_frames, chunk):
         ts = times[k:k + chunk]
-        f, fl, w = shade_hotspot_frames(
+        f, fl, w, c = shade_hotspot_frames(
             image, psi, r_hit, g, valid,
             jnp.asarray(ts), omega_pattern, r_blob, hotspot.sigma,
             hotspot.phi0, t_blob=hotspot.t_blob,
@@ -234,6 +246,7 @@ def hotspot_movie(image, hit_q, status, redshift, params, r_in, r_out,
         frames.append(np.asarray(f))
         flux.append(np.asarray(fl, np.float64))
         wg.append(np.asarray(w, np.float64))
+        cen.append(np.asarray(c, np.float64))
     flux = np.concatenate(flux)
     return {
         "frames": np.concatenate(frames),
@@ -241,6 +254,7 @@ def hotspot_movie(image, hit_q, status, redshift, params, r_in, r_out,
         "flux": flux,
         "flux_norm": flux / max(flux.max(), 1e-30),
         "weighted_g": np.concatenate(wg),
+        "centroid": np.concatenate(cen),
         "period": period,
         "omega": omega_s,
         "r_blob": r_blob,
@@ -282,8 +296,11 @@ def save_hotspot_artifacts(out, out_dir, gif=True):
 
     frames/frame_%04d.png — the movie
     hotspot.gif           — animated (optional)
-    lightcurve.csv        — tau, flux, flux_norm, weighted_g per frame
+    lightcurve.csv        — tau, flux, flux_norm, weighted_g, and the
+                            flux-weighted centroid (cx, cy px) per frame
     lightcurve.png        — the flare light curve with the Doppler tracker
+    astrometry.png        — the centroid track on the sky (GRAVITY's
+                            flare-orbit observable), time-colored
     """
     import os
 
@@ -301,10 +318,10 @@ def save_hotspot_artifacts(out, out_dir, gif=True):
                      append_images=pils[1:], duration=70, loop=0)
 
     rows = np.column_stack([out["times"], out["flux"], out["flux_norm"],
-                            out["weighted_g"]])
+                            out["weighted_g"], out["centroid"]])
     np.savetxt(os.path.join(out_dir, "lightcurve.csv"), rows, delimiter=",",
-               header="tau,flux,flux_norm,weighted_g", comments="",
-               fmt="%.8g")
+               header="tau,flux,flux_norm,weighted_g,centroid_x_px,"
+                      "centroid_y_px", comments="", fmt="%.8g")
 
     import matplotlib
     matplotlib.use("Agg")
@@ -325,5 +342,23 @@ def save_hotspot_artifacts(out, out_dir, gif=True):
     lines = ax.get_lines() + ax2.get_lines()[:1]
     ax.legend(lines, [ln.get_label() for ln in lines], loc="upper right")
     fig.savefig(os.path.join(out_dir, "lightcurve.png"), dpi=110,
+                bbox_inches="tight")
+    plt.close(fig)
+
+    # astrometric track (GRAVITY-style): centroid wobble on the sky,
+    # flux-sized markers time-colored over the movie
+    cen = out["centroid"]
+    fig, ax = plt.subplots(figsize=(5.4, 5))
+    sc = ax.scatter(cen[:, 0], cen[:, 1],
+                    c=out["times"] / out["period"],
+                    s=8.0 + 60.0 * out["flux_norm"], cmap="viridis")
+    ax.plot(cen[:, 0], cen[:, 1], color="gray", lw=0.5, alpha=0.6)
+    ax.set_xlabel("centroid offset, camera-right (px)")
+    ax.set_ylabel("centroid offset, camera-up (px)")
+    ax.set_title("flare centroid track (flux-weighted)")
+    ax.set_aspect("equal")
+    ax.invert_yaxis()       # image rows advance along up; match imshow
+    fig.colorbar(sc, ax=ax, label="observer time (periods)")
+    fig.savefig(os.path.join(out_dir, "astrometry.png"), dpi=110,
                 bbox_inches="tight")
     plt.close(fig)

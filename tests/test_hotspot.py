@@ -78,13 +78,15 @@ def test_lightcurve_periodicity(small_hotspot):
     ts = jnp.asarray(out["times"][:8])
     args = (res.device("image"), psi, r_hit, g, valid)
     kw = dict(t_blob=hs.t_blob, amplitude=hs.amplitude)
-    _, f0, g0 = shade_hotspot_frames(*args, ts, out["omega"],
-                                     out["r_blob"], hs.sigma, hs.phi0, **kw)
-    _, f1, g1 = shade_hotspot_frames(*args, ts + out["period"],
-                                     out["omega"], out["r_blob"], hs.sigma,
-                                     hs.phi0, **kw)
+    _, f0, g0, c0 = shade_hotspot_frames(*args, ts, out["omega"],
+                                         out["r_blob"], hs.sigma, hs.phi0,
+                                         **kw)
+    _, f1, g1, c1 = shade_hotspot_frames(*args, ts + out["period"],
+                                         out["omega"], out["r_blob"],
+                                         hs.sigma, hs.phi0, **kw)
     np.testing.assert_allclose(f0, f1, rtol=1e-9)
     np.testing.assert_allclose(g0, g1, rtol=1e-9)
+    np.testing.assert_allclose(c0, c1, rtol=1e-9, atol=1e-9)
 
 
 def test_flux_peaks_blueshifted(small_hotspot):
@@ -168,7 +170,7 @@ def test_frames_match_numpy_restatement(small_hotspot):
         res.device("hit_q"), res.device("status"), res.device("redshift"),
         params, out["omega"])
     tau = float(out["times"][int(np.argmax(out["flux"]))])
-    frames, flux, wg = shade_hotspot_frames(
+    frames, flux, wg, cen = shade_hotspot_frames(
         res.device("image"), psi, r_hit, g, valid, jnp.asarray([tau]),
         out["omega"], out["r_blob"], hs.sigma, hs.phi0,
         t_blob=hs.t_blob, amplitude=hs.amplitude)
@@ -182,6 +184,13 @@ def test_frames_match_numpy_restatement(small_hotspot):
     np.testing.assert_allclose(flux[0], lum.sum(), rtol=1e-12)
     np.testing.assert_allclose(wg[0], (lum * g_n).sum() / lum.sum(),
                                rtol=1e-12)
+    h_px, w_px = lum.shape
+    jj = np.arange(w_px) - (w_px - 1) / 2.0
+    ii = np.arange(h_px) - (h_px - 1) / 2.0
+    np.testing.assert_allclose(
+        np.asarray(cen)[0],
+        [(lum * jj[None, :]).sum() / lum.sum(),
+         (lum * ii[:, None]).sum() / lum.sum()], rtol=1e-12)
     assert int(np.asarray(frames).max()) <= 255
     # the glow brightens pixels near the blob and leaves the rest intact
     base = np.asarray(res.device("image")).astype(np.int32)
@@ -190,6 +199,30 @@ def test_frames_match_numpy_restatement(small_hotspot):
     cold = w < 1e-12
     assert (fr[hot] >= base[hot]).all() and (fr[hot] > base[hot]).any()
     np.testing.assert_array_equal(fr[cold], base[cold])
+
+
+def test_astrometric_track_wobbles_and_stays_on_disk(small_hotspot,
+                                                     tmp_path):
+    """The flux-weighted centroid (GRAVITY's observable) traces a real
+    track: nonzero wobble in both screen axes, bounded by the frame, and
+    written to the lightcurve CSV + astrometry plot."""
+    import os
+
+    from grtrace.engine.hotspot import save_hotspot_artifacts
+
+    out, *_ = small_hotspot
+    cen = out["centroid"]
+    h = out["frames"].shape[1]
+    assert cen.shape == (len(out["times"]), 2)
+    assert np.ptp(cen[:, 0]) > 0.5 and np.ptp(cen[:, 1]) > 0.5
+    assert np.abs(cen).max() < h / 2.0
+
+    save_hotspot_artifacts(out, str(tmp_path), gif=False)
+    assert os.path.exists(tmp_path / "astrometry.png")
+    rows = np.genfromtxt(tmp_path / "lightcurve.csv", delimiter=",",
+                         names=True)
+    np.testing.assert_allclose(rows["centroid_x_px"], cen[:, 0],
+                               rtol=1e-6)
 
 
 def test_movie_period_covers_full_cycle(small_hotspot):
@@ -211,7 +244,9 @@ def test_cli_artifacts(tmp_path):
               "--out-dir", str(out_dir), "--bench",
               "--out-json", str(tmp_path / "hs.json")])
     lc = np.genfromtxt(out_dir / "lightcurve.csv", delimiter=",", names=True)
-    assert set(lc.dtype.names) == {"tau", "flux", "flux_norm", "weighted_g"}
+    assert set(lc.dtype.names) == {"tau", "flux", "flux_norm",
+                                   "weighted_g", "centroid_x_px",
+                                   "centroid_y_px"}
     assert lc.shape == (6,)
     assert (out_dir / "hotspot.gif").exists()
     assert (out_dir / "lightcurve.png").exists()
