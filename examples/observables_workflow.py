@@ -77,9 +77,10 @@ def main(out_dir="/tmp/grtrace_workflow", size=192, steps=12_000,
 
     # 4. what an interferometer sees (M87* angular scale)
     print("visibilities...")
+    from grtrace.engine.visibility import camera_to_earth
     pixel_cam = 2.0 * np.tan(scene.fov / 2.0) / size
-    to_earth = (30.0 / np.sqrt(1 - 2.0 / 30.0)) * 6.5e9 * 1476.62504 / \
-        (16.8e6 * 3.0856775814913673e16)
+    to_earth = camera_to_earth(scene.observer_distance, scene.bh_mass,
+                               mass_msun=6.5e9, distance_mpc=16.8)
     amp, u, v = visibility_map(res.image, pixel_cam * to_earth)
     base, prof = radial_profile(amp, u, v, n_bins=400,
                                 b_max=min(u.max(), v.max()) / 4.0)

@@ -75,6 +75,16 @@ def main(argv=None):
     args = p.parse_args(argv)
     if (args.observed is None) == (args.synthesize is None):
         raise SystemExit("pass exactly one of --observed / --synthesize")
+    probe_spins = list(args.spins) + (
+        [args.synthesize[0]] if args.synthesize else [])
+    for a in probe_spins:
+        if a * a > 1.0:
+            raise SystemExit(f"naked singularity at spin {a}: need "
+                             "a^2 <= M^2")
+    probe_incl = list(args.inclinations) + (
+        [args.synthesize[1]] if args.synthesize else [])
+    if not all(0.0 <= i <= 90.0 for i in probe_incl):
+        raise SystemExit("inclinations must lie in [0, 90] degrees")
 
     import numpy as np
 

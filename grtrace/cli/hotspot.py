@@ -83,7 +83,8 @@ def main(argv=None):
         from ..io.transfer import TransferMap, hotspot_from_transfer, reshade
         tm = TransferMap.load(args.transfer)
         out = hotspot_from_transfer(tm, hs)
-        res = reshade(tm)           # for --bench's per-pixel inputs
+        if args.bench:              # per-pixel inputs only --bench needs
+            res = reshade(tm)
         mass, spin, charge = (float(v) for v in tm.params)
     else:
         scene = SceneConfig(

@@ -76,6 +76,16 @@ def main(argv=None):
     if args.save_transfer and disk_cfg is None:
         raise SystemExit("--save-transfer requires --disk (the transfer "
                          "map records disk-crossing invariants)")
+    if args.camera_omega is not None and disk_cfg is None:
+        raise SystemExit("--camera-omega requires --disk (the orbiting "
+                         "camera rides the disk pipeline)")
+    if args.save_transfer and args.aa:
+        raise SystemExit(
+            "--save-transfer with --aa is not supported: the transfer "
+            "map stores single-ray crossing invariants, so reshading "
+            "would replace the AA-averaged disk-edge pixels with "
+            "single-ray colors and break the bit-exact reshade "
+            "contract — save the transfer from a non-AA run")
     with trace(os.path.join(out, "jax_trace") if args.profile else None):
         if disk_cfg is not None:
             from ..engine.disk import render_disk

@@ -52,8 +52,8 @@ def main(argv=None):
     import numpy as np
 
     from ..engine.shadow import (analytic_boundary, numeric_boundary,
-                                 overlay_png, shadow_metrics)
-    from ..engine.validate import PLANE_D, PLANE_W, SIZE
+                                 overlay_png, px_to_alpha_deg,
+                                 shadow_metrics)
 
     os.makedirs(args.out_dir, exist_ok=True)
     psis, rho = analytic_boundary(args.spin, args.charge, args.azimuths)
@@ -61,7 +61,7 @@ def main(argv=None):
     metrics |= {"spin": args.spin, "charge": args.charge,
                 "azimuths": args.azimuths}
 
-    alpha_deg = np.degrees(np.arctan(rho / SIZE * PLANE_W / PLANE_D))
+    alpha_deg = px_to_alpha_deg(rho)
     cols = [psis, rho, alpha_deg]
     header = "psi_rad,rho_px,alpha_deg"
 

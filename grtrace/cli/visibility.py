@@ -22,10 +22,6 @@ import argparse
 import json
 import os
 
-# geometrized solar mass GM_sun/c^2 in meters, and meters per parsec
-M_SUN_M = 1476.62504
-PC_M = 3.0856775814913673e16
-
 
 def main(argv=None):
     p = argparse.ArgumentParser(
@@ -81,11 +77,10 @@ def main(argv=None):
             args.size, args.size))
 
     # camera-angle pixel scale, then the impact-parameter map to Earth
+    from ..engine.visibility import camera_to_earth
     pixel_cam = 2.0 * np.tan(np.radians(args.fov) / 2.0) / args.size
-    r0 = scene.observer_distance
-    to_earth = (r0 / np.sqrt(1.0 - 2.0 * scene.bh_mass / r0)
-                * args.mass_msun * M_SUN_M
-                / (args.distance_mpc * 1e6 * PC_M))
+    to_earth = camera_to_earth(scene.observer_distance, scene.bh_mass,
+                               args.mass_msun, args.distance_mpc)
     pixel_earth = pixel_cam * to_earth           # radians at Earth
     uas_per_px = np.degrees(pixel_earth) * 3.6e9
 

@@ -36,6 +36,14 @@ from .validate import (PLANE_D, PLANE_W, SIZE, bardeen_escapes,
                        bisect_boundary, schwarzschild_analytic_rho)
 
 
+def px_to_alpha_deg(rho_px):
+    """256-image pixel radius -> apparent camera angle (degrees), with
+    the renderer's image-plane geometry (one source of truth for the
+    metrics and the CLI CSV)."""
+    return np.degrees(np.arctan(np.asarray(rho_px) / SIZE
+                                * PLANE_W / PLANE_D))
+
+
 def analytic_boundary(spin, charge=0.0, n_psi=64, rounds=6):
     """(psis, rho_px): the critical curve in 256-image pixel radii at
     n_psi azimuths (psi = 0 along +y of the +x equatorial camera,
@@ -63,7 +71,7 @@ def shadow_metrics(psis, rho_px):
     mean_r = r_c.mean()
     delta_c = float(np.sqrt(((r_c - mean_r) ** 2).mean()) / mean_r)
 
-    alpha = np.degrees(np.arctan(rho_px / SIZE * PLANE_W / PLANE_D))
+    alpha = px_to_alpha_deg(rho_px)
     # the a = Q = 0 critical curve in the SAME (Kerr-Schild camera)
     # convention, for spin/charge-trend normalization.  NB this is the KS
     # chart's apparent size, not the spherical camera's arcsin value —

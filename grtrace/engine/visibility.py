@@ -29,6 +29,19 @@ from __future__ import annotations
 import numpy as np
 
 J01 = 2.404825557695773        # first zero of the Bessel J0
+M_SUN_M = 1476.62504           # geometrized solar mass GM_sun/c^2 (m)
+PC_M = 3.0856775814913673e16   # meters per parsec
+
+
+def camera_to_earth(r_obs, mass, mass_msun, distance_mpc):
+    """Camera-angle -> Earth-angle conversion factor.
+
+    The camera sits at r_obs (geometrized), not at infinity; a small
+    camera angle alpha maps to impact parameter b = alpha r_obs /
+    sqrt(1 - 2 mass / r_obs), which subtends b M_geom / D at Earth.
+    One source of truth for the CLI and the examples."""
+    return (r_obs / np.sqrt(1.0 - 2.0 * mass / r_obs)
+            * mass_msun * M_SUN_M / (distance_mpc * 1e6 * PC_M))
 
 
 def _luminance(image):

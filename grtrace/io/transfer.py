@@ -275,4 +275,5 @@ def hotspot_from_transfer(tm: TransferMap, hotspot=None, *,
     return hotspot_movie(
         res.device("image"), res.device("hit_q"), res.device("status"),
         res.device("redshift"), tm.params, tm.r_in, tm.r_out, tm.prograde,
-        hotspot, frames_per_chunk=frames_per_chunk)
+        hotspot, frames_per_chunk=frames_per_chunk,
+        camera_omega=tm.meta.get("camera_omega", 0.0))

@@ -251,3 +251,15 @@ def test_transfer_roundtrip_with_moving_camera(tmp_path):
                                   np.asarray(res.device("redshift")))
     with pytest.raises(NotImplementedError):
         reshade(tm, bfield="vertical")
+
+    # the hotspot path must carry the camera angular velocity too: the
+    # transfer-shaded movie equals the direct render_hotspot (which
+    # resolves camera_omega itself) frame for frame
+    from grtrace.engine.hotspot import HotspotConfig, render_hotspot
+    from grtrace.io.transfer import hotspot_from_transfer
+
+    hs = HotspotConfig(n_frames=4)
+    direct = render_hotspot(scene, disk, hs, bg_array=None)
+    via_tm = hotspot_from_transfer(tm, hs)
+    np.testing.assert_array_equal(via_tm["frames"], direct["frames"])
+    np.testing.assert_array_equal(via_tm["flux"], direct["flux"])
