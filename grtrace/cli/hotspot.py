@@ -46,6 +46,13 @@ def main(argv=None):
     p.add_argument('--frames', type=int, default=64)
     p.add_argument('--periods', type=float, default=1.0)
     p.add_argument('--no-gif', action='store_true')
+    p.add_argument('--mass-msun', type=float, default=None,
+                   help='black-hole mass in solar masses: adds physical '
+                        'time (minutes) to the light curve and the '
+                        'printed period')
+    p.add_argument('--preset', choices=('sgra', 'm87'), default=None,
+                   help='source preset (sets --mass-msun; sgra = the '
+                        'GRAVITY flare source)')
     p.add_argument('--transfer', type=str, default=None, metavar='NPZ',
                    help='shade the movie from a saved geodesic transfer '
                         'map (io.transfer) instead of tracing — all '
@@ -115,9 +122,19 @@ def main(argv=None):
             TransferMap.from_result(res, scene, disk).save(
                 args.save_transfer)
             print(f"transfer map -> {args.save_transfer}")
-    save_hotspot_artifacts(out, args.out_dir, gif=not args.no_gif)
-    print(f"blob r = {out['r_blob']:.4g} M, period = {out['period']:.5g} M, "
-          f"{args.frames} frames -> {args.out_dir}")
+    mass_msun = args.mass_msun
+    if args.preset and mass_msun is None:
+        from ..engine.visibility import PRESETS
+        mass_msun = PRESETS[args.preset]["mass_msun"]
+    save_hotspot_artifacts(out, args.out_dir, gif=not args.no_gif,
+                           mass_msun=mass_msun)
+    phys = ""
+    if mass_msun:
+        from ..engine.hotspot import T_SUN_S
+        phys = (f" = {out['period'] * mass_msun * T_SUN_S / 60.0:.1f} min"
+                f" at {mass_msun:.3g} M_sun")
+    print(f"blob r = {out['r_blob']:.4g} M, period = {out['period']:.5g} M"
+          f"{phys}, {args.frames} frames -> {args.out_dir}")
 
     if args.bench:
         import json

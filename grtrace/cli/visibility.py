@@ -41,10 +41,12 @@ def main(argv=None):
     p.add_argument('--no-disk', dest='disk', action='store_false')
     p.add_argument('--disk-elevation', type=float, default=12.0)
     p.add_argument('--disk-r-out', type=float, default=14.0)
-    p.add_argument('--mass-msun', type=float, default=6.5e9,
-                   help='black-hole mass (default: M87*)')
-    p.add_argument('--distance-mpc', type=float, default=16.8,
-                   help='distance (default: M87*)')
+    p.add_argument('--mass-msun', type=float, default=None,
+                   help='black-hole mass (default: the preset, M87*)')
+    p.add_argument('--distance-mpc', type=float, default=None,
+                   help='distance (default: the preset, M87*)')
+    p.add_argument('--preset', choices=('m87', 'sgra'), default='m87',
+                   help='source preset for mass/distance')
     p.add_argument('--out-dir', type=str, default='.')
     args = p.parse_args(argv)
 
@@ -77,10 +79,15 @@ def main(argv=None):
             args.size, args.size))
 
     # camera-angle pixel scale, then the impact-parameter map to Earth
-    from ..engine.visibility import camera_to_earth
+    from ..engine.visibility import PRESETS, camera_to_earth
+    preset = PRESETS[args.preset]
+    mass_msun = args.mass_msun if args.mass_msun is not None \
+        else preset["mass_msun"]
+    distance_mpc = args.distance_mpc if args.distance_mpc is not None \
+        else preset["distance_mpc"]
     pixel_cam = 2.0 * np.tan(np.radians(args.fov) / 2.0) / args.size
     to_earth = camera_to_earth(scene.observer_distance, scene.bh_mass,
-                               args.mass_msun, args.distance_mpc)
+                               mass_msun, distance_mpc)
     pixel_earth = pixel_cam * to_earth           # radians at Earth
     uas_per_px = np.degrees(pixel_earth) * 3.6e9
 
@@ -152,8 +159,9 @@ def main(argv=None):
                                if np.isfinite(b_null) else None),
         "ring_diameter_uas": (round(np.degrees(theta_d) * 3.6e9, 3)
                               if np.isfinite(theta_d) else None),
-        "mass_msun": args.mass_msun,
-        "distance_mpc": args.distance_mpc,
+        "mass_msun": mass_msun,
+        "distance_mpc": distance_mpc,
+        "preset": args.preset,
         "camera_to_earth_note": "camera angles mapped by the "
                                 "impact-parameter factor r0/sqrt(1-2M/r0)",
     }

@@ -62,6 +62,10 @@ from ..physics.orbits import keplerian_omega
 from ..physics.spacetime import _charge, ks_radius
 from .disk import STATUS_DISK, blackbody_rgb
 
+# geometrized-time unit: GM_sun/c^3 in seconds — multiply coordinate
+# times (in M) by mass_msun * T_SUN_S for seconds
+T_SUN_S = 4.925490947e-6
+
 
 @dataclasses.dataclass
 class HotspotConfig:
@@ -291,7 +295,7 @@ def render_hotspot(scene, disk=None, hotspot=None, *, bg_array=None,
     return out
 
 
-def save_hotspot_artifacts(out, out_dir, gif=True):
+def save_hotspot_artifacts(out, out_dir, gif=True, mass_msun=None):
     """Write the hot-spot science products:
 
     frames/frame_%04d.png — the movie
@@ -301,6 +305,10 @@ def save_hotspot_artifacts(out, out_dir, gif=True):
     lightcurve.png        — the flare light curve with the Doppler tracker
     astrometry.png        — the centroid track on the sky (GRAVITY's
                             flare-orbit observable), time-colored
+
+    `mass_msun` (optional) adds physical time: the light-curve x axis
+    gains a minutes scale and the title quotes the period in minutes
+    (coordinate time x mass_msun x GM_sun/c^3).
     """
     import os
 
@@ -337,8 +345,15 @@ def save_hotspot_artifacts(out, out_dir, gif=True):
     ax.set_xlabel("observer time (orbital periods)")
     ax.set_ylabel("normalized flux")
     ax2.set_ylabel("weighted redshift g")
-    ax.set_title(f"hot-spot light curve (r = {out['r_blob']:.3g} M, "
-                 f"P = {out['period']:.4g} M)")
+    title = (f"hot-spot light curve (r = {out['r_blob']:.3g} M, "
+             f"P = {out['period']:.4g} M")
+    if mass_msun:
+        p_min = out["period"] * mass_msun * T_SUN_S / 60.0
+        title += f" = {p_min:.1f} min at {mass_msun:.3g} M_sun"
+        sec = ax.secondary_xaxis(
+            -0.18, functions=(lambda t: t * p_min, lambda m: m / p_min))
+        sec.set_xlabel("observer time (minutes)")
+    ax.set_title(title + ")")
     lines = ax.get_lines() + ax2.get_lines()[:1]
     ax.legend(lines, [ln.get_label() for ln in lines], loc="upper right")
     fig.savefig(os.path.join(out_dir, "lightcurve.png"), dpi=110,

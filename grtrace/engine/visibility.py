@@ -32,6 +32,13 @@ J01 = 2.404825557695773        # first zero of the Bessel J0
 M_SUN_M = 1476.62504           # geometrized solar mass GM_sun/c^2 (m)
 PC_M = 3.0856775814913673e16   # meters per parsec
 
+# the two sources black-hole imaging actually targets (EHT 2019/2022;
+# GRAVITY 2018): mass in solar masses, distance in Mpc
+PRESETS = {
+    "m87": {"mass_msun": 6.5e9, "distance_mpc": 16.8},
+    "sgra": {"mass_msun": 4.297e6, "distance_mpc": 8.277e-3},
+}
+
 
 def camera_to_earth(r_obs, mass, mass_msun, distance_mpc):
     """Camera-angle -> Earth-angle conversion factor.

@@ -201,6 +201,25 @@ def test_frames_match_numpy_restatement(small_hotspot):
     np.testing.assert_array_equal(fr[cold], base[cold])
 
 
+def test_sgra_flare_period_matches_gravity_ballpark(small_hotspot,
+                                                    tmp_path):
+    """Physical units sanity: a blob near the Sgr A* ISCO orbits in tens
+    of minutes (GRAVITY 2018 observed ~30-50 min centroid loops), and
+    the mass_msun plotting path runs."""
+    from grtrace.engine.hotspot import T_SUN_S, save_hotspot_artifacts
+    from grtrace.physics.orbits import keplerian_omega
+
+    om = float(keplerian_omega(4.0, 1.0, 0.9))
+    p_min = 2.0 * np.pi / om * 4.297e6 * T_SUN_S / 60.0
+    assert 15.0 < p_min < 45.0
+
+    out, *_ = small_hotspot
+    save_hotspot_artifacts(out, str(tmp_path), gif=False,
+                           mass_msun=4.297e6)
+    import os
+    assert os.path.exists(tmp_path / "lightcurve.png")
+
+
 def test_astrometric_track_wobbles_and_stays_on_disk(small_hotspot,
                                                      tmp_path):
     """The flux-weighted centroid (GRAVITY's observable) traces a real
