@@ -53,6 +53,11 @@ def main(argv=None):
     p.add_argument('--disk-elevation', type=float, default=12.0,
                    help='camera elevation above the disk plane (deg)')
     p.add_argument('--disk-r-out', type=float, default=14.0)
+    p.add_argument('--camera-omega', type=str, default=None,
+                   metavar='W|keplerian|zamo',
+                   help='orbit with a camera on a circular worldline '
+                        '(exact tetrad aberration + Doppler; disk mode '
+                        'only — see cli.main)')
     p.add_argument('--disk-profile', choices=('shakura', 'novikov'),
                    default='shakura',
                    help='radial temperature law (engine.disk)')
@@ -129,6 +134,22 @@ def main(argv=None):
         from ..physics.orbits import isco_radius
         from ..sharding.mesh import render_disk_sharded
         disk_r_in = float(isco_radius(args.bh_mass, args.spin))
+    cam_moving, cam_omega = False, 0.0
+    if args.camera_omega is not None:
+        if not args.disk:
+            raise SystemExit("--camera-omega requires --disk")
+        from ..engine.disk import DiskConfig, resolve_camera_omega
+        spec = args.camera_omega
+        if spec not in ('keplerian', 'zamo'):
+            try:
+                spec = float(spec)
+            except ValueError:
+                raise SystemExit(f"--camera-omega must be a number, "
+                                 f"'keplerian' or 'zamo', got {spec!r}")
+        cam_moving, cam_omega = resolve_camera_omega(
+            scene, DiskConfig(r_out=args.disk_r_out,
+                              elevation_deg=args.disk_elevation,
+                              camera_omega=spec))
 
     fx = mesh.shape["frames"]
     default_batch = min(16, max(1, 4_000_000 // (args.size * args.size)))
@@ -149,9 +170,10 @@ def main(argv=None):
                 disk_r_in, args.disk_r_out, 9000.0, 2.5,
                 np.pi / 2, phis[ks],
                 scene.patch.size_theta, scene.patch.size_phi,
+                np.float32(cam_omega),
                 height=args.size, width=args.size,
                 backend=kerr_backend, charge=args.charge,
-                profile=args.disk_profile)
+                profile=args.disk_profile, camera_moving=cam_moving)
         if kerr:
             return render_kerr_sharded(
                 mesh, bg_dev,

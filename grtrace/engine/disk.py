@@ -335,17 +335,19 @@ def resolve_camera_omega(scene, disk):
     params = np.array([scene.bh_mass, scene.spin, scene.charge])
     r_bl = float(ks_radius(obs[0], obs[1], obs[2], scene.spin))
     th = float(np.arccos(np.clip(obs[2] / max(r_bl, 1e-30), -1.0, 1.0)))
+    # default dtype on purpose: under x64 (tests) this is f64; on the
+    # f32 production path the O(1) omega only needs ~1e-7 — and forcing
+    # float64 would just warn-and-truncate anyway
     if spec == "keplerian":
         omega = float(keplerian_omega(r_bl, scene.bh_mass, scene.spin,
                                       scene.charge, disk.prograde))
     elif spec == "zamo":
-        omega = float(zamo_omega(r_bl, jnp.asarray(params, jnp.float64),
-                                 th))
+        omega = float(zamo_omega(r_bl, jnp.asarray(params), th))
     else:
         omega = float(spec)
-    q = jnp.array([0.0, r_bl, th, 0.0], jnp.float64)
-    g = np.asarray(_invert_bl_metric(kerr_g_inv(
-        q, jnp.asarray(params, jnp.float64))))
+    q = jnp.array([0.0, r_bl, th, 0.0])
+    g = np.asarray(_invert_bl_metric(kerr_g_inv(q, jnp.asarray(params))),
+                   np.float64)
     denom = -(g[0, 0] + 2.0 * omega * g[0, 3] + omega * omega * g[3, 3])
     if not denom > 0.0:
         raise ValueError(

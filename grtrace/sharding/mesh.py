@@ -224,16 +224,17 @@ def render_kerr_sharded(mesh, bg_array, obs_x, fov, mass, spin,
 @partial(jax.jit,
          static_argnames=("mesh", "height", "width", "steps", "flip_theta",
                           "flip_phi", "has_background", "dtype", "backend",
-                          "order", "prograde", "profile"))
+                          "order", "prograde", "profile", "camera_moving"))
 def render_disk_sharded(mesh, bg_array, obs_x, fov, mass, spin,
                         boundary_radius, steps, delta, omega,
                         elevation, r_in, r_out, t_peak, exposure,
                         patch_center_theta, patch_center_phi,
                         patch_size_theta, patch_size_phi,
+                        camera_omega=0.0,
                         *, height, width, flip_theta=False, flip_phi=False,
                         has_background=True, dtype=jnp.float32,
                         order=2, backend="xla", charge=0.0, prograde=True,
-                        profile="shakura"):
+                        profile="shakura", camera_moving=False):
     """Accretion-disk frames over the ('frames', 'rays') mesh.
 
     The thin equatorial disk is axisymmetric like the hole, so the
@@ -273,8 +274,15 @@ def render_disk_sharded(mesh, bg_array, obs_x, fov, mass, spin,
             obs_pos[2] / jnp.maximum(r_obs_bl, 1e-30), -1.0, 1.0))
         pix = pixel_positions_for_indices_lookat(
             obs_pos, fov, height, width, flat_idx, dtype=dtype)
-        q0, p0, _ = cartesian_ics_from_pixels(obs_pos, pix, params=params,
-                                              g_inv_fn=g_inv_fn)
+        if camera_moving:
+            from ..physics.camera import boosted_ics_from_pixels
+            q0, p0, _ = boosted_ics_from_pixels(
+                obs_pos, pix, params=params, g_inv_fn=g_inv_fn,
+                omega_cam=jnp.asarray(camera_omega, dtype))
+        else:
+            q0, p0, _ = cartesian_ics_from_pixels(obs_pos, pix,
+                                                  params=params,
+                                                  g_inv_fn=g_inv_fn)
         if backend == "pallas":
             from ..engine.integrate_pallas_ks import \
                 integrate_batch_pallas_disk
@@ -288,10 +296,12 @@ def render_disk_sharded(mesh, bg_array, obs_x, fov, mass, spin,
                 integrate_batch_disk(
                     q0, p0, steps, delta, params, boundary_radius, omega,
                     r_in, r_out, order=order)
-        _, disk_rgb01 = shade_disk(hit_q, hit_p, params, r_obs_bl, r_in,
-                                   prograde=prograde, t_peak=t_peak,
-                                   exposure=exposure, theta_obs=th_obs,
-                                   profile=profile, r_out=r_out)
+        _, disk_rgb01 = shade_disk(
+            hit_q, hit_p, params, r_obs_bl, r_in, prograde=prograde,
+            t_peak=t_peak, exposure=exposure, theta_obs=th_obs,
+            profile=profile, r_out=r_out,
+            omega_obs=(jnp.asarray(camera_omega, dtype) if camera_moving
+                       else 0.0))
         rho, th, ph = cartesian_to_spherical(
             final_q[:, 1], final_q[:, 2], final_q[:, 3])
         rho = jnp.where(status == STATUS_CAPTURED, jnp.zeros_like(rho), rho)

@@ -200,3 +200,49 @@ def test_render_disk_sharded_novikov_profile_matches_single_device():
     res = render_disk(scene, DiskConfig(profile="novikov"), bg_array=bg)
     assert (np.asarray(out["cls"][0]) == np.asarray(res.cls)).all()
     assert (np.asarray(out["image"][0]) == np.asarray(res.image)).all()
+
+
+def test_render_disk_sharded_boosted_camera_matches_single_device():
+    """The orbiting camera survives sharding: the boosted tetrad ICs and
+    the omega_obs receiver leg produce identical frames on the mesh and
+    on one device (orbit --disk --camera-omega rides this path)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from grtrace.engine.disk import (DiskConfig, render_disk,
+                                     resolve_camera_omega)
+    from grtrace.io.scene import IntegratorConfig, PatchConfig, SceneConfig
+    from grtrace.physics.orbits import isco_radius
+    from grtrace.sharding.mesh import make_mesh, render_disk_sharded
+
+    size, steps, delta, spin = 16, 1500, 0.05, 0.9
+    rng = np.random.default_rng(11)
+    bg = rng.integers(0, 255, (size, size, 3), dtype=np.uint8)
+    elev = np.deg2rad(12.0)
+    r_in = float(isco_radius(1.0, spin))
+
+    scene = SceneConfig(
+        size=size, fov_deg=80.0, observer_distance=30.0,
+        boundary_radius=31.0, metric="kerr", spin=spin,
+        integrator=IntegratorConfig(steps=steps, delta=delta, omega=1.0,
+                                    backend="xla", dtype="float64"),
+        patch=PatchConfig(), n_samples=0)
+    disk = DiskConfig(camera_omega="zamo")
+    moving, cam_omega = resolve_camera_omega(scene, disk)
+    assert moving and cam_omega != 0.0
+
+    mesh = make_mesh(2, 4)
+    f64 = jnp.float64
+    out = render_disk_sharded(
+        mesh, jnp.asarray(bg), jnp.full(2, 30.0, jnp.float64),
+        f64(np.radians(80.0)), f64(1.0), f64(spin), f64(31.0), steps,
+        f64(delta), f64(1.0), f64(elev), f64(r_in), f64(14.0),
+        f64(9000.0), f64(2.5),
+        f64(np.pi / 2), jnp.full(2, np.pi, jnp.float64),
+        f64(np.pi), f64(2 * np.pi), f64(cam_omega),
+        height=size, width=size, dtype=jnp.float64,
+        camera_moving=True)
+
+    res = render_disk(scene, disk, bg_array=bg)
+    assert (np.asarray(out["cls"][0]) == 5).sum() > 5
+    assert (np.asarray(out["cls"][0]) == np.asarray(res.cls)).all()
+    assert (np.asarray(out["image"][0]) == np.asarray(res.image)).all()
