@@ -73,9 +73,9 @@ def main(argv=None):
                                      elevation_deg=args.disk_elevation),
                           bg_array=None)
     else:
-        from ..engine.render_generic import render_generic
+        from .. import render
         from ..io import textures
-        res = render_generic(scene, bg_array=textures.starfield(
+        res = render(scene, bg_array=textures.starfield(
             args.size, args.size))
 
     # camera-angle pixel scale, then the impact-parameter map to Earth

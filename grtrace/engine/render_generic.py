@@ -177,13 +177,19 @@ def _sample_trajectories_generic(q0, p0, scene, spin, metric, dtype, seed,
     return sampled_ij, out
 
 
-def render_generic(scene, *, spin=0.0, metric="Kerr", bg_array=None,
+def render_generic(scene, *, spin=None, metric="Kerr", bg_array=None,
                    dtype=None, n_samples=None, seed=0, metrics=None,
-                   charge=0.0, aa_samples=None):
+                   charge=None, aa_samples=None):
     """SceneConfig-driven generic-metric render -> engine.render.RenderResult.
 
     Mirrors engine.render.render's surface for the Kerr path, including
     sampled-trajectory diagnostics and RenderMetrics support.
+
+    spin/charge default to the SCENE's values (passing them explicitly
+    overrides); `metric` names the chart ("Kerr" = Boyer-Lindquist,
+    "KerrSchild" = the horizon-regular Cartesian production chart) and
+    stays explicit — prefer the top-level grtrace.render, which routes
+    scene.metric to the right chart for you.
 
     aa_samples = s (>= 2) runs the adaptive edge-refinement pass
     (engine.aa): s x s stratified sub-rays re-traced for the top-scoring
@@ -192,6 +198,11 @@ def render_generic(scene, *, spin=0.0, metric="Kerr", bg_array=None,
     """
     from .metrics import RenderMetrics
     from .render import RenderResult
+
+    if spin is None:
+        spin = getattr(scene, "spin", 0.0)
+    if charge is None:
+        charge = getattr(scene, "charge", 0.0)
 
     want_metrics = metrics is not None
     if metrics is None:
