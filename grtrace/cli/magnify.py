@@ -34,6 +34,8 @@ def main(argv=None):
     args = p.parse_args(argv)
     if args.spin ** 2 + args.charge ** 2 > 1.0:
         raise SystemExit("naked singularity: need a^2 + Q^2 <= M^2")
+    if args.spin and args.metric != 'kerr':
+        raise SystemExit("--spin requires --metric kerr")
 
     import numpy as np
 
@@ -59,14 +61,19 @@ def main(argv=None):
     os.makedirs(args.out_dir, exist_ok=True)
     save_magnification_maps(mu_inv, valid, args.out_dir)
 
+    def _finite(x):
+        """NaN/inf -> None so the metrics line stays valid JSON."""
+        return float(x) if np.isfinite(x) else None
+
     mu = 1.0 / mu_inv[valid]
+    near_unity = mu[np.abs(mu - 1.0) < 0.5] if mu.size else mu
     metrics = {
         "valid_pixels": int(valid.sum()),
         "flipped_pixels": int((mu_inv[valid] < 0).sum()),
-        "max_abs_magnification": float(np.abs(mu).max()),
-        "far_field_mu": float(np.median(
-            np.abs(mu[np.abs(mu - 1.0) < 0.5])))
-        if valid.any() else None,
+        "max_abs_magnification": _finite(np.abs(mu).max())
+        if mu.size else None,
+        "far_field_mu": _finite(np.median(np.abs(near_unity)))
+        if near_unity.size else None,
         "spin": args.spin, "charge": args.charge,
     }
     print(json.dumps(metrics))

@@ -138,6 +138,8 @@ def main(argv=None):
     if args.camera_omega is not None:
         if not args.disk:
             raise SystemExit("--camera-omega requires --disk")
+        import dataclasses
+
         from ..engine.disk import DiskConfig, resolve_camera_omega
         spec = args.camera_omega
         if spec not in ('keplerian', 'zamo'):
@@ -146,10 +148,18 @@ def main(argv=None):
             except ValueError:
                 raise SystemExit(f"--camera-omega must be a number, "
                                  f"'keplerian' or 'zamo', got {spec!r}")
+        # orbit's SceneConfig deliberately omits spin/charge (they are
+        # threaded straight into the render calls) — the worldline must
+        # still be resolved in the RIGHT spacetime
+        cam_scene = dataclasses.replace(scene, metric='kerr',
+                                        spin=args.spin,
+                                        charge=args.charge)
         cam_moving, cam_omega = resolve_camera_omega(
-            scene, DiskConfig(r_out=args.disk_r_out,
-                              elevation_deg=args.disk_elevation,
-                              camera_omega=spec))
+            cam_scene, DiskConfig(r_out=args.disk_r_out,
+                                  elevation_deg=args.disk_elevation,
+                                  camera_omega=spec))
+        print(f"camera worldline: omega = {cam_omega:.6g} "
+              f"({args.camera_omega})")
 
     fx = mesh.shape["frames"]
     default_batch = min(16, max(1, 4_000_000 // (args.size * args.size)))

@@ -225,6 +225,27 @@ def test_orbit_cli_disk(tmp_path):
     assert pngs == [f"frame_{k:04d}.png" for k in range(2)]
 
 
+def test_orbit_cli_disk_camera_omega(tmp_path, capsys):
+    """Orbit --camera-omega resolves the worldline in the SCENE's
+    spacetime: zamo at a = 0.9 is nonzero (regression: orbit's
+    SceneConfig omits spin, so a naive resolve gave the Schwarzschild
+    zamo = 0 and silently rendered a static camera)."""
+    import re
+
+    from grtrace.cli.orbit import main
+    out = tmp_path / "orbit_cam"
+    main(["--frames", "2", "--size", "12", "--steps", "1000",
+          "--delta", "0.1", "--out-dir", str(out), "--backend", "xla",
+          "--metric", "kerr", "--spin", "0.9", "--disk",
+          "--camera-omega", "zamo"])
+    text = capsys.readouterr().out
+    m = re.search(r"camera worldline: omega = ([-\d.e]+)", text)
+    assert m, text
+    assert abs(float(m.group(1))) > 1e-5
+    import os
+    assert len(os.listdir(out / "frames")) == 2
+
+
 def test_scene_boundary_validation():
     """boundary_radius >= 100 collides with the reference's r >= 100
     numerical-error sentinel (raytracing.py:213-215) and must be rejected

@@ -30,7 +30,8 @@ def main(size=160, steps=10_000, delta=0.03):
     from grtrace.cli import shadow as shadow_cli
 
     os.makedirs(OUT, exist_ok=True)
-    tmp = tempfile.mkdtemp(prefix="grtrace_figs_")
+    ctx = tempfile.TemporaryDirectory(prefix="grtrace_figs_")
+    tmp = ctx.name
 
     print("line grid...")
     line_grid_cli.main([
@@ -56,6 +57,7 @@ def main(size=160, steps=10_000, delta=0.03):
     shutil.copy(os.path.join(tmp, "shadow_overlay.png"),
                 os.path.join(OUT, "shadow_overlay_a09.png"))
 
+    ctx.cleanup()          # (finalizer also fires on exceptions/exit)
     print(f"figures -> {OUT}")
 
 
