@@ -46,6 +46,10 @@ def main(argv=None):
     p.add_argument('--frames', type=int, default=64)
     p.add_argument('--periods', type=float, default=1.0)
     p.add_argument('--no-gif', action='store_true')
+    p.add_argument('--closure', action='store_true',
+                   help='also compute the closure-phase time series of '
+                        'the movie (one FFT per frame; the dynamical-'
+                        'imaging observable) -> closure_vs_time.csv/.png')
     p.add_argument('--mass-msun', type=float, default=None,
                    help='black-hole mass in solar masses: adds physical '
                         'time (minutes) to the light curve and the '
@@ -135,6 +139,46 @@ def main(argv=None):
                 f" at {mass_msun:.3g} M_sun")
     print(f"blob r = {out['r_blob']:.4g} M, period = {out['period']:.5g} M"
           f"{phys}, {args.frames} frames -> {args.out_dir}")
+
+    if args.closure:
+        from ..engine.hotspot import closure_phase_series
+
+        size = out["frames"].shape[1]
+        pixel_rad = 2.0 * np.tan(np.radians(args.fov) / 2.0) / size
+        du = 1.0 / (2 * size * pixel_rad)        # pad=2 frequency spacing
+        tris = []
+        for s in (3, 6, 11, 18):
+            l1 = np.array([s, 1 - s // 3]) * du
+            l2 = np.array([1 - s // 3, s]) * du
+            tris.append([l1, l2, -(l1 + l2)])
+        tris = np.asarray(tris)
+        series = closure_phase_series(out["frames"], pixel_rad, tris)
+        np.savetxt(
+            os.path.join(args.out_dir, "closure_vs_time.csv"),
+            np.column_stack([out["times"], np.degrees(series)]),
+            delimiter=",", comments="", fmt="%.8g",
+            header="tau," + ",".join(
+                f"tri{k}_deg" for k in range(len(tris))))
+
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        fig, ax = plt.subplots(figsize=(7, 4))
+        for k in range(series.shape[1]):
+            blen = np.linalg.norm(tris[k, 0]) * pixel_rad * size  # ~cycles/fov
+            ax.plot(out["times"] / out["period"],
+                    np.degrees(np.unwrap(series[:, k])),
+                    label=f"triangle {k} (leg ~{blen:.0f} cyc/fov)")
+        ax.set_xlabel("observer time (orbital periods)")
+        ax.set_ylabel("closure phase (deg)")
+        ax.set_title("flare closure-phase swings")
+        ax.legend(fontsize=8)
+        fig.savefig(os.path.join(args.out_dir, "closure_vs_time.png"),
+                    dpi=110, bbox_inches="tight")
+        plt.close(fig)
+        rng = np.degrees(np.ptp(series, axis=0))
+        print(f"closure-phase swings: {np.round(rng, 1)} deg "
+              f"-> closure_vs_time.csv/.png")
 
     if args.bench:
         import json

@@ -295,6 +295,25 @@ def render_hotspot(scene, disk=None, hotspot=None, *, bg_array=None,
     return out
 
 
+def closure_phase_series(frames, pixel_rad, triangles):
+    """(F, T) closure phases of a movie — the dynamical-imaging
+    observable: an orbiting hot spot swings the closure phases on
+    Earth-sized triangles far more robustly than amplitudes (station
+    gains and image translation cancel exactly; engine/visibility.py).
+    This is what the EHT's Sgr A* dynamics analyses fit.
+
+    frames: (F, H, W, 3) uint8; `triangles` as
+    engine.visibility.closure_phases.  One device FFT per frame.
+    """
+    from .visibility import closure_phases, complex_visibility
+
+    series = []
+    for fr in frames:
+        vis, u, v = complex_visibility(fr, pixel_rad, pad=2)
+        series.append(closure_phases(vis, u, v, triangles))
+    return np.asarray(series)
+
+
 def save_hotspot_artifacts(out, out_dir, gif=True, mass_msun=None):
     """Write the hot-spot science products:
 

@@ -220,6 +220,30 @@ def test_sgra_flare_period_matches_gravity_ballpark(small_hotspot,
     assert os.path.exists(tmp_path / "lightcurve.png")
 
 
+def test_closure_phase_series_swings_and_freezes(small_hotspot):
+    """The orbiting blob swings the movie's closure phases (dynamics
+    detected); a frozen movie (identical frames) gives a constant
+    series — the discriminant the EHT Sgr A* dynamics analyses use."""
+    from grtrace.engine.hotspot import closure_phase_series
+
+    out, *_ = small_hotspot
+    size = out["frames"].shape[1]
+    pixel_rad = 1e-6
+    du = 1.0 / (2 * size * pixel_rad)
+    tris = np.asarray([[[3 * du, 0.0], [0.0, 3 * du],
+                        [-3 * du, -3 * du]],
+                       [[7 * du, du], [du, 7 * du],
+                        [-8 * du, -8 * du]]])
+    series = closure_phase_series(out["frames"][:12], pixel_rad, tris)
+    assert series.shape == (12, 2)
+    assert np.isfinite(series).all()
+    assert np.degrees(np.ptp(series, axis=0)).max() > 2.0   # swings
+
+    frozen = np.repeat(out["frames"][:1], 5, axis=0)
+    fseries = closure_phase_series(frozen, pixel_rad, tris)
+    assert np.ptp(fseries, axis=0).max() == 0.0             # constant
+
+
 def test_astrometric_track_wobbles_and_stays_on_disk(small_hotspot,
                                                      tmp_path):
     """The flux-weighted centroid (GRAVITY's observable) traces a real
