@@ -150,3 +150,113 @@ def g_bin_centers(n_bins=96, g_lo=0.1, g_hi=1.6):
     """Centers of the histogram lattice line_profile_grid_sharded fills."""
     edges = np.linspace(g_lo, g_hi, n_bins + 1)
     return 0.5 * (edges[1:] + edges[:-1])
+
+
+@partial(jax.jit,
+         static_argnames=("mesh", "height", "width", "steps", "order",
+                          "n_orders", "dtype", "prograde", "emissivity_q"))
+def subring_grid_sharded(mesh, spins, elevations, obs_distance, fov,
+                         mass, charge, boundary_radius, steps, delta,
+                         omega, r_out, *, height, width, order=2,
+                         n_orders=3, dtype=jnp.float32, prograde=True,
+                         emissivity_q=3.0):
+    """Photon-ring subring scan: (F,) spins x elevations -> per-order
+    flux, pixel counts, and the n0-n1 crossing delay — one SPMD program.
+
+    The subring observables (Lyapunov demagnification ratio, inter-order
+    delay) are the space-VLBI mass/spin ruler; scanning them over spin
+    is hundreds of renders.  Same layout as line_profile_grid_sharded:
+    grid points on 'frames' (independent spacetimes, zero communication),
+    rays on 'rays', per-point psum reductions — the host transfer is
+    F x (2 n_orders + 2) floats, no images.
+
+    Per-order flux matches the line-grid weighting g^4 r^-q over pixels
+    whose order-n crossing lands in [ISCO(spin), r_out]; delay01 is the
+    mean BL-time gap t(n=0) - t(n=1) over rays with both crossings
+    recorded (anywhere on the plane — the gap is a crossing property,
+    not an emission property; engine/subring.subring_summary).
+
+    Returns (flux (F, N), pixels (F, N), delay01_mean (F,),
+    delay01_rays (F,)).
+    """
+    from ..engine.hotspot import bl_time_azimuth_offsets
+    from ..engine.subring import integrate_batch_subrings
+    from ..physics.camera import (cartesian_ics_from_pixels,
+                                  pixel_positions_for_indices_lookat)
+    from ..physics.orbits import isco_radius, redshift_factor
+    from ..physics.spacetime import METRICS, ks_radius
+
+    g_inv_fn = METRICS["KerrSchild"]
+    n = height * width
+    n_ray_shards = mesh.shape["rays"]
+
+    spins = jnp.asarray(spins, dtype)
+    elevations = jnp.asarray(elevations, dtype)
+    obs_distance = jnp.asarray(obs_distance, dtype)
+    fov = jnp.asarray(fov, dtype)
+    mass = jnp.asarray(mass, dtype)
+    charge = jnp.asarray(charge, dtype)
+    boundary_radius = jnp.asarray(boundary_radius, dtype)
+    delta = jnp.asarray(delta, dtype)
+    omega = jnp.asarray(omega, dtype)
+    r_out = jnp.asarray(r_out, dtype)
+
+    def frame_body(spin_f, elev_f):
+        params = jnp.stack([mass, spin_f, charge])
+        r_in = isco_radius(mass, spin_f, prograde)
+
+        n_local = -(-n // n_ray_shards)
+        shard = jax.lax.axis_index("rays")
+        gidx = shard * n_local + jax.lax.iota(jnp.int32, n_local)
+        flat_idx = jnp.minimum(gidx, n - 1)
+        real = gidx < n
+
+        obs_pos = jnp.stack([obs_distance * jnp.cos(elev_f),
+                             jnp.zeros_like(elev_f),
+                             obs_distance * jnp.sin(elev_f)])
+        r_obs_bl = ks_radius(obs_pos[0], obs_pos[1], obs_pos[2], spin_f)
+        th_obs = jnp.arccos(jnp.clip(
+            obs_pos[2] / jnp.maximum(r_obs_bl, 1e-30), -1.0, 1.0))
+        pix = pixel_positions_for_indices_lookat(obs_pos, fov, height,
+                                                 width, flat_idx,
+                                                 dtype=dtype)
+        q0, p0, _ = cartesian_ics_from_pixels(obs_pos, pix, params=params,
+                                              g_inv_fn=g_inv_fn)
+        _, _, status, _, hq, hp, count = integrate_batch_subrings(
+            q0, p0, steps, delta, params, boundary_radius, omega,
+            n_orders=n_orders, order=order)
+
+        order_ids = jnp.arange(n_orders, dtype=jnp.int32)
+        filled = count[None, :] > order_ids[:, None]           # (N, local)
+        x, y = hq[..., 1], hq[..., 2]
+        energy = -hp[..., 0]
+        l_z = x * hp[..., 2] - y * hp[..., 1]
+        r_em = ks_radius(x, y, hq[..., 3], spin_f)
+        valid = filled & real[None, :] & (r_em >= r_in) & (r_em <= r_out)
+        g = jax.vmap(jax.vmap(lambda e, l, r: redshift_factor(
+            e, l, r, r_obs_bl, params, prograde, th_obs)))(energy, l_z,
+                                                           r_em)
+        w = jnp.where(
+            valid,
+            g ** 4 * jnp.maximum(r_em, 1e-30) ** (-emissivity_q),
+            jnp.zeros_like(g))
+        flux = jax.lax.psum(jnp.sum(w, axis=1), "rays")        # (N,)
+        pixels = jax.lax.psum(jnp.sum(valid.astype(dtype), axis=1),
+                              "rays")                          # (N,)
+
+        both = (count > 1) & real
+        t_off = jax.vmap(jax.vmap(
+            lambda r: bl_time_azimuth_offsets(r, params)[0]))(r_em)
+        t_bl = hq[..., 0] - t_off
+        d01 = jnp.where(both, t_bl[0] - t_bl[1], jnp.zeros_like(t_bl[0]))
+        d_sum = jax.lax.psum(jnp.sum(d01), "rays")
+        d_cnt = jax.lax.psum(jnp.sum(both.astype(dtype)), "rays")
+        return flux, pixels, d_sum / jnp.maximum(d_cnt, 1.0), d_cnt
+
+    def shard_body(spins_l, elevs_l):
+        return jax.vmap(frame_body)(spins_l, elevs_l)
+
+    return jax.shard_map(shard_body, mesh=mesh,
+                         in_specs=(P("frames"), P("frames")),
+                         out_specs=P("frames"),
+                         check_vma=False)(spins, elevations)
