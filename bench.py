@@ -181,6 +181,7 @@ def main():
         "schw": val.schwarzschild_shadow_error(),
         "kerr": val.kerr_shadow_errors(),
         "ks_parity": val.ks_kernel_parity(),
+        "subring_parity": val.subring_kernel_parity(),
     }
     onchip["validate_s"] = round(time.time() - t0, 1)
 

@@ -160,7 +160,14 @@ def integrate_batch_disk(q0s, p0s, steps, delta, params, r_max, omega,
         t = z0 / (z0 - z1)                     # in (0, 1) where crossed
         t = jnp.where(crossed, t, 0.0)         # keep lerp finite elsewhere
         cq = q1 + t[:, None] * (nq1 - q1)
-        cp = p1 + t[:, None] * (np1 - p1)
+        # record the p2 momentum copy: in this unstaggered scheme both
+        # copies sit at step boundaries (equally exact), but p2 is the
+        # copy the STAGGERED production kernel holds at step boundaries
+        # (integrate_ks.make_ks_step), so recording it here makes the
+        # two backends agree to fusion rounding instead of the much
+        # larger FANTASY copy-split (which grows ~e^pi per half-orbit
+        # near the photon shell)
+        cp = p2 + t[:, None] * (np2 - p2)
         r_hit = ks_radius(cq[:, 1], cq[:, 2], cq[:, 3], spin)
         new_hit = (act & ~bad & crossed
                    & (r_hit >= r_in) & (r_hit <= r_out))

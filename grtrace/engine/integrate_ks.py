@@ -78,7 +78,7 @@ def ks_substeps(delta, omega, order, compensated=False):
 
 
 def make_ks_step(subs, mass, a, charge, r_cap, r_max, plunge_zone,
-                 compensated=False, disk=None):
+                 compensated=False, disk=None, subrings=None):
     """(active, masked_step, open_fn, close_fn) for one KS integration.
 
     active(comps) -> bool mask; masked_step(comps, ns) -> (comps, ns)
@@ -92,10 +92,16 @@ def make_ks_step(subs, mass, a, charge, r_cap, r_max, plunge_zone,
     changes sign within the annulus freeze with hit=True and the
     within-step lerped crossing recorded in hq (q1 rows) / hp (p2 rows —
     like q1, the p2 rows hold EXACT plain-composition step-boundary
-    values in the staggered state, so the crossing semantics match the
-    unstaggered engine.disk XLA path; the phase-space copies differ by
-    the usual O(copy-split) wobble, below shading tolerance).  The
+    values in the staggered state, and the unstaggered engine.disk XLA
+    recorder deliberately records the same p2 copy, so the two backends
+    agree to fusion rounding rather than the FANTASY copy-split).  The
     caller's early-exit test must become active(comps) & ~hit.
+
+    subrings=n_orders instead swaps in the TRANSPARENT-disk variant
+    masked_step(comps, ns, cnt, hq, hp) (engine/subring.py semantics:
+    count every plane crossing, record the first n_orders anywhere on
+    the plane, never freeze); the early-exit test stays the plain
+    active(comps).
     """
     core = core_ksc if compensated else core_ks
     open_raw = open_ksc if compensated else open_ks
@@ -186,8 +192,38 @@ def make_ks_step(subs, mass, a, charge, r_cap, r_max, plunge_zone,
         out, ns_new, _, _ = _advance(comps, ns)
         return out, ns_new
 
-    if disk is None:
+    if subrings is None and disk is None:
         return active, masked_step, open_fn, close_fn
+
+    if subrings is not None:
+        # subring mode, subrings=n_orders: record the first n_orders
+        # plane crossings (ANY radius — image order counts half-orbits,
+        # not disk hits; engine/subring.py applies the annulus at
+        # shading) and never freeze — the thin disk is transparent.
+        # `cnt` rides the carry as an int32 tile (bool i1 vectors don't
+        # legalize in Mosaic scf.while carries; int32 does — ns proves
+        # it), hq/hp as n_orders nested 4-tuples of tiles.
+        n_orders = int(subrings)
+
+        def masked_step_subrings(comps, ns, cnt, hq, hp):
+            out, ns_new, new, ok = _advance(comps, ns)
+            z0, z1 = comps[3], new[3]
+            crossed = ok & (z0 * z1 < 0.0)
+            t = jnp.where(crossed, z0 / (z0 - z1), 0.0)
+            cq = tuple(comps[i] + t * (new[i] - comps[i]) for i in range(4))
+            cp = tuple(comps[12 + i] + t * (new[12 + i] - comps[12 + i])
+                       for i in range(4))
+            hq_new, hp_new = [], []
+            for s in range(n_orders):
+                take = crossed & (cnt == s)
+                hq_new.append(tuple(jnp.where(take, c, h)
+                                    for c, h in zip(cq, hq[s])))
+                hp_new.append(tuple(jnp.where(take, c, h)
+                                    for c, h in zip(cp, hp[s])))
+            cnt = cnt + crossed.astype(cnt.dtype)
+            return out, ns_new, cnt, tuple(hq_new), tuple(hp_new)
+
+        return active, masked_step_subrings, open_fn, close_fn
 
     r_in, r_out = disk
 

@@ -70,7 +70,7 @@ UNROLL = 32
 
 
 def _make_kernel_ks(steps, n_sub, compensated=False, unroll=None,
-                    disk=False):
+                    disk=False, subrings=0):
     if unroll is None:
         unroll = max(1, UNROLL // n_sub)
     n_rows = N_ROWS_C if compensated else N_ROWS
@@ -92,7 +92,8 @@ def _make_kernel_ks(steps, n_sub, compensated=False, unroll=None,
 
         active, masked_step, open_fn, close_fn = make_ks_step(
             subs, mass, a, charge, r_cap, r_max, plunge_zone,
-            compensated=compensated, disk=disk_rr)
+            compensated=compensated, disk=disk_rr,
+            subrings=subrings or None)
 
         comps = tuple(state_ref[0, i] for i in range(n_rows))
         ns0 = jnp.zeros((SUBLANES, LANES), dtype=jnp.int32)
@@ -111,7 +112,32 @@ def _make_kernel_ks(steps, n_sub, compensated=False, unroll=None,
 
         main_iters = steps // unroll
 
-        if disk:
+        if subrings:
+            # transparent-disk crossing slots: count (int32 — legal in an
+            # scf.while carry, unlike vector<i1>) + n_orders (q, p) slot
+            # 4-tuples; early exit is the PLAIN active test (rays retire
+            # by escape/capture only)
+            zero = jnp.zeros((SUBLANES, LANES), dtype=comps[0].dtype)
+            cnt0 = jnp.zeros((SUBLANES, LANES), dtype=jnp.int32)
+            slots0 = tuple((zero,) * 4 for _ in range(subrings))
+            carry0 = (jnp.int32(0), comps, ns0, cnt0, slots0, slots0)
+
+            def cond(carry):
+                k, comps, _, _, _, _ = carry
+                return (k < main_iters) & jnp.any(active(comps))
+
+            def body(carry):
+                k, comps, ns, cnt, hq, hp = carry
+                for _ in range(unroll):
+                    comps, ns, cnt, hq, hp = masked_step(comps, ns, cnt,
+                                                         hq, hp)
+                return k + 1, comps, ns, cnt, hq, hp
+
+            _, comps, ns, cnt, hq, hp = jax.lax.while_loop(cond, body,
+                                                           carry0)
+            for _ in range(steps % unroll):
+                comps, ns, cnt, hq, hp = masked_step(comps, ns, cnt, hq, hp)
+        elif disk:
             # the hit mask crosses the while boundary as f32 — Mosaic
             # cannot legalize a vector<i1> in an scf.while carry — and is
             # re-boolified inside the body (one compare per UNROLL group)
@@ -167,7 +193,14 @@ def _make_kernel_ks(steps, n_sub, compensated=False, unroll=None,
         for i in range(n_rows):
             out_state_ref[0, i] = comps[i]
         ns_ref[0, 0] = ns
-        if disk:
+        if subrings:
+            sub_ref, = disk_refs
+            sub_ref[0, 0] = cnt.astype(comps[0].dtype)
+            for s in range(subrings):
+                for i in range(4):
+                    sub_ref[0, 1 + 8 * s + i] = hq[s][i]
+                    sub_ref[0, 5 + 8 * s + i] = hp[s][i]
+        elif disk:
             disk_ref, = disk_refs
             disk_ref[0, 0] = hit.astype(comps[0].dtype)
             for i in range(4):
@@ -178,9 +211,9 @@ def _make_kernel_ks(steps, n_sub, compensated=False, unroll=None,
 
 
 @partial(jax.jit, static_argnames=("steps", "interpret", "n_sub",
-                                   "compensated", "disk"))
+                                   "compensated", "disk", "subrings"))
 def _integrate_tiles_ks(state, params, steps, interpret=False, n_sub=1,
-                        compensated=False, disk=False):
+                        compensated=False, disk=False, subrings=0):
     num_tiles = state.shape[0]
     n_rows = state.shape[1]
     dtype = state.dtype
@@ -188,7 +221,8 @@ def _integrate_tiles_ks(state, params, steps, interpret=False, n_sub=1,
     # steps and the exact-budget remainder are unchanged) but a 16x
     # smaller trace, which dominates interpret-mode wall time on CPU
     kernel = _make_kernel_ks(steps, n_sub, compensated=compensated,
-                             unroll=1 if interpret else None, disk=disk)
+                             unroll=1 if interpret else None, disk=disk,
+                             subrings=subrings)
     out_specs = [pl.BlockSpec((1, n_rows, SUBLANES, LANES),
                               lambda i: (i, 0, 0, 0),
                               memory_space=pltpu.VMEM),
@@ -198,7 +232,14 @@ def _integrate_tiles_ks(state, params, steps, interpret=False, n_sub=1,
     out_shape = [jax.ShapeDtypeStruct(state.shape, dtype),
                  jax.ShapeDtypeStruct((num_tiles, 1, SUBLANES, LANES),
                                       jnp.int32)]
-    if disk:  # hit flag row + 4 hit_q rows + 4 hit_p rows
+    if subrings:  # count row + per-order 4 q rows + 4 p rows
+        rows = 1 + 8 * subrings
+        out_specs.append(pl.BlockSpec((1, rows, SUBLANES, LANES),
+                                      lambda i: (i, 0, 0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct(
+            (num_tiles, rows, SUBLANES, LANES), dtype))
+    elif disk:  # hit flag row + 4 hit_q rows + 4 hit_p rows
         out_specs.append(pl.BlockSpec((1, 9, SUBLANES, LANES),
                                       lambda i: (i, 0, 0, 0),
                                       memory_space=pltpu.VMEM))
@@ -379,3 +420,70 @@ def integrate_batch_pallas_disk(q0s, p0s, steps, delta, params, r_max,
         mass, a, charge, r_cap, r_max)
     status = jnp.where(hit, STATUS_DISK, status)
     return final_q, final_p, status, n_steps, hit_q, hit_p
+
+
+@partial(jax.jit, static_argnames=("steps", "n_orders", "interpret",
+                                   "sort_rays", "order", "compensated"))
+def integrate_batch_pallas_subrings(q0s, p0s, steps, delta, params, r_max,
+                                    omega, n_orders=3, interpret=False,
+                                    sort_rays=True, order=2,
+                                    compensated=False):
+    """Subring (transparent-disk) twin of integrate_batch_pallas_ks: the
+    production kernel for engine.subring renders.  Same contract as
+    subring.integrate_batch_subrings — (final_q, final_p, status,
+    n_steps, hits_q (n_orders, N, 4), hits_p, count) with every plane
+    crossing counted and the first n_orders recorded — at the tuned
+    kernel's speed (the XLA subring path is the generic autodiff
+    while_loop; see DESIGN.md #19)."""
+    dtype = q0s.dtype
+    delta = jnp.asarray(delta, dtype)
+    r_max = jnp.asarray(r_max, dtype)
+    omega = jnp.asarray(omega, dtype)
+    mass, a, charge, r_cap, plunge_zone = ks_scene_scalars(params, dtype)
+    subs = ks_substeps(delta, omega, order, compensated=compensated)
+    scal = [mass, a, charge, r_cap, r_max, plunge_zone]
+    for sub in subs:
+        scal += list(sub)
+    smem = jnp.stack(scal)
+
+    q0s_orig, p0s_orig = q0s, p0s
+    if sort_rays:
+        sort_idx = jnp.argsort(_cost_sort_key_ks(q0s, p0s, mass))
+        q0s = q0s[sort_idx]
+        p0s = p0s[sort_idx]
+
+    state, n = _pack_tiles_ks(q0s, p0s, r_max, compensated=compensated)
+    out_state, ns, sub_rows = _integrate_tiles_ks(
+        state, smem, steps, interpret=interpret, n_sub=len(subs),
+        compensated=compensated, subrings=n_orders)
+
+    n_rows = out_state.shape[1]
+    comp = out_state.transpose(1, 0, 2, 3).reshape(n_rows, -1)[:, :n]
+    if compensated:  # fold the Kahan deficits (true = s - c)
+        comp = comp[:16] - comp[16:]
+    final_q = comp[0:4].T
+    final_p = comp[4:8].T
+    q2_spatial = comp[9:12].T
+    ns_signed = ns.reshape(-1)[:n]
+    scomp = sub_rows.transpose(1, 0, 2, 3).reshape(1 + 8 * n_orders,
+                                                   -1)[:, :n]
+    count = scomp[0].astype(jnp.int32)
+    hits_q = jnp.stack([scomp[1 + 8 * s:5 + 8 * s].T
+                        for s in range(n_orders)])
+    hits_p = jnp.stack([scomp[5 + 8 * s:9 + 8 * s].T
+                        for s in range(n_orders)])
+
+    if sort_rays:
+        inverse = jnp.argsort(sort_idx)
+        final_q = final_q[inverse]
+        final_p = final_p[inverse]
+        q2_spatial = q2_spatial[inverse]
+        ns_signed = ns_signed[inverse]
+        count = count[inverse]
+        hits_q = hits_q[:, inverse]
+        hits_p = hits_p[:, inverse]
+
+    final_q, final_p, status, n_steps = apply_bardeen_rescue(
+        final_q, final_p, ns_signed, q2_spatial, q0s_orig, p0s_orig,
+        mass, a, charge, r_cap, r_max)
+    return final_q, final_p, status, n_steps, hits_q, hits_p, count

@@ -110,7 +110,9 @@ def integrate_batch_subrings(q0s, p0s, steps, delta, params, r_max, omega,
         t = z0 / (z0 - z1)
         t = jnp.where(crossed, t, 0.0)
         cq = q1 + t[:, None] * (nq1 - q1)
-        cp = p1 + t[:, None] * (np1 - p1)
+        # p2 copy, matching the Pallas kernel's exact step-boundary pair
+        # (q1, p2) — see engine/disk.py's recorder for the rationale
+        cp = p2 + t[:, None] * (np2 - p2)
         new_cross = act & ~bad & crossed
         # one-hot slot write: the event lands in layer `count` if a slot
         # is still free (counts beyond n_orders keep incrementing so the
@@ -200,64 +202,43 @@ def shade_subrings(hits_q, hits_p, count, params, r_obs_bl, r_in, r_out, *,
     }
 
 
-@partial(jax.jit,
-         static_argnames=("height", "width", "steps", "order", "n_orders",
-                          "flip_theta", "flip_phi", "has_background",
-                          "dtype", "prograde", "profile", "camera_moving"))
-def render_pixels_subrings(bg_array, obs_pos, fov, mass, spin, charge,
-                           boundary_radius, steps, delta, omega,
-                           r_in, r_out, t_peak, exposure,
-                           patch_center_theta, patch_center_phi,
-                           patch_size_theta, patch_size_phi,
-                           camera_omega=0.0,
-                           *, height, width, n_orders=3, order=2,
-                           flip_theta=False, flip_phi=False,
-                           has_background=True, dtype=jnp.float32,
-                           prograde=True, profile="shakura",
-                           camera_moving=False):
-    """One compiled program: camera -> subring integration -> per-order
-    shade -> additive thin-disk composite over the lensed background.
-
-    The transparent-disk analog of render_pixels_disk (engine/disk.py):
-    escaped rays composite the background through the disk's transparency
-    (1 - tone), captured rays stay black, and every per-order observable
-    (redshift, intensity, emission radius, BL arrival time) comes back as
-    an (n_orders, H, W) stack.
-    """
-    from ..physics.camera import cartesian_ics_from_pixels, pixel_grid_lookat
+def _trace_shade_subrings(q0f, p0f, bg_array, params, r_obs, r_obs_bl,
+                          th_obs, boundary_radius, steps, delta, omega,
+                          r_in, r_out, t_peak, exposure,
+                          patch_center_theta, patch_center_phi,
+                          patch_size_theta, patch_size_phi, *,
+                          n_orders, order, backend, dtype, prograde,
+                          profile, flip_theta, flip_phi, has_background,
+                          omega_obs=None):
+    """The per-ray subring chain on FLAT (N, 4) phase points: transparent-
+    disk integration (XLA engine or the tuned Pallas subring kernel) ->
+    per-order shade -> endpoint classify -> additive thin-disk composite.
+    Shared by the full-frame program (render_pixels_subrings) and the
+    adaptive edge-refinement sub-ray pass (aa.refine_subrings) so a
+    sub-ray is shaded exactly like a center ray."""
     from ..physics.coords import cartesian_to_spherical
     from . import classify as _classify
 
-    g_inv_fn = METRICS["KerrSchild"]
-    params = jnp.stack([jnp.asarray(mass, dtype), jnp.asarray(spin, dtype),
-                        jnp.asarray(charge, dtype)])
-    obs_pos = jnp.asarray(obs_pos, dtype)
-    r_obs = jnp.linalg.norm(obs_pos)
-    r_obs_bl = ks_radius(obs_pos[0], obs_pos[1], obs_pos[2], params[1])
-    th_obs = jnp.arccos(jnp.clip(obs_pos[2] / jnp.maximum(r_obs_bl, 1e-30),
-                                 -1.0, 1.0))
-    pix = pixel_grid_lookat(obs_pos, fov, height, width, dtype=dtype)
-    camera_omega = jnp.asarray(camera_omega, dtype)
-    if camera_moving:
-        from ..physics.camera import boosted_ics_from_pixels
-        q0, p0, alpha0 = boosted_ics_from_pixels(
-            obs_pos, pix, params=params, g_inv_fn=g_inv_fn,
-            omega_cam=camera_omega)
+    n = q0f.shape[0]
+    if backend == "pallas":
+        from .integrate_pallas_ks import integrate_batch_pallas_subrings
+        final_q, final_p, status, n_steps, hq, hp, count = \
+            integrate_batch_pallas_subrings(
+                q0f, p0f, steps, delta, params, boundary_radius, omega,
+                n_orders=n_orders, order=order,
+                compensated=dtype == jnp.float32)
     else:
-        q0, p0, alpha0 = cartesian_ics_from_pixels(
-            obs_pos, pix, params=params, g_inv_fn=g_inv_fn)
-    n = height * width
-    q0f, p0f = q0.reshape(n, 4), p0.reshape(n, 4)
-
-    final_q, final_p, status, n_steps, hq, hp, count = \
-        integrate_batch_subrings(q0f, p0f, steps, delta, params,
-                                 boundary_radius, omega,
-                                 n_orders=n_orders, order=order)
+        final_q, final_p, status, n_steps, hq, hp, count = \
+            integrate_batch_subrings(q0f, p0f, steps, delta, params,
+                                     boundary_radius, omega,
+                                     n_orders=n_orders, order=order)
 
     shade = shade_subrings(
         hq, hp, count, params, r_obs_bl, r_in, r_out, prograde=prograde,
-        theta_obs=th_obs, profile=profile, t_peak=t_peak, exposure=exposure,
-        omega_obs=camera_omega if camera_moving else jnp.zeros((), dtype))
+        theta_obs=th_obs, profile=profile, t_peak=t_peak,
+        exposure=exposure,
+        omega_obs=(omega_obs if omega_obs is not None
+                   else jnp.zeros((), dtype)))
 
     # background classification of the ray ENDPOINTS (transparent disk:
     # every escaped ray still lands on the sky)
@@ -286,6 +267,79 @@ def render_pixels_subrings(bg_array, obs_pos, fov, mass, spin, charge,
     image = jnp.clip(out + 0.5, 0.0, 255.0).astype(jnp.uint8)
     emitting = shade["valid"].any(axis=0)
     cls = jnp.where(emitting, CLS_DISK, cls)
+    return {"image": image, "cls": cls, "status": status,
+            "n_steps": n_steps, "count": count, "hq": hq, "hp": hp,
+            "shade": shade}
+
+
+@partial(jax.jit,
+         static_argnames=("height", "width", "steps", "order", "n_orders",
+                          "flip_theta", "flip_phi", "has_background",
+                          "dtype", "prograde", "profile", "camera_moving",
+                          "backend"))
+def render_pixels_subrings(bg_array, obs_pos, fov, mass, spin, charge,
+                           boundary_radius, steps, delta, omega,
+                           r_in, r_out, t_peak, exposure,
+                           patch_center_theta, patch_center_phi,
+                           patch_size_theta, patch_size_phi,
+                           camera_omega=0.0,
+                           *, height, width, n_orders=3, order=2,
+                           flip_theta=False, flip_phi=False,
+                           has_background=True, dtype=jnp.float32,
+                           prograde=True, profile="shakura",
+                           camera_moving=False, backend="xla"):
+    """One compiled program: camera -> subring integration -> per-order
+    shade -> additive thin-disk composite over the lensed background.
+
+    The transparent-disk analog of render_pixels_disk (engine/disk.py):
+    escaped rays composite the background through the disk's transparency
+    (1 - tone), captured rays stay black, and every per-order observable
+    (redshift, intensity, emission radius, BL arrival time) comes back as
+    an (n_orders, H, W) stack.
+
+    backend='pallas' runs the tuned KS kernel's subring twin
+    (integrate_pallas_ks.integrate_batch_pallas_subrings;
+    Kahan-compensated in float32 like the production disk path); 'xla'
+    the autodiff while_loop engine (integrate_batch_subrings).
+    """
+    from ..physics.camera import cartesian_ics_from_pixels, pixel_grid_lookat
+    from . import classify as _classify
+
+    g_inv_fn = METRICS["KerrSchild"]
+    params = jnp.stack([jnp.asarray(mass, dtype), jnp.asarray(spin, dtype),
+                        jnp.asarray(charge, dtype)])
+    obs_pos = jnp.asarray(obs_pos, dtype)
+    r_obs = jnp.linalg.norm(obs_pos)
+    r_obs_bl = ks_radius(obs_pos[0], obs_pos[1], obs_pos[2], params[1])
+    th_obs = jnp.arccos(jnp.clip(obs_pos[2] / jnp.maximum(r_obs_bl, 1e-30),
+                                 -1.0, 1.0))
+    pix = pixel_grid_lookat(obs_pos, fov, height, width, dtype=dtype)
+    camera_omega = jnp.asarray(camera_omega, dtype)
+    if camera_moving:
+        from ..physics.camera import boosted_ics_from_pixels
+        q0, p0, alpha0 = boosted_ics_from_pixels(
+            obs_pos, pix, params=params, g_inv_fn=g_inv_fn,
+            omega_cam=camera_omega)
+    else:
+        q0, p0, alpha0 = cartesian_ics_from_pixels(
+            obs_pos, pix, params=params, g_inv_fn=g_inv_fn)
+    n = height * width
+    q0f, p0f = q0.reshape(n, 4), p0.reshape(n, 4)
+
+    flat = _trace_shade_subrings(
+        q0f, p0f, bg_array, params, r_obs, r_obs_bl, th_obs,
+        boundary_radius, steps, delta, omega, r_in, r_out, t_peak,
+        exposure, patch_center_theta, patch_center_phi,
+        patch_size_theta, patch_size_phi,
+        n_orders=n_orders, order=order, backend=backend, dtype=dtype,
+        prograde=prograde, profile=profile, flip_theta=flip_theta,
+        flip_phi=flip_phi, has_background=has_background,
+        omega_obs=camera_omega if camera_moving else None)
+    image, cls, status, n_steps = (flat["image"], flat["cls"],
+                                   flat["status"], flat["n_steps"])
+    count, hq, hp, shade = (flat["count"], flat["hq"], flat["hp"],
+                            flat["shade"])
+    emitting = shade["valid"].any(axis=0)
 
     count_vec = jnp.stack([
         jnp.sum(cls == _classify.CLS_BH),
@@ -318,13 +372,22 @@ def render_pixels_subrings(bg_array, obs_pos, fov, mass, spin, charge,
 
 
 def render_subrings(scene, disk: DiskConfig = None, *, n_orders=3,
-                    bg_array=None, dtype=None):
+                    bg_array=None, dtype=None, aa_samples=None):
     """Scene-level driver: SceneConfig (+ DiskConfig) -> subring render
     result on the host.  Mirrors engine/disk.render_disk's knob handling
-    (inclined look-at camera, ISCO inner edge, camera worldline)."""
+    (inclined look-at camera, ISCO inner edge, camera worldline).
+
+    aa_samples=s re-traces s^2 stratified sub-rays through every layer
+    boundary pixel (aa.refine_subrings) and replaces the displayed
+    colors AND the per-order intensity maps with pixel-area averages —
+    the n >= 1 subring fluxes converge at a fraction of uniform
+    supersampling's cost (the result gains an 'aa_mask' entry)."""
+    from .integrate import resolve_backend
+
     disk = disk or DiskConfig()
     h, w = scene.image_size
     integ = scene.integrator
+    backend = resolve_backend(integ.backend)
     if dtype is None:
         dtype = jnp.float64 if integ.dtype == "float64" else jnp.float32
     has_bg = bg_array is not None and disk.show_background
@@ -358,7 +421,39 @@ def render_subrings(scene, disk: DiskConfig = None, *, n_orders=3,
         height=h, width=w, n_orders=n_orders, order=integ.order,
         flip_theta=scene.patch.flip_theta, flip_phi=scene.patch.flip_phi,
         has_background=has_bg, dtype=dtype, prograde=disk.prograde,
-        profile=disk.profile, camera_moving=moving)
+        profile=disk.profile, camera_moving=moving, backend=backend)
+
+    if aa_samples:
+        from .aa import refine_subrings
+        (res["image"], res["intensity"], res["total_intensity"],
+         res["aa_mask"]) = refine_subrings(
+            res["cls"], res["count"], res["valid"], res["image"],
+            res["intensity"], bg_dev,
+            jnp.asarray(obs_pos, dtype),
+            jnp.asarray(scene.fov, dtype),
+            jnp.asarray(scene.bh_mass, dtype),
+            jnp.asarray(scene.spin, dtype),
+            jnp.asarray(scene.charge, dtype),
+            jnp.asarray(scene.boundary_radius, dtype),
+            integ.steps,
+            jnp.asarray(integ.delta, dtype),
+            jnp.asarray(integ.omega, dtype),
+            jnp.asarray(r_in, dtype),
+            jnp.asarray(disk.r_out, dtype),
+            jnp.asarray(disk.t_peak, dtype),
+            jnp.asarray(disk.exposure, dtype),
+            jnp.asarray(scene.patch.center_theta, dtype),
+            jnp.asarray(scene.patch.center_phi, dtype),
+            jnp.asarray(scene.patch.size_theta, dtype),
+            jnp.asarray(scene.patch.size_phi, dtype),
+            jnp.asarray(omega_cam, dtype),
+            height=h, width=w, samples=int(aa_samples),
+            n_orders=n_orders, order=integ.order, backend=backend,
+            flip_theta=scene.patch.flip_theta,
+            flip_phi=scene.patch.flip_phi, has_background=has_bg,
+            dtype=dtype, prograde=disk.prograde, profile=disk.profile,
+            camera_moving=moving)
+
     return {k: np.asarray(v) for k, v in res.items()} | {
         "params": params, "r_in": float(r_in), "r_out": float(disk.r_out),
         "obs_pos": np.asarray(obs_pos), "n_orders": n_orders,

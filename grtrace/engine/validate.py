@@ -247,3 +247,53 @@ def ks_kernel_parity(spin=0.9, charge=0.0, size=48, steps=5_000,
         "exit_step_mismatch": int((np.asarray(nk) != np.asarray(nt)).sum()),
         "max_escape_pos_delta": float(dq),
     }
+
+
+def subring_kernel_parity(spin=0.9, size=24, steps=3_000, delta=0.05,
+                          n_orders=3, elev=0.3, dtype=jnp.float32,
+                          interpret=False):
+    """Subring Pallas kernel vs the XLA subring engine ON THE SAME
+    DEVICE: status / total-crossing-count / recorded-event agreement.
+    Both record the p2 momentum copy at the lerped crossing (see
+    engine/subring.py), so the event deltas measure only the
+    staggered-vs-plain fusion rounding (plus the Kahan compensation on
+    the f32 kernel side), not the FANTASY copy-split."""
+    from ..physics.camera import cartesian_ics_from_pixels, pixel_grid_lookat
+    from ..physics.spacetime import kerr_schild_g_inv
+    from .integrate_pallas_ks import integrate_batch_pallas_subrings
+    from .subring import integrate_batch_subrings
+
+    params = jnp.asarray([1.0, spin, 0.0], dtype)
+    obs = jnp.asarray([R0 * np.cos(elev), 0.0, R0 * np.sin(elev)], dtype)
+    pix = pixel_grid_lookat(obs, jnp.asarray(FOV, dtype), size, size,
+                            dtype=dtype)
+    q0, p0, _ = cartesian_ics_from_pixels(obs, pix.reshape(-1, 3),
+                                          params=params,
+                                          g_inv_fn=kerr_schild_g_inv)
+    d = jnp.asarray(delta, dtype)
+    b = jnp.asarray(BOUNDARY, dtype)
+    om = jnp.asarray(1.0, dtype)
+
+    _, _, sk, _, hq_k, hp_k, cnt_k = integrate_batch_pallas_subrings(
+        q0, p0, steps, d, params, b, om, n_orders=n_orders,
+        compensated=dtype == jnp.float32, interpret=interpret)
+    _, _, sx, _, hq_x, hp_x, cnt_x = integrate_batch_subrings(
+        q0, p0, steps, d, params, b, om, n_orders=n_orders)
+
+    cnt_k, cnt_x = np.asarray(cnt_k), np.asarray(cnt_x)
+    filled = (np.minimum(cnt_k, cnt_x)[None, :]
+              > np.arange(n_orders)[:, None])
+    dq = (np.abs(np.asarray(hq_k) - np.asarray(hq_x))[filled].max()
+          if filled.any() else 0.0)
+    dp = (np.abs(np.asarray(hp_k) - np.asarray(hp_x))[filled].max()
+          if filled.any() else 0.0)
+    return {
+        "rays": int(q0.shape[0]),
+        "steps": steps,
+        "n_orders": n_orders,
+        "status_mismatch": int((np.asarray(sk) != np.asarray(sx)).sum()),
+        "count_mismatch": int((cnt_k != cnt_x).sum()),
+        "max_crossings": int(cnt_x.max()),
+        "max_event_q_delta": float(dq),
+        "max_event_p_delta": float(dp),
+    }

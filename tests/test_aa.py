@@ -146,3 +146,54 @@ def test_refine_edges_disk_matches_uniform_supersampling():
                                   np.asarray(base.image)[~mask])
     np.testing.assert_array_equal(aa.cls, base.cls)
     assert aa.counts == base.counts
+
+
+def test_refine_subrings_matches_uniform_supersampling():
+    """The transparent-disk (subring) twin: refined pixels must equal the
+    s-x-resolution render box-averaged EXACTLY — the stratified sub-ray
+    centers coincide with the fine grid's pixel centers — for both the
+    displayed image and the per-order intensity maps; unrefined pixels
+    keep the base render's center-sample values bit-for-bit.  The flux
+    payoff follows: refined order-1 flux lands at least as close to the
+    supersampled truth as the base render's."""
+    from grtrace.engine.disk import DiskConfig
+    from grtrace.engine.subring import render_subrings
+
+    size, s, n_orders = 20, 2, 2
+
+    def ssc(n):
+        return SceneConfig(size=n, metric="kerr", spin=0.9, n_samples=0,
+                           integrator=IntegratorConfig(steps=6000,
+                                                       delta=0.2,
+                                                       backend="xla",
+                                                       dtype="float64"),
+                           patch=PatchConfig())
+
+    cfg = DiskConfig(elevation_deg=75.0, show_background=False)
+    base = render_subrings(ssc(size), cfg, n_orders=n_orders)
+    aa = render_subrings(ssc(size), cfg, n_orders=n_orders, aa_samples=s)
+    hi = render_subrings(ssc(size * s), cfg, n_orders=n_orders)
+
+    mask = aa["aa_mask"]
+    assert mask.sum() > 8          # ring boundaries + silhouette found
+    assert base["intensity"][1].sum() > 0.0   # order 1 resolves
+
+    blocks = hi["image"].astype(np.float32).reshape(size, s, size, s, 3)
+    expect = np.clip(blocks.mean(axis=(1, 3)) + 0.5, 0, 255).astype(np.uint8)
+    np.testing.assert_array_equal(aa["image"][mask], expect[mask])
+    np.testing.assert_array_equal(aa["image"][~mask], base["image"][~mask])
+
+    bi = hi["intensity"].reshape(n_orders, size, s, size, s).mean(axis=(2, 4))
+    np.testing.assert_allclose(aa["intensity"][:, mask], bi[:, mask],
+                               rtol=1e-12)
+    np.testing.assert_array_equal(aa["intensity"][:, ~mask],
+                                  base["intensity"][:, ~mask])
+    np.testing.assert_allclose(aa["total_intensity"],
+                               aa["intensity"].sum(axis=0), rtol=1e-12)
+    # center-sample semantics preserved everywhere else
+    np.testing.assert_array_equal(aa["count"], base["count"])
+    np.testing.assert_array_equal(aa["valid"], base["valid"])
+
+    truth = hi["intensity"][1].sum() / s ** 2
+    assert (abs(aa["intensity"][1].sum() - truth)
+            <= abs(base["intensity"][1].sum() - truth) + 1e-12)

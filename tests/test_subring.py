@@ -132,10 +132,105 @@ def test_cli_subring(tmp_path):
     from grtrace.cli.subring import main
 
     metrics = main(["--size", "40", "--steps", "6000", "--delta", "0.25",
-                    "--orders", "2", "--out-dir", str(tmp_path)])
+                    "--orders", "2", "--aa", "2",
+                    "--out-dir", str(tmp_path)])
     json.dumps(metrics)  # serializable
     for f in ["subring_composite.png", "subring_order_0.png",
               "subring_order_1.png", "crossing_count.png",
               "subring_summary.json", "subring_delay_01.csv"]:
         assert (tmp_path / f).exists(), f
     assert metrics["flux_per_order"][0] > 0.0
+
+
+# ---------------------------------------------------------------------------
+# Pallas subring kernel (integrate_pallas_ks.integrate_batch_pallas_subrings)
+# ---------------------------------------------------------------------------
+
+def _subring_batch_ics(spin=0.9, size=14, elev=0.3, dist=20.0):
+    import numpy as _np
+    obs = jnp.array([dist * _np.cos(elev), 0.0, dist * _np.sin(elev)])
+    pix = pixel_grid_lookat(obs, jnp.float64(_np.deg2rad(80.0)), size, size,
+                            dtype=jnp.float64)
+    params = jnp.array([1.0, spin, 0.0])
+    q0, p0, _ = cartesian_ics_from_pixels(obs, pix.reshape(-1, 3),
+                                          params=params,
+                                          g_inv_fn=METRICS["KerrSchild"])
+    return q0, p0, params
+
+
+@pytest.mark.parametrize("compensated", [False, True])
+def test_subring_pallas_kernel_matches_xla_path(compensated):
+    """The subring twin of the KS Pallas kernel (interpret mode) agrees
+    with the autodiff XLA subring engine: identical statuses / counts /
+    step parity, crossings AND momenta to the staggered-vs-plain
+    fusion-rounding scale (both record the p2 momentum copy — same
+    contract as the opaque disk twin, tests/test_disk.py)."""
+    from grtrace.engine.integrate_pallas_ks import \
+        integrate_batch_pallas_subrings
+
+    q0, p0, params = _subring_batch_ics()
+    steps, delta = 900, 0.05
+    fq, fp, st, ns, hq, hp, cnt = integrate_batch_subrings(
+        q0, p0, steps, delta, params, 31.0, 1.0, n_orders=3)
+    out_p = integrate_batch_pallas_subrings(
+        q0, p0, steps, delta, params, 31.0, 1.0, n_orders=3,
+        interpret=True, compensated=compensated)
+    fq_p, fp_p, st_p, ns_p, hq_p, hp_p, cnt_p = (np.asarray(v)
+                                                 for v in out_p)
+    np.testing.assert_array_equal(np.asarray(st), st_p)
+    np.testing.assert_array_equal(np.asarray(cnt), cnt_p)
+    # guard-trip TIMING can shift a step on captured plungers (staggered
+    # vs plain composition rounding at the horizon; same contract as
+    # tests/test_pallas_ks.py)
+    ns, ns_p = np.asarray(ns), np.asarray(ns_p)
+    cap = np.asarray(st) == 1
+    assert (ns[~cap] == ns_p[~cap]).all()
+    assert np.abs(ns[cap] - ns_p[cap]).max() <= 2
+    assert cnt_p.max() >= 2        # the scene resolves a second order
+    filled = (np.asarray(cnt)[None, :]
+              > np.arange(3)[:, None])
+    tol = 1e-5 if compensated else 1e-9
+    np.testing.assert_allclose(hq_p[filled], np.asarray(hq)[filled],
+                               atol=tol)
+    np.testing.assert_allclose(hp_p[filled], np.asarray(hp)[filled],
+                               atol=tol)
+
+
+def test_subring_pallas_zero_steps_noop():
+    from grtrace.engine.integrate_pallas_ks import \
+        integrate_batch_pallas_subrings
+
+    q0, p0, params = _subring_batch_ics(size=4)
+    fq, fp, st, ns, hq, hp, cnt = integrate_batch_pallas_subrings(
+        q0, p0, 0, 0.05, params, 31.0, 1.0, n_orders=2, interpret=True)
+    np.testing.assert_array_equal(np.asarray(fq), np.asarray(q0))
+    assert (np.asarray(cnt) == 0).all()
+    assert (np.asarray(ns) == 0).all()
+
+
+def test_render_subrings_pallas_backend():
+    """Render-level contract of the backend knob: the kernel's crossing
+    record shades identically to the XLA engine's through
+    shade_subrings (resolve_backend returns 'xla' on CPU, so the
+    backend='pallas' branch itself is pinned on-chip by
+    bench.py --validate; here the two integrator outputs are compared
+    through the same shading program)."""
+    from grtrace.engine.integrate_pallas_ks import \
+        integrate_batch_pallas_subrings
+
+    q0, p0, params = _subring_batch_ics(size=10)
+    steps, delta = 600, 0.05
+    _, _, st_x, _, hq_x, hp_x, cnt_x = integrate_batch_subrings(
+        q0, p0, steps, delta, params, 31.0, 1.0, n_orders=2)
+    _, _, st_p, _, hq_p, hp_p, cnt_p = integrate_batch_pallas_subrings(
+        q0, p0, steps, delta, params, 31.0, 1.0, n_orders=2,
+        interpret=True)
+    sx = shade_subrings(hq_x, hp_x, cnt_x, params, jnp.asarray(20.0),
+                        2.32, 14.0, theta_obs=jnp.asarray(1.27))
+    sp = shade_subrings(hq_p, hp_p, cnt_p, params, jnp.asarray(20.0),
+                        2.32, 14.0, theta_obs=jnp.asarray(1.27))
+    np.testing.assert_array_equal(np.asarray(sx["valid"]),
+                                  np.asarray(sp["valid"]))
+    np.testing.assert_allclose(np.asarray(sx["intensity"]),
+                               np.asarray(sp["intensity"]),
+                               rtol=2e-3, atol=1e-12)

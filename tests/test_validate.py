@@ -39,3 +39,21 @@ def test_ks_parity_zero_mismatch_interpret():
     assert out["status_mismatch"] == 0
     assert out["exit_step_mismatch"] == 0
     assert out["max_escape_pos_delta"] == 0.0
+
+
+def test_subring_parity_interpret():
+    """The subring twin agrees with the XLA subring engine: identical
+    statuses / crossing counts, events to the fusion-rounding +
+    f32-Kahan scale (both sides record the p2 copy)."""
+    out = val.subring_kernel_parity(size=10, steps=900, interpret=True,
+                                    n_orders=2)
+    assert out["status_mismatch"] == 0
+    assert out["count_mismatch"] == 0
+    assert out["max_crossings"] >= 1   # the scene actually crosses
+    # f32 harness config: the kernel side is Kahan-compensated, the XLA
+    # engine plain f32, so the event deltas carry the plain path's
+    # accumulated f32 rounding (~2e-4 over 900 steps), not just fusion
+    # rounding — the f64/plain-vs-plain 1e-9 contract is pinned in
+    # tests/test_subring.py
+    assert out["max_event_q_delta"] < 1e-3
+    assert out["max_event_p_delta"] < 1e-3
