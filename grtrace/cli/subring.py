@@ -42,6 +42,12 @@ def main(argv=None):
     p.add_argument('--profile', choices=('shakura', 'novikov'),
                    default='shakura')
     p.add_argument('--retrograde', action='store_true')
+    p.add_argument('--bfield', choices=('vertical', 'toroidal', 'radial'),
+                   default=None,
+                   help='Polarized imaging: per-order Walker-Penrose '
+                        'EVPA maps + the order-to-order polarization '
+                        'twist (subring_evpa_N.png, '
+                        'evpa_twist_per_order_rad in the summary)')
     p.add_argument('--aa', type=int, default=0, metavar='S',
                    help='Adaptive edge refinement: S^2 stratified '
                         'sub-rays through every layer-boundary pixel; '
@@ -72,7 +78,8 @@ def main(argv=None):
         patch=PatchConfig())
     disk = DiskConfig(r_in=args.r_in, r_out=args.r_out,
                       prograde=not args.retrograde, profile=args.profile,
-                      elevation_deg=args.elevation, show_background=False)
+                      elevation_deg=args.elevation, show_background=False,
+                      bfield=args.bfield)
     result = render_subrings(scene, disk, n_orders=args.orders,
                              aa_samples=args.aa or None)
 
@@ -91,6 +98,9 @@ def main(argv=None):
         "max_crossings": summary["max_crossings"],
         "files": len(written) + 1,
     }
+    if "evpa_twist_per_order_rad" in summary:
+        metrics["evpa_twist_per_order_rad"] = \
+            summary["evpa_twist_per_order_rad"]
     print(json.dumps(metrics))
     return metrics
 

@@ -276,7 +276,7 @@ def _trace_shade_subrings(q0f, p0f, bg_array, params, r_obs, r_obs_bl,
          static_argnames=("height", "width", "steps", "order", "n_orders",
                           "flip_theta", "flip_phi", "has_background",
                           "dtype", "prograde", "profile", "camera_moving",
-                          "backend"))
+                          "backend", "bfield"))
 def render_pixels_subrings(bg_array, obs_pos, fov, mass, spin, charge,
                            boundary_radius, steps, delta, omega,
                            r_in, r_out, t_peak, exposure,
@@ -287,7 +287,8 @@ def render_pixels_subrings(bg_array, obs_pos, fov, mass, spin, charge,
                            flip_theta=False, flip_phi=False,
                            has_background=True, dtype=jnp.float32,
                            prograde=True, profile="shakura",
-                           camera_moving=False, backend="xla"):
+                           camera_moving=False, backend="xla",
+                           bfield=None):
     """One compiled program: camera -> subring integration -> per-order
     shade -> additive thin-disk composite over the lensed background.
 
@@ -341,6 +342,22 @@ def render_pixels_subrings(bg_array, obs_pos, fov, mass, spin, charge,
                             flat["shade"])
     emitting = shade["valid"].any(axis=0)
 
+    # --- per-order polarized imaging: the photon ring's EVPA twist ---
+    # kappa (Walker-Penrose) is evaluated at each ORDER's recorded
+    # emission event, but every order shares the same camera ray, so the
+    # screen solve reuses (q0, p0): one geodesic pass yields the EVPA
+    # rotation between the direct image and each subring (the
+    # order-by-order polarization spiral flip — Palumbo-style
+    # observable; no reference counterpart).
+    pol = None
+    if bfield is not None:
+        from .disk import polarization_fields
+        pol = jax.vmap(
+            lambda hq_s, hp_s, v_s: polarization_fields(
+                hq_s, hp_s, q0f, p0f, obs_pos, fov, height, width,
+                params, prograde, bfield, v_s, dtype)
+        )(hq, hp, shade["valid"])
+
     count_vec = jnp.stack([
         jnp.sum(cls == _classify.CLS_BH),
         jnp.sum(cls == _classify.CLS_IN_DOMAIN),
@@ -368,7 +385,11 @@ def render_pixels_subrings(bg_array, obs_pos, fov, mass, spin, charge,
         "valid": shade["valid"].reshape((-1,) + hw),
         "total_intensity": shade["total_intensity"].reshape(hw),
         "count_vec": count_vec,
-    }
+    } | ({} if pol is None else {
+        "evpa": pol[0].reshape((-1,) + hw),
+        "pol_weight": pol[1].reshape((-1,) + hw),
+        "pol_check": pol[2].reshape((-1,) + hw),
+    })
 
 
 def render_subrings(scene, disk: DiskConfig = None, *, n_orders=3,
@@ -421,7 +442,8 @@ def render_subrings(scene, disk: DiskConfig = None, *, n_orders=3,
         height=h, width=w, n_orders=n_orders, order=integ.order,
         flip_theta=scene.patch.flip_theta, flip_phi=scene.patch.flip_phi,
         has_background=has_bg, dtype=dtype, prograde=disk.prograde,
-        profile=disk.profile, camera_moving=moving, backend=backend)
+        profile=disk.profile, camera_moving=moving, backend=backend,
+        bfield=disk.bfield)
 
     if aa_samples:
         from .aa import refine_subrings
@@ -519,7 +541,7 @@ def subring_summary(result):
         # negative t), so the physical delay is t_{n-1} - t_n > 0
         delays.append(float(np.median(t_bl[i - 1][both] - t_bl[i][both]))
                       if both.any() else float("nan"))
-    return {
+    out = {
         "flux_per_order": flux,
         "pixels_per_order": pix,
         "flux_ratio": ratios,
@@ -527,6 +549,24 @@ def subring_summary(result):
         "delay_per_order_M": delays,
         "max_crossings": int(np.asarray(result["count"]).max()),
     }
+    if "evpa" in result:
+        # per-order EVPA twist: the photon ring's polarization-spiral
+        # rotation between adjacent image orders — median mod-pi-wrapped
+        # angle difference over pixels emitting in BOTH layers.  The
+        # n=0 -> n=1 flip of the spiral handedness is the Palumbo-style
+        # discriminator of the field geometry.
+        evpa = np.asarray(result["evpa"], dtype=np.float64)
+        twists = []
+        for i in range(1, n_orders):
+            both = valid[i] & valid[i - 1]
+            if both.any():
+                d = evpa[i][both] - evpa[i - 1][both]
+                d = (d + np.pi / 2) % np.pi - np.pi / 2  # EVPA is mod pi
+                twists.append(float(np.median(d)))
+            else:
+                twists.append(float("nan"))
+        out["evpa_twist_per_order_rad"] = twists
+    return out
 
 
 def save_subring_maps(result, out_dir):
@@ -557,6 +597,31 @@ def save_subring_maps(result, out_dir):
         fig.savefig(p, dpi=110, bbox_inches="tight")
         plt.close(fig)
         written.append(p)
+
+    # per-order polarization: EVPA ticks over each layer's intensity
+    # (same screen convention as disk.polarization_ticks_png — the tick
+    # in (col, row) components is (sin chi, cos chi) x pitch weight)
+    if "evpa" in result:
+        evpa = np.asarray(result["evpa"])
+        wgt = np.asarray(result["pol_weight"])
+        for i in range(n_orders):
+            dm = valid[i]
+            if not dm.any():
+                continue
+            ii, jj = np.nonzero(dm)
+            fig, ax = plt.subplots(figsize=(5, 5))
+            ax.imshow(inten[i], cmap="inferno", origin="upper",
+                      vmax=max(float(inten[i].max()), 1e-30))
+            ax.quiver(jj, ii, np.sin(evpa[i][dm]) * wgt[i][dm],
+                      np.cos(evpa[i][dm]) * wgt[i][dm], color="white",
+                      scale=28.0, headwidth=1, headlength=0,
+                      headaxislength=0, pivot="middle", width=0.003)
+            ax.set_title(f"order n={i} polarization (EVPA ticks)")
+            ax.set_axis_off()
+            p = os.path.join(out_dir, f"subring_evpa_{i}.png")
+            fig.savefig(p, dpi=110, bbox_inches="tight")
+            plt.close(fig)
+            written.append(p)
 
     fig, ax = plt.subplots(figsize=(5, 5))
     im = ax.imshow(np.asarray(result["count"]), cmap="viridis",
