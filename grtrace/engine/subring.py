@@ -486,6 +486,44 @@ def render_subrings(scene, disk: DiskConfig = None, *, n_orders=3,
 # Science artifacts
 # ---------------------------------------------------------------------------
 
+def polarized_moments(result, ms=(1, 2)):
+    """Azimuthal decomposition of the complex polarization field per
+    image order: beta_m (Palumbo, Wong & Prather 2020, ApJ 894 156).
+
+        beta_m = sum_px P e^{-i m psi} / sum_px I,   P = p I e^{2 i chi}
+
+    with psi the screen position angle of the pixel about the image
+    center, chi the EVPA in the same screen basis (ticks measured from
+    camera-up toward camera-right, physics.polarization.observer_evpa),
+    I the layer intensity and p the pitch-angle weight (sin^2 theta_B —
+    the synchrotron geometry factor this framework uses as fractional
+    polarization).  beta_2 is THE photon-ring polarization observable:
+    arg(beta_2) = 0 is a radial EVPA pattern, +-pi azimuthal, and the
+    n=0 -> n=1 handedness flip of a spiral pattern shows up as an
+    arg(beta_2) rotation between the layers.
+
+    Returns {m: [complex per order]} (host-side python complex).
+    """
+    inten = np.asarray(result["intensity"], dtype=np.float64)
+    evpa = np.asarray(result["evpa"], dtype=np.float64)
+    wgt = np.asarray(result["pol_weight"], dtype=np.float64)
+    n_orders, h, w = inten.shape
+    ii, jj = np.mgrid[0:h, 0:w]
+    # rows advance along camera-up, columns along camera-right — the
+    # same (i, j) -> screen convention as the EVPA ticks, so psi and chi
+    # share an origin and orientation
+    psi = np.arctan2(jj - (w - 1) / 2.0, ii - (h - 1) / 2.0)
+    pfield = wgt * inten * np.exp(2j * evpa)
+    out = {}
+    for m in ms:
+        phase = np.exp(-1j * m * psi)
+        out[int(m)] = [
+            complex((pfield[n] * phase).sum()
+                    / max(inten[n].sum(), 1e-300))
+            for n in range(n_orders)]
+    return out
+
+
 def subring_summary(result):
     """Flux-per-order table + Lyapunov / delay estimates from a subring
     render result (host-side numpy).
@@ -566,6 +604,11 @@ def subring_summary(result):
             else:
                 twists.append(float("nan"))
         out["evpa_twist_per_order_rad"] = twists
+        beta = polarized_moments(result, ms=(2,))[2]
+        out["beta2_abs_per_order"] = [abs(b) for b in beta]
+        out["beta2_arg_per_order_rad"] = [
+            float(np.angle(b)) if abs(b) > 0 else float("nan")
+            for b in beta]
     return out
 
 

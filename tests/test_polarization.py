@@ -365,13 +365,11 @@ def test_subring_per_order_polarization_structure():
     print("twist 0->1 (rad):", tw[0])
 
 
-def test_subring_order1_toroidal_radial_pattern():
-    """Face-on Schwarzschild + toroidal field: the n=1 (once-looped)
-    image's EVPA must ALSO be screen-radial — the z -> -z mirror maps
-    the n=1 bundle onto a direct one while preserving the toroidal
-    field's E-perp-B screen direction.  Measured: max radial deviation
-    0.009 rad (tighter than n=0's 0.06, which carries more Keplerian
-    aberration at its smaller emission radii)."""
+@pytest.fixture(scope="module")
+def subring_toroidal_faceon():
+    """Face-on Schwarzschild transparent disk with a toroidal field —
+    the maximal-symmetry polarized scene, shared by the pattern and
+    beta_m tests."""
     from grtrace.engine.disk import DiskConfig
     from grtrace.engine.subring import render_subrings
     from grtrace.io.scene import IntegratorConfig, SceneConfig
@@ -382,7 +380,17 @@ def test_subring_order1_toroidal_radial_pattern():
                                                     dtype="float64"))
     cfg = DiskConfig(elevation_deg=89.9, show_background=False,
                      bfield="toroidal")
-    res = render_subrings(scene, cfg, n_orders=2)
+    return size, render_subrings(scene, cfg, n_orders=2)
+
+
+def test_subring_order1_toroidal_radial_pattern(subring_toroidal_faceon):
+    """Face-on Schwarzschild + toroidal field: the n=1 (once-looped)
+    image's EVPA must ALSO be screen-radial — the z -> -z mirror maps
+    the n=1 bundle onto a direct one while preserving the toroidal
+    field's E-perp-B screen direction.  Measured: max radial deviation
+    0.009 rad (tighter than n=0's 0.06, which carries more Keplerian
+    aberration at its smaller emission radii)."""
+    size, res = subring_toroidal_faceon
     c = (size - 1) / 2
     v1 = res["valid"][1]
     assert v1.sum() >= 10
@@ -392,3 +400,24 @@ def test_subring_order1_toroidal_radial_pattern():
     d = np.minimum(d, np.pi - d)
     assert np.median(d) < 0.05
     assert d.max() < 0.1
+
+
+def test_subring_beta2_radial_pattern_closed_form(subring_toroidal_faceon):
+    """beta_m decomposition against the closed-form symmetry: a radial
+    EVPA pattern (chi = psi) has arg(beta_2) = 0 exactly, and the scene's
+    rotational symmetry kills beta_1.  |beta_2| is bounded by the mean
+    pitch weight (it IS the intensity-weighted mean of p e^{2i(chi-psi)},
+    |.| <= <p> < 1)."""
+    from grtrace.engine.subring import polarized_moments, subring_summary
+
+    _, res = subring_toroidal_faceon
+    beta = polarized_moments(res, ms=(1, 2))
+    for n in range(2):
+        b2 = beta[2][n]
+        assert abs(b2) > 0.01                      # polarized at all
+        assert abs(np.angle(b2)) < 0.06            # radial: arg -> 0
+        assert abs(beta[1][n]) < 0.15 * abs(b2)    # m=1 symmetry-killed
+        assert abs(b2) < 1.0
+    s = subring_summary(res)
+    assert s["beta2_abs_per_order"][0] == pytest.approx(abs(beta[2][0]))
+    assert abs(s["beta2_arg_per_order_rad"][1]) < 0.06
