@@ -98,9 +98,10 @@ def main(argv=None):
         "max_crossings": summary["max_crossings"],
         "files": len(written) + 1,
     }
-    if "evpa_twist_per_order_rad" in summary:
-        metrics["evpa_twist_per_order_rad"] = \
-            summary["evpa_twist_per_order_rad"]
+    for k in ("evpa_twist_per_order_rad", "beta2_abs_per_order",
+              "beta2_arg_per_order_rad"):
+        if k in summary:
+            metrics[k] = summary[k]
     print(json.dumps(metrics))
     return metrics
 
