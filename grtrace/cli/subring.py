@@ -48,6 +48,13 @@ def main(argv=None):
                         'EVPA maps + the order-to-order polarization '
                         'twist (subring_evpa_N.png, '
                         'evpa_twist_per_order_rad in the summary)')
+    p.add_argument('--sed', action='store_true',
+                   help='Disk continuum SED per image order '
+                        '(engine.spectrum: Liouville + Planck collapse '
+                        'spectral imaging into post-processing on the '
+                        'intensity maps) -> subring_sed.csv/.png')
+    p.add_argument('--t-peak', type=float, default=9000.0,
+                   help='Disk display/SED temperature scale (kelvin)')
     p.add_argument('--aa', type=int, default=0, metavar='S',
                    help='Adaptive edge refinement: S^2 stratified '
                         'sub-rays through every layer-boundary pixel; '
@@ -79,7 +86,7 @@ def main(argv=None):
     disk = DiskConfig(r_in=args.r_in, r_out=args.r_out,
                       prograde=not args.retrograde, profile=args.profile,
                       elevation_deg=args.elevation, show_background=False,
-                      bfield=args.bfield)
+                      bfield=args.bfield, t_peak=args.t_peak)
     result = render_subrings(scene, disk, n_orders=args.orders,
                              aa_samples=args.aa or None)
 
@@ -87,6 +94,35 @@ def main(argv=None):
     artifacts.save_image(result["image"],
                          os.path.join(args.out_dir, "subring_composite.png"))
     written, summary = save_subring_maps(result, args.out_dir)
+
+    if args.sed:
+        import numpy as np
+
+        from ..engine.spectrum import disk_sed
+
+        nu, sed = disk_sed(result["intensity"], args.t_peak)
+        rows = np.column_stack([nu, sed.T, sed.sum(axis=0)])
+        hdr = "nu_hz," + ",".join(f"sed_order_{i}"
+                                  for i in range(args.orders)) + ",total"
+        csv = os.path.join(args.out_dir, "subring_sed.csv")
+        np.savetxt(csv, rows, delimiter=",", header=hdr, comments="")
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        fig, ax = plt.subplots(figsize=(6, 4.2))
+        for i in range(args.orders):
+            if sed[i].max() > 0:
+                ax.loglog(nu, sed[i], label=f"n={i}")
+        ax.loglog(nu, sed.sum(axis=0), "k--", lw=1, label="total")
+        ax.set_xlabel("frequency (Hz)")
+        ax.set_ylabel("relative $L_\\nu$")
+        ax.set_title("disk continuum SED per image order")
+        ax.legend()
+        ax.set_ylim(bottom=max(sed.max() * 1e-8, 1e-300))
+        png = os.path.join(args.out_dir, "subring_sed.png")
+        fig.savefig(png, dpi=110, bbox_inches="tight")
+        plt.close(fig)
+        written += [csv, png]
 
     metrics = {
         "orders": args.orders,
