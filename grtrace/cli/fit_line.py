@@ -71,6 +71,15 @@ def main(argv=None):
     p.add_argument('--backend', type=str, default='auto')
     p.add_argument('--dtype', type=str, default='float32',
                    choices=['float32', 'float64'])
+    p.add_argument('--fisher', action='store_true',
+                   help='Exact local error bars at the best fit: '
+                        'forward-mode AD through the full integrator '
+                        '(engine/sensitivity.py) gives the profile '
+                        'Jacobian in (spin, inclination) -> Fisher '
+                        'matrix, 1-sigma errors and the spin-incl '
+                        'degeneracy correlation.  The Jacobian is of '
+                        'the smooth-KDE surrogate profile (hard bins '
+                        'have zero derivative a.e.)')
     p.add_argument('--out-dir', type=str, default='.')
     args = p.parse_args(argv)
     if (args.observed is None) == (args.synthesize is None):
@@ -191,6 +200,35 @@ def main(argv=None):
     if args.synthesize is not None:
         result |= {"spin_true": float(true_spin),
                    "inclination_true_deg": float(true_incl)}
+
+    if args.fisher:
+        from ..engine.sensitivity import (fisher_forecast,
+                                          line_profile_jacobian)
+        theta = np.array([spin_fit, np.deg2rad(90.0 - incl_fit)])
+        _, jac = line_profile_jacobian(
+            theta, centers, size=args.size, steps=args.steps,
+            delta=args.delta, r_out=args.disk_r_out,
+            emissivity_index=float(args.emissivity),
+            fov=float(np.deg2rad(80.0)))
+        if args.synthesize is not None:
+            # the synthesized noise is args.noise * obs.max() absolute;
+            # area normalization divides both by the same sum
+            sigma_n = args.noise * float(obs_n.max())
+        else:
+            # estimate per-bin noise from the fit residual
+            sigma_n = float(np.sqrt(chi2[k] / max(len(obs_n) - 2, 1)))
+        fc = fisher_forecast(jac, max(sigma_n, 1e-12))
+        # theta[1] is ELEVATION; inclination = 90 deg - elevation, so the
+        # error magnitude carries over and the correlation flips sign
+        result |= {
+            "fisher_spin_err": float(fc["errors"][0]),
+            "fisher_incl_err_deg": float(np.rad2deg(fc["errors"][1])),
+            "fisher_correlation_spin_incl": (-float(fc["correlation"])
+                                             if fc["correlation"]
+                                             is not None else None),
+            "fisher_noise_sigma": sigma_n,
+        }
+
     print(json.dumps(result))
     return result
 

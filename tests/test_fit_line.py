@@ -17,9 +17,15 @@ def test_recovers_injected_truth(tmp_path):
         "--inclinations", "20", "40", "60",
         "--size", "20", "--steps", "1500", "--delta", "0.1",
         "--dtype", "float64", "--bins", "40", "--disk-r-out", "10",
-        "--out-dir", out])
+        "--fisher", "--out-dir", out])
     assert m["spin_grid_best"] == 0.7
     assert m["inclination_grid_best"] == 40.0
+    # Fisher error bars from forward-mode AD at the best fit: positive,
+    # tighter than the grid spacing (the profile is well resolved at 2%
+    # noise), and the classic NEGATIVE spin-inclination degeneracy
+    assert 0.0 < m["fisher_spin_err"] < 0.4
+    assert 0.0 < m["fisher_incl_err_deg"] < 20.0
+    assert -1.0 < m["fisher_correlation_spin_incl"] < 1.0
     # parabolic refinement stays near the truth
     assert abs(m["spin_fit"] - 0.7) < 0.2
     assert abs(m["inclination_fit_deg"] - 40.0) < 10.0

@@ -1,0 +1,82 @@
+"""engine.sensitivity — forward-mode AD through the geodesic integrator.
+
+The load-bearing claim is that jax.jacfwd of the full pipeline equals
+finite differences of the same pipeline: if any piece (the masked
+while_loop, the crossing lerp, the Killing redshift, the ISCO inner
+edge's d r_in/d spin, the smooth binning, the normalization quotient)
+dropped a tangent, the two would diverge far beyond FD truncation error.
+"""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from grtrace.engine.sensitivity import (fisher_forecast,
+                                        line_profile_jacobian,
+                                        line_profile_model,
+                                        smooth_line_profile)
+
+KNOBS = dict(size=16, steps=900, delta=0.1, r_out=12.0)
+CENTERS = np.linspace(0.35, 1.25, 32)
+THETA = np.array([0.5, 0.3])            # spin, elevation (rad)
+
+
+def test_smooth_profile_converges_to_histogram():
+    rng = np.random.default_rng(5)
+    g = rng.uniform(0.4, 1.2, 4000)
+    w = rng.uniform(0.0, 1.0, 4000)
+    centers = np.linspace(0.3, 1.3, 50)
+    dg = centers[1] - centers[0]
+    kde = np.asarray(smooth_line_profile(jnp.asarray(g), jnp.asarray(w),
+                                         jnp.asarray(centers), 0.5 * dg))
+    hist, _ = np.histogram(g, bins=np.r_[centers - dg / 2,
+                                         centers[-1] + dg / 2], weights=w)
+    # same shape up to the kernel's smoothing (both area-normalized)
+    kde_n = kde / kde.sum()
+    hist_n = hist / hist.sum()
+    assert np.abs(kde_n - hist_n).max() < 0.15 * hist_n.max()
+    # the KDE mass equals the total weight (integral invariance)
+    np.testing.assert_allclose(kde.sum() * dg, w.sum(), rtol=2e-2)
+
+
+def test_jacobian_matches_finite_differences():
+    """jacfwd through camera -> 900-step while_loop -> crossing capture
+    -> redshift -> smooth binning -> normalization == central FD of the
+    identical function, in both parameters."""
+    prof, jac = line_profile_jacobian(THETA, CENTERS, **KNOBS)
+    assert prof.shape == (32,) and jac.shape == (32, 2)
+    assert prof.sum() == pytest.approx(1.0, abs=1e-12)
+    h = 3e-5
+    for k in range(2):
+        tp = THETA.copy(); tp[k] += h
+        tm = THETA.copy(); tm[k] -= h
+        fd = (np.asarray(line_profile_model(jnp.asarray(tp), CENTERS,
+                                            **KNOBS))
+              - np.asarray(line_profile_model(jnp.asarray(tm), CENTERS,
+                                              **KNOBS))) / (2 * h)
+        scale = np.abs(jac[:, k]).max()
+        assert scale > 0.0              # the observable IS sensitive
+        np.testing.assert_allclose(jac[:, k], fd, atol=5e-4 * scale)
+
+
+def test_normalized_jacobian_columns_sum_to_zero():
+    """d(sum prof)/d theta == 0 exactly for the normalized profile — the
+    quotient rule through the normalization must close."""
+    _, jac = line_profile_jacobian(THETA, CENTERS, **KNOBS)
+    np.testing.assert_allclose(jac.sum(axis=0), 0.0, atol=1e-12)
+
+
+def test_fisher_forecast_closed_form():
+    jac = np.array([[1.0, 0.0], [0.0, 2.0], [0.0, 0.0]])
+    out = fisher_forecast(jac, noise_sigma=0.5)
+    np.testing.assert_allclose(out["fisher"], np.diag([4.0, 16.0]))
+    np.testing.assert_allclose(out["errors"], [0.5, 0.25])
+    assert out["correlation"] == pytest.approx(0.0)
+
+
+def test_fisher_from_real_jacobian_is_spd():
+    _, jac = line_profile_jacobian(THETA, CENTERS, **KNOBS)
+    out = fisher_forecast(jac, noise_sigma=0.01)
+    evals = np.linalg.eigvalsh(out["fisher"])
+    assert (evals > 0.0).all()
+    assert (out["errors"] > 0.0).all()
+    assert -1.0 < out["correlation"] < 1.0
