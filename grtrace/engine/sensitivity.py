@@ -44,14 +44,31 @@ def smooth_line_profile(g, w, centers, sigma):
     return (k * w[None, :]).sum(axis=1) / (sigma * jnp.sqrt(2.0 * jnp.pi))
 
 
+def soft_bin_profile(g, w, centers, softness):
+    """Differentiable HISTOGRAM: each ray's weight lands in bin b with
+    the erf-smoothed indicator of |c_b - g| < dg/2 (exact hard binning
+    as softness -> 0).  Unlike the KDE this matches the hard histogram
+    BIN FOR BIN up to O(softness), so a fit can compare against
+    hard-binned data without a kernel-shape systematic — the KDE's
+    boxcar-vs-gaussian mismatch is what stalls Gauss-Newton ~0.1 in
+    spin (measured; see gauss_newton_fit)."""
+    from jax.scipy.special import erf
+    dg = centers[1] - centers[0]
+    s = softness * jnp.sqrt(2.0)
+    d = centers[:, None] - g[None, :]
+    k = 0.5 * (erf((d + dg / 2) / s) - erf((d - dg / 2) / s))
+    return (k * w[None, :]).sum(axis=1)
+
+
 @partial(jax.jit,
          static_argnames=("size", "steps", "order", "prograde",
-                          "normalize"))
+                          "normalize", "binning"))
 def line_profile_model(theta, centers, *, size=48, steps=4000, delta=0.1,
                        omega=1.0, order=2, r_out=14.0, obs_distance=30.0,
                        fov=1.396263, mass=1.0, charge=0.0,
                        boundary_radius=31.0, prograde=True,
-                       emissivity_index=3.0, sigma=None, normalize=True):
+                       emissivity_index=3.0, sigma=None, normalize=True,
+                       binning="kde"):
     """theta = [spin, elevation_rad] -> smooth iron-line profile on the
     given g-bin centers.  Same physics as the SPMD line-profile sweep
     (sharding/grid.line_profile_grid_sharded): disk annulus
@@ -99,7 +116,10 @@ def line_profile_model(theta, centers, *, size=48, steps=4000, delta=0.1,
     w = jnp.where(hit, g ** 4 * jnp.maximum(r_em, 1e-30)
                   ** (-emissivity_index), 0.0)
     g_safe = jnp.where(hit, g, centers[0])   # parked rays carry w = 0
-    prof = smooth_line_profile(g_safe, w, centers, sigma)
+    if binning == "soft":
+        prof = soft_bin_profile(g_safe, w, centers, sigma)
+    else:
+        prof = smooth_line_profile(g_safe, w, centers, sigma)
     if normalize:
         prof = prof / jnp.maximum(prof.sum(), 1e-30)
     return prof
@@ -116,6 +136,92 @@ def line_profile_jacobian(theta, centers, **knobs):
             for k in range(theta.shape[0])]
     return np.asarray(prof), np.stack([np.asarray(c) for c in cols],
                                       axis=1)
+
+
+def gauss_newton_fit(theta0, obs_flux, centers, *, n_iter=4,
+                     damping=1e-3, spin_max=0.999, smooth_width=5.0,
+                     **knobs):
+    """Gauss-Newton refinement of (spin, elevation) against an observed
+    line profile, using the exact AD Jacobian instead of grid geometry.
+
+    This is a LOCAL sub-grid refiner: start it from the chi^2 grid's
+    best point (within ~one grid cell of the optimum) — the profile is
+    strongly nonlinear in spin across larger moves and Gauss-Newton has
+    no global view.  Three measured design choices:
+
+      * model and data must live in the SAME space: the model soft-bins
+        its rays with the erf kernel (soft_bin_profile — hard binning
+        up to O(softness)); a Gaussian-KDE model against a hard
+        histogram leaves a kernel-shape systematic that walks the fit
+        ~0.1 in spin even though truth has the lower residual;
+      * both the soft model histogram and the hard data histogram pass
+        through ONE shared Gaussian smoothing matrix (smooth_width x
+        bin width) before area normalization — wide enough to drown the
+        data's own ray-quantization noise (a 32^2 camera puts O(0.02)
+        of normalized flux on single bin edges), which otherwise
+        projects onto the spin direction;
+      * a backtracking line search halves any step that increases the
+        residual — with a quantization-noise floor the raw GN step
+        overshoots near convergence.
+
+    Accuracy is bounded by the observation's sampling fidelity, not by
+    the optimizer: against a well-sampled profile the refinement lands
+    within the Fisher errors (tests/test_sensitivity.py); against a
+    coarse ray-binned demo observation the residual floor is the
+    camera's, as it should be.
+
+    Returns (theta, history) with history = per-iteration
+    [spin, elevation, residual_norm_before_step].
+    """
+    centers = np.asarray(centers, np.float64)
+    dg = float(centers[1] - centers[0])
+    softness = knobs.pop("sigma", None) or 0.4 * dg
+    smooth = np.exp(-0.5 * ((centers[:, None] - centers[None, :])
+                            / (smooth_width * dg)) ** 2)
+    smooth_j = jnp.asarray(smooth)
+
+    def fwd(t):
+        hist = line_profile_model(t, jnp.asarray(centers),
+                                  binning="soft", sigma=softness,
+                                  normalize=False, **knobs)
+        sm = smooth_j @ hist
+        return sm / jnp.maximum(sm.sum(), 1e-30)
+
+    def clipped(t):
+        return np.array([float(np.clip(t[0], -spin_max, spin_max)),
+                         float(np.clip(t[1], 1e-3, np.pi / 2 - 1e-3))])
+
+    obs_s = smooth @ np.asarray(obs_flux, np.float64)
+    obs_s = obs_s / max(obs_s.sum(), 1e-30)
+
+    theta = clipped(np.asarray(theta0, np.float64))
+    history = []
+    for _ in range(n_iter):
+        prof, lin = jax.linearize(fwd, jnp.asarray(theta))
+        jac = np.stack([np.asarray(lin(jnp.zeros_like(jnp.asarray(theta))
+                                       .at[k].set(1.0)))
+                        for k in range(theta.shape[0])], axis=1)
+        r = obs_s - np.asarray(prof)
+        rn = float(np.linalg.norm(r))
+        jtj = jac.T @ jac
+        step = np.linalg.solve(jtj + damping * np.diag(np.diag(jtj)),
+                               jac.T @ r)
+        cand = clipped(theta + step)
+        improved = False
+        for _bt in range(6):   # backtracking line search
+            rn_new = float(np.linalg.norm(
+                obs_s - np.asarray(fwd(jnp.asarray(cand)))))
+            if rn_new < rn:
+                improved = True
+                break
+            step = 0.5 * step
+            cand = clipped(theta + step)
+        if not improved:       # at the residual floor: converged
+            history.append([theta[0], theta[1], rn])
+            break
+        theta = cand
+        history.append([theta[0], theta[1], rn])
+    return theta, history
 
 
 def fisher_forecast(jac, noise_sigma):

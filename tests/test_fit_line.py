@@ -17,9 +17,18 @@ def test_recovers_injected_truth(tmp_path):
         "--inclinations", "20", "40", "60",
         "--size", "20", "--steps", "1500", "--delta", "0.1",
         "--dtype", "float64", "--bins", "40", "--disk-r-out", "10",
-        "--fisher", "--out-dir", out])
+        "--fisher", "--gauss-newton", "3", "--out-dir", out])
     assert m["spin_grid_best"] == 0.7
     assert m["inclination_grid_best"] == 40.0
+    # Gauss-Newton at this deliberately tiny budget (20^2 camera, 1500
+    # steps) can only be pinned on MECHANICS — the observation's own
+    # ray-quantization floor at 20^2 is ~0.2 in spin along the
+    # degeneracy valley, so accuracy is pinned at the engine level
+    # (tests/test_sensitivity.py) where the data is well sampled
+    assert abs(m["spin_fit"] - 0.7) < 0.4          # stays in the basin
+    assert abs(m["inclination_fit_deg"] - 40.0) < 10.0
+    rns = m["gn_residual_norms"]
+    assert all(b <= a + 1e-12 for a, b in zip(rns, rns[1:]))
     # Fisher error bars from forward-mode AD at the best fit: positive,
     # tighter than the grid spacing (the profile is well resolved at 2%
     # noise), and the classic NEGATIVE spin-inclination degeneracy
