@@ -177,12 +177,16 @@ def main():
     # results the README quotes, reproduced in every driver artifact
     from grtrace.engine import validate as val
     t0 = time.time()
-    onchip = {
-        "schw": val.schwarzschild_shadow_error(),
-        "kerr": val.kerr_shadow_errors(),
-        "ks_parity": val.ks_kernel_parity(),
-        "subring_parity": val.subring_kernel_parity(),
-    }
+    onchip = {}
+    for name, check in [("schw", val.schwarzschild_shadow_error),
+                        ("kerr", val.kerr_shadow_errors),
+                        ("ks_parity", val.ks_kernel_parity),
+                        ("subring_parity", val.subring_kernel_parity)]:
+        # one failing check must not cost the round its headline artifact
+        try:
+            onchip[name] = check()
+        except Exception as e:                      # noqa: BLE001
+            onchip[name] = {"error": f"{type(e).__name__}: {e}"[:300]}
     onchip["validate_s"] = round(time.time() - t0, 1)
 
     rays = size * size

@@ -48,6 +48,12 @@ def main(argv=None):
                         'EVPA maps + the order-to-order polarization '
                         'twist (subring_evpa_N.png, '
                         'evpa_twist_per_order_rad in the summary)')
+    p.add_argument('--visibility', action='store_true',
+                   help='Per-order u-v signatures: |V|(b) radial '
+                        'profile, first null and thin-ring diameter '
+                        'per image order (the interferometric subring '
+                        'program) -> subring_visibility.csv + ring '
+                        'diameters in the JSON')
     p.add_argument('--sed', action='store_true',
                    help='Disk continuum SED per image order '
                         '(engine.spectrum: Liouville + Planck collapse '
@@ -95,6 +101,31 @@ def main(argv=None):
                          os.path.join(args.out_dir, "subring_composite.png"))
     written, summary = save_subring_maps(result, args.out_dir)
 
+    if args.visibility:
+        import numpy as np
+
+        from ..engine.subring import subring_visibilities
+
+        vis = subring_visibilities(result, float(np.deg2rad(args.fov)))
+        pop = [v for v in vis if v["baselines"] is not None]
+        if pop:
+            cols, hdr = [pop[0]["baselines"]], "baseline_per_rad"
+            for v in pop:
+                cols.append(v["profile"])
+                hdr += f",absV_order_{v['order']}"
+            np.savetxt(os.path.join(args.out_dir,
+                                    "subring_visibility.csv"),
+                       np.column_stack(cols), delimiter=",",
+                       header=hdr, comments="")
+            written.append("subring_visibility.csv")
+        metrics_vis = {
+            "ring_diameter_rad_per_order": [v["ring_diameter_rad"]
+                                            for v in vis],
+            "b_null_per_order": [v["b_null"] for v in vis],
+        }
+    else:
+        metrics_vis = {}
+
     if args.sed:
         import numpy as np
 
@@ -133,7 +164,7 @@ def main(argv=None):
         "delay_per_order_M": summary["delay_per_order_M"],
         "max_crossings": summary["max_crossings"],
         "files": len(written) + 1,
-    }
+    } | metrics_vis
     for k in ("evpa_twist_per_order_rad", "beta2_abs_per_order",
               "beta2_arg_per_order_rad"):
         if k in summary:

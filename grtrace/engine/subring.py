@@ -486,6 +486,48 @@ def render_subrings(scene, disk: DiskConfig = None, *, n_orders=3,
 # Science artifacts
 # ---------------------------------------------------------------------------
 
+def subring_visibilities(result, fov_rad, pad=6, n_bins=400):
+    """Per-order u-v signatures from one subring render: each layer's
+    |V|(b) radial profile, first null, and thin-ring diameter estimate,
+    in camera radians (multiply baselines by visibility.camera_to_earth
+    for physical wavelengths at a real source).
+
+    Physics: the n-th layer converges exponentially onto the Bardeen
+    critical curve, so for n >= 1 it IS close to the infinitesimally
+    thin ring the J0 null estimator assumes — the estimator is cleaner
+    on the decomposed layers than on the composite image, where the
+    direct emission fills the ring in and shifts the null (the dominant
+    systematic of ring-diameter extraction from total images).  The
+    interferometric subring program (Johnson et al. 2020: long-baseline
+    visibility plateaus per order) reads these per-order profiles
+    directly.
+
+    Returns a list of dicts {order, baselines, profile, b_null,
+    ring_diameter_rad}; unpopulated layers get NaN estimates.
+    """
+    from .visibility import (first_null, radial_profile,
+                             ring_diameter_from_null, visibility_map)
+
+    inten = np.asarray(result["intensity"], np.float64)
+    n_orders, h, w = inten.shape
+    pixel_cam = 2.0 * np.tan(fov_rad / 2.0) / w
+    out = []
+    for n in range(n_orders):
+        if inten[n].sum() <= 0.0:
+            out.append({"order": n, "baselines": None, "profile": None,
+                        "b_null": float("nan"),
+                        "ring_diameter_rad": float("nan")})
+            continue
+        amp, u, v = visibility_map(inten[n], pixel_cam, pad=pad)
+        base, prof = radial_profile(amp, u, v, n_bins=n_bins,
+                                    b_max=min(u.max(), v.max()) / 4.0)
+        b_null = first_null(base, prof)
+        out.append({"order": n, "baselines": base, "profile": prof,
+                    "b_null": b_null,
+                    "ring_diameter_rad": ring_diameter_from_null(b_null)})
+    return out
+
+
 def polarized_moments(result, ms=(1, 2)):
     """Azimuthal decomposition of the complex polarization field per
     image order: beta_m (Palumbo, Wong & Prather 2020, ApJ 894 156).

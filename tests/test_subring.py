@@ -234,3 +234,58 @@ def test_render_subrings_pallas_backend():
     np.testing.assert_allclose(np.asarray(sx["intensity"]),
                                np.asarray(sp["intensity"]),
                                rtol=2e-3, atol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# per-order interferometric signatures (subring_visibilities)
+# ---------------------------------------------------------------------------
+
+def test_subring_visibilities_synthetic_layers():
+    """The per-order router pinned on fabricated layers: a thin ring in
+    layer 1 must return its exact diameter through the J0 first-null
+    estimator (2% with pad=6 interpolation), and a null-free Gaussian
+    blob in layer 0 must return NaN rather than a fabricated null."""
+    from grtrace.engine.subring import subring_visibilities
+
+    size, fov = 96, np.deg2rad(60.0)
+    yy, xx = np.mgrid[0:size, 0:size] - (size - 1) / 2.0
+    rho = np.hypot(xx, yy)
+    inten = np.zeros((2, size, size))
+    inten[0] = np.exp(-0.5 * (rho / 6.0) ** 2)          # no visibility null
+    inten[1] = np.exp(-0.5 * ((rho - 20.0) / 0.7) ** 2)  # thin ring r=20px
+    res = {"intensity": inten}
+    vis = subring_visibilities(res, fov)
+    assert np.isnan(vis[0]["ring_diameter_rad"])
+    pixel_cam = 2.0 * np.tan(fov / 2.0) / size
+    expect = 2 * 20.0 * pixel_cam
+    assert vis[1]["ring_diameter_rad"] == pytest.approx(expect, rel=0.02)
+
+
+def test_subring_visibilities_real_render_smoke():
+    """On a real face-on render the n=1 layer is a (pixel-quantized)
+    photon ring: the estimator must find a null and land within the
+    quantization scale of the image-space ring diameter."""
+    from grtrace.engine.disk import DiskConfig
+    from grtrace.engine.subring import render_subrings, subring_visibilities
+    from grtrace.io.scene import IntegratorConfig, SceneConfig
+
+    size = 64
+    scene = SceneConfig(size=size, metric="kerr", spin=0.0, n_samples=0,
+                        integrator=IntegratorConfig(steps=6000, delta=0.06,
+                                                    dtype="float64"))
+    res = render_subrings(scene, DiskConfig(elevation_deg=89.9,
+                                            show_background=False),
+                          n_orders=2)
+    fov = np.deg2rad(80.0)
+    vis = subring_visibilities(res, fov)
+    v1 = res["valid"][1]
+    assert v1.sum() >= 6
+    c = (size - 1) / 2.0
+    ii, jj = np.nonzero(v1)
+    w = res["intensity"][1][v1]
+    mean_rho = float((np.hypot(ii - c, jj - c) * w).sum() / w.sum())
+    geo = 2.0 * mean_rho * (2.0 * np.tan(fov / 2.0) / size)
+    assert np.isfinite(vis[1]["b_null"])
+    # the ~8-px ring is radially sub-pixel: 25% covers the measured 19%
+    # center-sample quantization bias (vis 0.378 vs geo 0.317 rad)
+    assert vis[1]["ring_diameter_rad"] == pytest.approx(geo, rel=0.25)
