@@ -55,6 +55,12 @@ def main(argv=None):
                    help='frame shards (default: all devices on rays)')
     p.add_argument('--out-dir', type=str, default='.')
     p.add_argument('--no-plot', action='store_true')
+    p.add_argument('--fisher', type=float, default=None, metavar='SIGMA',
+                   help='also compute the sharded Fisher-forecast map: '
+                        'per grid point the 1-sigma errors on (spin, '
+                        'inclination) a line fit with per-bin noise SIGMA '
+                        'would attain (forward-mode AD through the '
+                        'geodesic integrator; float64)')
     p.add_argument('--bench', action='store_true',
                    help='print one JSON line: compile-warm sweep wall time')
     p.add_argument('--out-json', type=str, default=None)
@@ -148,6 +154,66 @@ def main(argv=None):
     print(f"{f} grid points ({len(args.spins)} spins x "
           f"{len(args.inclinations)} inclinations), {len(q_tuple)} "
           f"emissivities, {args.bins} bins -> {args.out_dir}")
+
+    if args.fisher is not None:
+        # Fisher map over the same grid: grid points on 'frames', the
+        # AD Jacobian through the full integrator per point.  Engine
+        # elevation is the inclination complement, so the elevation
+        # errors ARE the inclination errors and the correlation flips
+        # sign with the convention (d elev = -d incl).
+        from ..sharding.grid import fisher_grid_sharded
+
+        fish = np.asarray(fisher_grid_sharded(
+            mesh, spins, elevs, args.fisher, size=args.size,
+            steps=args.steps, delta=args.delta, order=args.order,
+            r_out=args.disk_r_out, obs_distance=args.observer_distance,
+            fov=np.deg2rad(args.fov), mass=args.bh_mass,
+            charge=args.charge, boundary_radius=args.boundary_radius,
+            prograde=not args.retrograde,
+            emissivity_index=q_tuple[0], n_bins=args.bins,
+            g_lo=g_lo, g_hi=g_hi), np.float64)
+        sig_a = fish[:, 0]
+        sig_i = np.rad2deg(fish[:, 1])
+        corr = -fish[:, 2]
+        np.savetxt(os.path.join(args.out_dir, "fisher_grid.csv"),
+                   np.column_stack([spins, incls, sig_a, sig_i, corr]),
+                   delimiter=",", comments="",
+                   header="spin,inclination_deg,sigma_spin,"
+                          "sigma_inclination_deg,correlation_spin_incl",
+                   fmt="%.8g")
+        if not args.no_plot:
+            import matplotlib
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+
+            ns, ni = len(args.spins), len(args.inclinations)
+            ext = [min(args.inclinations), max(args.inclinations),
+                   min(args.spins), max(args.spins)]
+            fig, axes = plt.subplots(1, 3, figsize=(14, 3.8))
+            panels = [(np.log10(sig_a), "log$_{10}$ $\\sigma$(spin)",
+                       "viridis"),
+                      (np.log10(sig_i), "log$_{10}$ $\\sigma$(incl) "
+                       "[deg]", "viridis"),
+                      (corr, "corr(spin, incl)", "coolwarm")]
+            for ax, (z, title, cmap) in zip(axes, panels):
+                kw = ({"vmin": -1, "vmax": 1} if cmap == "coolwarm"
+                      else {})
+                im = ax.imshow(z.reshape(ns, ni), origin="lower",
+                               aspect="auto", extent=ext, cmap=cmap,
+                               **kw)
+                ax.set_xlabel("inclination (deg)")
+                ax.set_ylabel("spin a")
+                ax.set_title(title)
+                fig.colorbar(im, ax=ax)
+            fig.suptitle(f"Fisher forecast (per-bin noise "
+                         f"$\\sigma$ = {args.fisher:g})")
+            fig.tight_layout()
+            fig.savefig(os.path.join(args.out_dir, "fisher_grid.png"),
+                        dpi=110, bbox_inches="tight")
+            plt.close(fig)
+        print(f"fisher map: sigma(spin) {sig_a.min():.3g}..."
+              f"{sig_a.max():.3g}, sigma(incl) {sig_i.min():.3g}..."
+              f"{sig_i.max():.3g} deg -> fisher_grid.csv")
 
     if args.bench:
         import json

@@ -260,3 +260,68 @@ def subring_grid_sharded(mesh, spins, elevations, obs_distance, fov,
                          in_specs=(P("frames"), P("frames")),
                          out_specs=P("frames"),
                          check_vma=False)(spins, elevations)
+
+
+@partial(jax.jit,
+         static_argnames=("mesh", "size", "steps", "order", "prograde",
+                          "n_bins", "g_lo", "g_hi"))
+def fisher_grid_sharded(mesh, spins, elevations, noise_sigma, *,
+                        size=48, steps=4000, delta=0.1, omega=1.0,
+                        order=2, r_out=14.0, obs_distance=30.0,
+                        fov=1.396263, mass=1.0, charge=0.0,
+                        boundary_radius=31.0, prograde=True,
+                        emissivity_index=3.0, n_bins=48, g_lo=0.1,
+                        g_hi=1.6):
+    """Fisher forecast MAP over the (spin, elevation) plane: one SPMD
+    program returning, per grid point, the 1-sigma marginalized errors
+    sigma(spin), sigma(elevation) and the spin-elevation correlation a
+    line-profile fit at that truth would attain with per-bin noise
+    `noise_sigma`.
+
+    This is the synthesis of the framework's two distinctive legs: the
+    forward-mode AD Jacobian through the full geodesic integrator
+    (engine/sensitivity.line_profile_model — jax.jacfwd rides straight
+    through the masked while_loop) composed with the SPMD grid sweep
+    (grid points on the 'frames' mesh axis, zero collectives — each
+    point's Jacobian is an independent spacetime).  Mission design in
+    one compiled program: where in parameter space does the observable
+    constrain spin, and where does the degeneracy blind it?
+
+    Returns (F, 3), float64 under x64: [sigma_spin, sigma_elev_rad,
+    correlation].
+    No reference counterpart at any level: the reference cannot
+    differentiate its integrator, and has no disk, spectra or sweeps.
+    """
+    from ..engine.sensitivity import line_profile_model
+
+    # widest dtype available: f64 under x64 (the intended production
+    # setting for Fisher algebra), f32 otherwise (compile smoke tests)
+    wide = jax.dtypes.canonicalize_dtype(jnp.float64)
+    spins = jnp.asarray(spins, wide)
+    elevations = jnp.asarray(elevations, wide)
+    centers = jnp.linspace(g_lo + 0.5 * (g_hi - g_lo) / n_bins,
+                           g_hi - 0.5 * (g_hi - g_lo) / n_bins, n_bins,
+                           dtype=wide)
+    knobs = dict(size=size, steps=steps, delta=delta, omega=omega,
+                 order=order, r_out=r_out, obs_distance=obs_distance,
+                 fov=fov, mass=mass, charge=charge,
+                 boundary_radius=boundary_radius, prograde=prograde,
+                 emissivity_index=emissivity_index)
+
+    def point_fisher(spin_f, elev_f):
+        theta = jnp.stack([spin_f, elev_f])
+        jac = jax.jacfwd(
+            lambda t: line_profile_model(t, centers, **knobs))(theta)
+        f = (jac.T @ jac) / (jnp.asarray(noise_sigma, wide) ** 2)
+        cov = jnp.linalg.inv(f)
+        err = jnp.sqrt(jnp.diag(cov))
+        corr = cov[0, 1] / jnp.maximum(err[0] * err[1], 1e-300)
+        return jnp.stack([err[0], err[1], corr])
+
+    def shard_body(spins_l, elevs_l):
+        return jax.vmap(point_fisher)(spins_l, elevs_l)
+
+    return jax.shard_map(shard_body, mesh=mesh,
+                         in_specs=(P("frames"), P("frames")),
+                         out_specs=P("frames"),
+                         check_vma=False)(spins, elevations)

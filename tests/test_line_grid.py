@@ -134,6 +134,36 @@ def test_cli_artifacts(tmp_path):
     assert np.allclose(flux.max(axis=1), 1.0)
 
 
+def test_cli_fisher_map(tmp_path):
+    """--fisher adds the Fisher-forecast artifacts, with the inclination
+    sign convention applied (sigma in deg, corr flipped vs elevation)."""
+    from grtrace.cli import line_grid as cli
+
+    out = str(tmp_path)
+    cli.main(["--spins", "0.3", "0.9", "--inclinations", "30", "60",
+              "--size", "16", "--steps", "800", "--delta", "0.1",
+              "--dtype", "float64", "--bins", "24", "--no-plot",
+              "--fisher", "0.01", "--out-dir", out])
+    csv = np.genfromtxt(os.path.join(out, "fisher_grid.csv"),
+                        delimiter=",", names=True)
+    assert csv.size == 4
+    assert (csv["sigma_spin"] > 0).all()
+    assert (csv["sigma_inclination_deg"] > 0).all()
+    assert (np.abs(csv["correlation_spin_incl"]) < 1.0).all()
+    # the map's robust physics: a more inclined disk spreads the line
+    # over more Doppler structure, so spin is better constrained at
+    # i=60 than i=30 at BOTH spins.  (High spin is NOT uniformly better
+    # constrained — at (0.9, 30) the spin-incl degeneracy, corr ~ -0.87,
+    # inflates the marginalized error; that is exactly what this map is
+    # for.)
+    for a in (0.3, 0.9):
+        face = csv["sigma_spin"][(csv["spin"] == a)
+                                 & (csv["inclination_deg"] == 30)]
+        edge = csv["sigma_spin"][(csv["spin"] == a)
+                                 & (csv["inclination_deg"] == 60)]
+        assert edge < face
+
+
 def test_naked_singularity_rejected():
     from grtrace.cli import line_grid as cli
     with pytest.raises(SystemExit, match="naked"):

@@ -115,3 +115,42 @@ def test_gauss_newton_recovers_truth():
     stay, _ = gauss_newton_fit(truth, obs_c, CENTERS, n_iter=2, **KNOBS)
     assert abs(stay[0] - truth[0]) < 1e-3
     assert abs(stay[1] - truth[1]) < 1e-3
+
+
+def test_fisher_grid_sharded_matches_single_device():
+    """The SPMD Fisher map (sharding/grid.fisher_grid_sharded) must
+    reproduce, per grid point, exactly the single-device pipeline
+    jacfwd(line_profile_model) -> fisher_forecast; and the result must
+    be mesh-shape invariant (each point is an independent spacetime —
+    the sharding may not touch the numbers)."""
+    from grtrace.engine.sensitivity import line_profile_model
+    from grtrace.sharding.grid import fisher_grid_sharded
+    from grtrace.sharding.mesh import make_mesh
+
+    knobs = dict(size=16, steps=800, n_bins=24)
+    spins = np.array([0.5, 0.9], np.float64)
+    elevs = np.array([np.deg2rad(30.0), np.deg2rad(60.0)])
+    out = np.asarray(fisher_grid_sharded(make_mesh(2, 4), spins, elevs,
+                                         0.01, **knobs))
+    assert out.shape == (2, 3)
+
+    centers = jnp.linspace(0.1 + 0.5 * 1.5 / 24, 1.6 - 0.5 * 1.5 / 24,
+                           24, dtype=jnp.float64)
+    import jax
+    for k in range(2):
+        theta = jnp.array([spins[k], elevs[k]])
+        jac = jax.jacfwd(lambda t: line_profile_model(
+            t, centers, size=16, steps=800))(theta)
+        ref = fisher_forecast(np.asarray(jac), 0.01)
+        np.testing.assert_allclose(out[k, :2], ref["errors"], rtol=1e-8)
+        np.testing.assert_allclose(out[k, 2], ref["correlation"],
+                                   rtol=1e-8)
+        # physical sanity: errors positive, |corr| < 1
+        assert (out[k, :2] > 0).all() and abs(out[k, 2]) < 1.0
+
+    # mesh-shape invariance: a different frames/rays split recompiles the
+    # per-shard vmap (different widths -> different fusion), so demand
+    # agreement at the same 1e-8 as the single-device anchor, not bits.
+    out18 = np.asarray(fisher_grid_sharded(make_mesh(1, 8), spins, elevs,
+                                           0.01, **knobs))
+    np.testing.assert_allclose(out18, out, rtol=1e-8)
