@@ -1,0 +1,131 @@
+"""QPO-frequency driver: the three epicyclic frequencies vs radius.
+
+    python -m grtrace.cli.qpo --spin 0.9 --preset grs1915
+    python -m grtrace.cli.qpo --spin 0.5 --charge 0.3 --mass-msun 4.3e6
+
+Sweeps the orbital (nu_phi), radial epicyclic (nu_r) and vertical
+epicyclic (nu_theta) frequencies of circular equatorial geodesics from
+the ISCO outward — all from autodiff of the same metric the ray tracer
+integrates (physics/epicyclic.py), no closed forms — plus the two
+precession frequencies the relativistic-precession QPO model is built
+from (periastron nu_phi - nu_r, Lense-Thirring nodal nu_phi - nu_theta).
+Writes qpo_frequencies.csv / .png and prints one JSON metrics line with
+the ISCO radius, the frequencies at the ISCO, and the maximum of nu_r
+(the highest radial QPO the spacetime supports).
+
+No reference counterpart: the reference renders lensed backgrounds only
+(/root/reference/simulation/raytracing.py) and has no orbit dynamics.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+# stellar-mass QPO sources join the imaging presets (masses: McClintock
+# et al. 2006 for GRS 1915+105; Orosz et al. 2011 for Cyg X-1)
+QPO_PRESETS = {
+    "grs1915": 12.4,
+    "cygx1": 14.8,
+    "sgra": 4.297e6,
+    "m87": 6.5e9,
+}
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(
+        description="epicyclic / QPO frequencies of circular orbits")
+    p.add_argument('--mass', type=float, default=1.0,
+                   help='geometrized mass M (code units)')
+    p.add_argument('--spin', type=float, default=0.0)
+    p.add_argument('--charge', type=float, default=0.0)
+    p.add_argument('--retrograde', action='store_true')
+    p.add_argument('--mass-msun', type=float, default=None,
+                   help='physical mass in solar masses (for Hz axes)')
+    p.add_argument('--preset', type=str, default=None,
+                   choices=sorted(QPO_PRESETS))
+    p.add_argument('--r-max', type=float, default=20.0,
+                   help='outer sweep radius in units of M')
+    p.add_argument('--n', type=int, default=256, help='radial samples')
+    p.add_argument('--out-dir', type=str, default='.')
+    args = p.parse_args(argv)
+    if args.spin ** 2 + args.charge ** 2 > args.mass ** 2:
+        raise SystemExit("naked singularity: need a^2 + Q^2 <= M^2")
+    mass_msun = (QPO_PRESETS[args.preset] if args.preset
+                 else args.mass_msun)
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..physics.epicyclic import (T_SUN_S, epicyclic_frequencies,
+                                     isco_from_kappa)
+
+    params = jnp.array([args.mass, args.spin, args.charge])
+    prograde = not args.retrograde
+    r_isco = float(isco_from_kappa(params, prograde))
+    r = jnp.linspace(r_isco, args.r_max * args.mass, args.n)
+    import jax
+    om_phi, kappa, om_th = jax.vmap(
+        lambda rr: epicyclic_frequencies(rr, params, prograde))(r)
+
+    # code units -> Hz (nu = Omega M_code / (2 pi M_phys); identity
+    # scale when no physical mass is given, columns then in c^3/GM)
+    scale = (args.mass / (2.0 * np.pi * mass_msun * T_SUN_S)
+             if mass_msun else args.mass / (2.0 * np.pi))
+    unit = "Hz" if mass_msun else "c^3/(2 pi G M)"
+    r_np = np.asarray(r)
+    nu = {k: np.asarray(v) * scale for k, v in
+          [("nu_phi", om_phi), ("nu_r", kappa), ("nu_theta", om_th)]}
+    nu["nu_periastron"] = nu["nu_phi"] - nu["nu_r"]
+    nu["nu_nodal"] = nu["nu_phi"] - nu["nu_theta"]
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    csv_path = os.path.join(args.out_dir, "qpo_frequencies.csv")
+    cols = ["nu_phi", "nu_r", "nu_theta", "nu_periastron", "nu_nodal"]
+    header = "r_over_M," + ",".join(f"{c}_{unit.split()[0]}" for c in cols)
+    np.savetxt(csv_path, np.column_stack(
+        [r_np / args.mass] + [nu[c] for c in cols]),
+        delimiter=",", header=header, comments="")
+
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    fig, ax = plt.subplots(figsize=(7, 5))
+    for c, style in zip(cols, ["-", "-", "-", "--", "--"]):
+        ax.plot(r_np / args.mass, nu[c], style, label=c.replace("_", " "))
+    ax.axvline(r_isco / args.mass, color="gray", lw=0.8, ls=":",
+               label=f"ISCO {r_isco / args.mass:.3f} M")
+    ax.set_xlabel("r / M")
+    ax.set_ylabel(f"frequency [{unit}]")
+    ax.set_yscale("log")
+    sense = "prograde" if prograde else "retrograde"
+    ax.set_title(f"epicyclic frequencies  a={args.spin} Q={args.charge} "
+                 f"({sense})")
+    ax.legend(fontsize=8)
+    fig.tight_layout()
+    png_path = os.path.join(args.out_dir, "qpo_frequencies.png")
+    fig.savefig(png_path, dpi=120)
+    plt.close(fig)
+
+    i_max = int(np.argmax(nu["nu_r"]))
+    metrics = {
+        "r_isco_over_M": r_isco / args.mass,
+        "nu_phi_isco": float(nu["nu_phi"][0]),
+        "nu_r_max": float(nu["nu_r"][i_max]),
+        "r_nu_r_max_over_M": float(r_np[i_max] / args.mass),
+        "unit": unit,
+        "spin": args.spin, "charge": args.charge, "prograde": prograde,
+        "mass_msun": mass_msun,
+        "csv": csv_path, "png": png_path,
+    }
+    print(json.dumps(metrics))
+    return metrics
+
+
+def console(argv=None):
+    main(argv)
+    return 0
+
+
+if __name__ == "__main__":
+    main()

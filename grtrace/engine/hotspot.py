@@ -63,8 +63,9 @@ from ..physics.spacetime import _charge, ks_radius
 from .disk import STATUS_DISK, blackbody_rgb
 
 # geometrized-time unit: GM_sun/c^3 in seconds — multiply coordinate
-# times (in M) by mass_msun * T_SUN_S for seconds
-T_SUN_S = 4.925490947e-6
+# times (in M) by mass_msun * T_SUN_S for seconds (defined with the other
+# orbit-dynamics constants; re-exported here for the flare clock)
+from ..physics.epicyclic import T_SUN_S  # noqa: E402,F401
 
 
 @dataclasses.dataclass
