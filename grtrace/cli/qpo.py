@@ -108,7 +108,25 @@ def main(argv=None):
     plt.close(fig)
 
     i_max = int(np.argmax(nu["nu_r"]))
+
+    # 3:2 epicyclic resonance radius (twin-peak HF QPOs): the unique
+    # crossing of nu_theta / nu_r = 3/2 outside the nu_r maximum (the
+    # ratio falls monotonically from infinity at the ISCO toward 1),
+    # linearly interpolated on the sweep grid
+    h = 2.0 * nu["nu_theta"] - 3.0 * nu["nu_r"]
+    r32 = nu32_hi = nu32_lo = None
+    cross = np.nonzero((h[:-1] > 0) & (h[1:] <= 0))[0]
+    if cross.size:
+        i = int(cross[-1])
+        w = h[i] / (h[i] - h[i + 1])
+        r32 = float((1 - w) * r_np[i] + w * r_np[i + 1]) / args.mass
+        nu32_hi = float((1 - w) * nu["nu_theta"][i]
+                        + w * nu["nu_theta"][i + 1])
+        nu32_lo = nu32_hi * 2.0 / 3.0
+
     metrics = {
+        "r_32_resonance_over_M": r32,
+        "nu_32_upper": nu32_hi, "nu_32_lower": nu32_lo,
         "r_isco_over_M": r_isco / args.mass,
         "nu_phi_isco": float(nu["nu_phi"][0]),
         "nu_r_max": float(nu["nu_r"][i_max]),

@@ -100,9 +100,18 @@ class DiskConfig:
                 "the STATIC observer's screen basis (physics.polarization."
                 "observer_evpa); a boosted screen basis is future work")
 
-    def inner_edge(self, mass, a):
-        return (self.r_in if self.r_in is not None
-                else float(isco_radius(mass, a, self.prograde)))
+    def inner_edge(self, mass, a, charge=0.0):
+        """Inner disk edge: explicit r_in, else the ISCO — the BPT closed
+        form for Kerr, the exact autodiff root (physics/epicyclic.py)
+        once charge makes the closed form an approximation."""
+        if self.r_in is not None:
+            return self.r_in
+        if charge:
+            from ..physics.epicyclic import isco_from_kappa
+            import jax.numpy as jnp
+            return float(isco_from_kappa(
+                jnp.array([mass, a, charge], jnp.float64), self.prograde))
+        return float(isco_radius(mass, a, self.prograde))
 
 
 @partial(jax.jit, static_argnames=("steps", "order"))

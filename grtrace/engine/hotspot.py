@@ -284,7 +284,7 @@ def render_hotspot(scene, disk=None, hotspot=None, *, bg_array=None,
 
     result = render_disk(scene, disk, bg_array=bg_array, metrics=metrics)
 
-    r_in = disk.inner_edge(scene.bh_mass, scene.spin)
+    r_in = disk.inner_edge(scene.bh_mass, scene.spin, scene.charge)
     _, camera_omega = resolve_camera_omega(scene, disk)
     out = hotspot_movie(
         result.device("image"), result.device("hit_q"),

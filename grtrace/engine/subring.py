@@ -415,7 +415,7 @@ def render_subrings(scene, disk: DiskConfig = None, *, n_orders=3,
     bg_dev = (jnp.asarray(bg_array, dtype=jnp.uint8) if has_bg
               else jnp.zeros((1, 1, 3), dtype=jnp.uint8))
     params = np.array([scene.bh_mass, scene.spin, scene.charge])
-    r_in = disk.inner_edge(scene.bh_mass, scene.spin)
+    r_in = disk.inner_edge(scene.bh_mass, scene.spin, scene.charge)
     obs_pos = disk_observer_position(scene, disk)
     moving, omega_cam = resolve_camera_omega(scene, disk)
 

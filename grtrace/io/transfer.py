@@ -80,7 +80,7 @@ class TransferMap:
         from ..engine.disk import (disk_observer_position,
                                    resolve_camera_omega)
 
-        r_in = disk.inner_edge(scene.bh_mass, scene.spin)
+        r_in = disk.inner_edge(scene.bh_mass, scene.spin, scene.charge)
         _, camera_omega = resolve_camera_omega(scene, disk)
         meta = {
             "format": _FORMAT_VERSION,
