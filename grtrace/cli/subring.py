@@ -169,8 +169,50 @@ def main(argv=None):
               "beta2_arg_per_order_rad"):
         if k in summary:
             metrics[k] = summary[k]
+    metrics["theory"] = shell_theory(args.spin, args.charge,
+                                     args.elevation)
     print(json.dumps(metrics))
     return metrics
+
+
+def shell_theory(spin, charge, elevation_deg, n=33):
+    """Predicted photon-shell observables for the rendered inclination:
+    the Lyapunov exponent and half-orbit delay range along the visible
+    critical curve (physics/photon_shell.py), to sit next to the
+    measured gamma_hat / delay_per_order_M in the metrics line.
+
+    Runs in float64 on the host CPU regardless of the render backend —
+    three AD evaluations and a quadrature, milliseconds."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..physics.photon_shell import critical_curve_observables
+
+    theta_obs = max(np.deg2rad(90.0 - elevation_deg), 1e-4)
+    # scoped x64 (same pattern as compat/einsteinpy.py:121-133) on the
+    # host CPU: the AD quadrature needs f64, the render must stay f32
+    prev_x64 = bool(jax.config.jax_enable_x64)
+    if not prev_x64:
+        jax.config.update("jax_enable_x64", True)
+    try:
+        with jax.default_device(jax.devices("cpu")[0]):
+            curve = critical_curve_observables(
+                jnp.array([1.0, spin, charge], dtype=jnp.float64),
+                jnp.float64(theta_obs), n=n)
+            gam = np.asarray(curve["gamma"], dtype=np.float64)
+            dts = np.asarray(curve["delta_t"], dtype=np.float64)
+    finally:
+        if not prev_x64:
+            jax.config.update("jax_enable_x64", False)
+    return {
+        "gamma_min": float(gam.min()),
+        "gamma_max": float(gam.max()),
+        "gamma_median": float(np.median(gam)),
+        "delay_half_orbit_M_min": float(dts.min()),
+        "delay_half_orbit_M_max": float(dts.max()),
+        "delay_half_orbit_M_median": float(np.median(dts)),
+    }
 
 
 def console(argv=None):

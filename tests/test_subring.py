@@ -140,6 +140,13 @@ def test_cli_subring(tmp_path):
               "subring_summary.json", "subring_delay_01.csv"]:
         assert (tmp_path / f).exists(), f
     assert metrics["flux_per_order"][0] > 0.0
+    # the theory block (photon_shell GHW triple) rides along: at spin 0
+    # gamma = pi and the half-orbit delay = pi sqrt(27) M, exactly
+    th = metrics["theory"]
+    assert abs(th["gamma_median"] - np.pi) < 1e-6
+    assert abs(th["delay_half_orbit_M_median"]
+               - np.pi * np.sqrt(27.0)) < 1e-5
+    assert th["gamma_max"] - th["gamma_min"] < 1e-9
 
 
 # ---------------------------------------------------------------------------
