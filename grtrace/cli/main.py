@@ -110,7 +110,8 @@ def main(argv=None):
         # products (redshift maps are what thin-disk renders are FOR)
         from ..engine.disk import save_disk_maps
         save_disk_maps(result, out,
-                       emissivity_index=disk_cfg.emissivity_index)
+                       emissivity_index=disk_cfg.emissivity_index,
+                       spin=scene.spin)
         logging.info("Saved redshift_map.csv/.png + line_profile.csv/.png")
         if args.save_transfer:
             from ..io.transfer import TransferMap

@@ -66,12 +66,13 @@ def main(argv=None):
     artifacts.save_image(res.image,
                          os.path.join(args.out_dir, "manual_output.png"))
 
+    spin = float(tm.params[1])
     qs = args.disk_emissivity or [tm.meta.get("emissivity_index", 3.0)]
-    save_disk_maps(res, args.out_dir, emissivity_index=qs[0])
+    save_disk_maps(res, args.out_dir, emissivity_index=qs[0], spin=spin)
     for q in qs[1:]:
         sub = os.path.join(args.out_dir, f"q{q:g}")
         os.makedirs(sub, exist_ok=True)
-        save_disk_maps(res, sub, emissivity_index=q)
+        save_disk_maps(res, sub, emissivity_index=q, spin=spin)
 
     h, w = tm.shape
     print(f"reshaded {w}x{h} transfer map ({res.counts['disk']} disk px, "

@@ -272,7 +272,21 @@ def shade_disk(hit_q, hit_p, params, r_obs, r_in, *, prograde=True,
     # L_z = x p_y - y p_x  (axial Killing vector in Cartesian components)
     l_z = x * hit_p[:, 2] - y * hit_p[:, 1]
     r_em = ks_radius(hit_q[:, 1], hit_q[:, 2], hit_q[:, 3], params[1])
+    return shade_disk_constants(
+        energy, l_z, r_em, params, r_obs, r_in, prograde=prograde,
+        t_peak=t_peak, exposure=exposure, theta_obs=theta_obs,
+        profile=profile, r_out=r_out, omega_obs=omega_obs)
 
+
+def shade_disk_constants(energy, l_z, r_em, params, r_obs, r_in, *,
+                         prograde=True, t_peak=9000.0, exposure=2.5,
+                         theta_obs=jnp.pi / 2, profile="shakura",
+                         r_out=14.0, omega_obs=0.0):
+    """shade_disk's core on the Killing constants directly: (E, L_z,
+    r_em) is ALL the shading physics needs (the redshift is a ratio of
+    Killing-energy projections, so E's scale and sign cancel) — which
+    lets the semi-analytic renderer (engine/render_exact.py) shade
+    crossings it never traced."""
     g = jax.vmap(lambda e, l, r: redshift_factor(
         e, l, r, r_obs, params, prograde, theta_obs,
         omega_obs))(energy, l_z, r_em)
@@ -547,7 +561,7 @@ def render_pixels_disk(bg_array, obs_pos, fov, mass, spin, charge,
     })
 
 
-def save_disk_maps(result, out_dir, emissivity_index=3.0):
+def save_disk_maps(result, out_dir, emissivity_index=3.0, spin=0.0):
     """Write the disk mode's science products from a render_disk result:
 
     redshift_map.csv — one row per DISK pixel: i, j, g (= nu_obs/nu_em,
@@ -573,7 +587,10 @@ def save_disk_maps(result, out_dir, emissivity_index=3.0):
     hq = np.asarray(result.device("hit_q"))
     dm = status == STATUS_DISK
     ii, jj = np.nonzero(dm)
-    r_em = np.sqrt((hq[dm, 1:] ** 2).sum(axis=-1))
+    # BL radius of the Kerr-Schild crossing point — NOT the Euclidean
+    # norm, which overshoots by ~a^2/2r on spinning holes (the shading
+    # itself always used ks_radius; callers pass the scene's spin)
+    r_em = np.asarray(ks_radius(hq[dm, 1], hq[dm, 2], hq[dm, 3], spin))
     rows = np.column_stack([ii, jj, g[dm], r_em])
     header = "i,j,redshift_g,r_emission"
     np.savetxt(os.path.join(out_dir, "redshift_map.csv"), rows,

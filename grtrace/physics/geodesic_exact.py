@@ -369,3 +369,9 @@ def crossing_table(q0s, p0s, params, n_orders=3, r_min_margin=1.02):
         }
 
     return jax.vmap(one_ray)(q0s, p0s)
+
+
+# jitted entry for renderers (n_orders / r_min_margin are trace-static)
+crossing_table_jit = jax.jit(crossing_table,
+                             static_argnames=("n_orders",
+                                              "r_min_margin"))

@@ -395,8 +395,8 @@ def test_line_profile_emissivity_index(tmp_path):
     out5 = tmp_path / "q5"
     out3.mkdir()
     out5.mkdir()
-    save_disk_maps(res, str(out3), emissivity_index=3.0)
-    save_disk_maps(res, str(out5), emissivity_index=5.0)
+    save_disk_maps(res, str(out3), emissivity_index=3.0, spin=0.9)
+    save_disk_maps(res, str(out5), emissivity_index=5.0, spin=0.9)
     p3 = np.loadtxt(out3 / "line_profile.csv", delimiter=",", skiprows=1)
     p5 = np.loadtxt(out5 / "line_profile.csv", delimiter=",", skiprows=1)
     assert p3[:, 1].max() == pytest.approx(1.0)
@@ -405,6 +405,14 @@ def test_line_profile_emissivity_index(tmp_path):
     c3 = (p3[:, 0] * p3[:, 1]).sum() / p3[:, 1].sum()
     c5 = (p5[:, 0] * p5[:, 1]).sum() / p5[:, 1].sum()
     assert c5 > c3 + 0.02
+    # r_emission is the BL radius (ks_radius with the scene's spin):
+    # it must respect the annulus; the Euclidean norm regression would
+    # overshoot r_out by ~a^2/2r (14.029 at a = 0.9, r_out = 14)
+    rows = np.loadtxt(out3 / "redshift_map.csv", delimiter=",",
+                      skiprows=1)
+    assert rows[:, 3].max() <= 14.0 + 1e-9
+    assert rows[:, 3].min() >= float(orbits.isco_radius(1.0, 0.9,
+                                                        True)) - 1e-9
 
 def test_render_disk_retrograde():
     """A counter-rotating disk around a = 0.9: the inner edge moves out to
