@@ -16,9 +16,14 @@ What it buys:
   * cost independent of optical depth of the integration: ~10^2 metric
     evaluations per ray per order instead of ~10^5 steps.
 
-What it gives up (documented, not hidden):
-  * no lensed background sky (that needs escape directions; the traced
-    renderer keeps that job), so ``show_background`` is ignored;
+The same machinery also renders the lensed BACKGROUND sky
+(``render_pixels_background_exact``): boundary-sphere escape records
+from physics/geodesic_exact.escape_state feed the ordinary classifier,
+so the reference's actual product — the lensed-sky image of
+simulation/raytracing.py:219-246 — comes out with an analytically exact
+shadow boundary and no step budget at all.
+
+What the disk path gives up (documented, not hidden):
   * steady axisymmetric disks only — the solver's azimuth/time carry a
     mirror convention for the cameras' backward momenta (geodesic_exact
     e_sign) that axisymmetric shading never reads; hotspots keep using
@@ -86,6 +91,110 @@ def render_pixels_exact(obs_pos, fov, mass, spin, charge, height, width,
     return {"image": image, "g": g, "r_em": r_em, "order": order,
             "disk_mask": mask, "r_k": r_k, "valid_k": in_disk,
             "lam": tab["lam"], "eta": tab["eta"]}
+
+
+def render_pixels_background_exact(bg_array, obs_x, fov, mass, spin,
+                                   boundary_radius,
+                                   patch_center_theta, patch_center_phi,
+                                   patch_size_theta, patch_size_phi,
+                                   *, height, width, flip_theta=False,
+                                   flip_phi=False, has_background=True,
+                                   charge=0.0, dtype=jnp.float64):
+    """The background-lensing render with NO integration: the exact twin
+    of engine.render_generic.render_pixels_generic (same +x equatorial
+    camera, same flat-embedding classifier, same texture composite),
+    with every escape position from the separated-Hamiltonian quadrature
+    (physics/geodesic_exact.escape_state).
+
+    Two classes can never occur here: 'in_domain' (there is no step
+    budget) and 'numerical error' — capture/escape is the analytic
+    verdict of the radial potential, so the shadow boundary is exact at
+    ANY resolution.  Returns the render_pixels_generic dict subset:
+    image, cls, final_q, count_vec, status.
+
+    The boundary sphere is the classifier's FLAT-embedding radius rho;
+    the BL exit radius satisfies rho^2 = r^2 + a^2 sin^2(theta_exit),
+    solved by one fixed-point pass (the correction is <= a^2/2rho; the
+    second pass lands within ~1e-8).
+    """
+    from ..physics.camera import camera_rays_cartesian
+    from ..physics.geodesic_exact import escape_state_jit as escape_state
+    from . import classify as _classify
+    from .hotspot import bl_time_azimuth_offsets
+    from ..physics.spacetime import horizon_radius
+
+    params = jnp.stack([jnp.asarray(mass, dtype),
+                        jnp.asarray(spin, dtype),
+                        jnp.asarray(charge, dtype)])
+    obs_pos = jnp.stack([jnp.asarray(obs_x, dtype), jnp.zeros((), dtype),
+                         jnp.zeros((), dtype)])
+    q0, p0, alpha0 = camera_rays_cartesian(obs_pos, fov, height, width,
+                                           params=params,
+                                           g_inv_fn=METRICS["KerrSchild"],
+                                           dtype=dtype)
+    n = height * width
+    q0f, p0f = q0.reshape(n, 4), p0.reshape(n, 4)
+
+    # two-pass BL exit radius so the EUCLIDEAN exit radius is the
+    # classifier's boundary sphere
+    rb0 = jnp.sqrt(jnp.maximum(boundary_radius ** 2 - params[1] ** 2,
+                               1.0))
+    es = escape_state(q0f, p0f, params, rb0)
+    sin2 = jnp.sin(es["theta"]) ** 2
+    rb1 = jnp.sqrt(boundary_radius ** 2 - params[1] ** 2 * sin2)
+    es = escape_state(q0f, p0f, params, rb1)
+
+    # BL exit -> KS Cartesian flat-embedding angles.  Two azimuth
+    # conventions stack (polarization._ks_chart_geometry): the KS chart
+    # azimuth phit = phi_bl + Phi(r), and the Cartesian embedding
+    # x + iy = sin(th)(r + ia) e^{i phit}, so the classifier's
+    # atan2(y, x) = phit + arctan(a/r).  The camera sits at
+    # atan2 = 0, hence its phit = -arctan(a/r_obs).
+    r_obs_bl = ks_radius(obs_pos[0], obs_pos[1], obs_pos[2], params[1])
+    phi_of = lambda rr: bl_time_azimuth_offsets(rr, params)[1]
+    phi_ks = (es["e_sign"] * es["phi"]
+              + jax.vmap(phi_of)(rb1) - phi_of(r_obs_bl)
+              + jnp.arctan2(params[1], rb1)
+              - jnp.arctan2(params[1], r_obs_bl))
+    th = es["theta"]
+    rho = jnp.asarray(boundary_radius, dtype)
+    th_e = jnp.arccos(jnp.clip(rb1 * jnp.cos(th) / rho, -1.0, 1.0))
+    escaped = es["escaped"]
+    rho_map = jnp.where(escaped, rho, 0.0)       # captured pinned to 0
+    final_q = jnp.stack([jnp.zeros_like(rho_map), rho_map,
+                         jnp.where(escaped, th_e, 0.0),
+                         jnp.where(escaped, phi_ks, 0.0)],
+                        axis=-1).reshape(height, width, 4)
+
+    # identical classification contract to render_pixels_generic
+    r_plus = horizon_radius("Kerr", params[0], params[1], params[2])
+    rs_classify = (1.05 / 1.2) * r_plus
+    beta0 = jnp.zeros((height, width), dtype)
+    alpha_off = jnp.full((height, width), jnp.pi, dtype)
+    cls, th_csv, ph_csv, u01, v01 = _classify.classify_rays(
+        final_q, alpha_off, beta0, rs=rs_classify, r_obs_x=obs_x,
+        boundary_radius=boundary_radius,
+        patch_center_theta=patch_center_theta,
+        patch_center_phi=patch_center_phi,
+        patch_size_theta=patch_size_theta,
+        patch_size_phi=patch_size_phi,
+        flip_theta=flip_theta, flip_phi=flip_phi,
+        has_background=has_background)
+    image = _classify.composite(
+        cls, u01, v01, bg_array if has_background
+        else jnp.zeros((1, 1, 3), dtype=jnp.uint8))
+    count_vec = jnp.stack([
+        jnp.sum(cls == _classify.CLS_BH),
+        jnp.sum(cls == _classify.CLS_IN_DOMAIN),
+        jnp.sum((cls == _classify.CLS_ESCAPE_NO_PATCH)
+                | (cls == _classify.CLS_ESCAPE_BG)),
+        jnp.sum(cls == _classify.CLS_ESCAPE_BG),
+        jnp.sum(cls == _classify.CLS_NUMERICAL),
+    ])
+    status = jnp.where(escaped, 2, 1).reshape(height, width)
+    return {"image": image, "cls": cls, "final_q": final_q,
+            "final_th": th_csv, "final_ph": ph_csv, "q0": q0, "p0": p0,
+            "alpha0": alpha0, "status": status, "count_vec": count_vec}
 
 
 def render_disk_exact(scene, disk: DiskConfig = None, *, n_orders=3):

