@@ -184,7 +184,26 @@ def radial_turning(lam, eta, params, r_obs, n_grid=1024, iters=60):
         return jnp.where(neg_mid, mid, lo), jnp.where(neg_mid, hi, mid)
 
     lo, hi = jax.lax.fori_loop(0, iters, step, (lo, hi))
-    return has_turn, jnp.where(has_turn, 0.5 * (lo + hi), r_hor)
+    # Newton polish from the DETACHED bisected root: value moves only
+    # within R's own noise floor, and the expression carries the
+    # implicit gradient d r4 = -R_p / R'(r4) through (lam, eta, params)
+    # that the bisection's select chain loses.  R' > 0 at the largest
+    # root (R > 0 above it).  The step is clipped to ONE SCAN CELL —
+    # never the collapsed bisection bracket: R is assembled from terms
+    # of magnitude ~Delta*eta (1e4), so R(root) carries ~1e-12
+    # cancellation noise, and the honest Newton step (noise/R' — the
+    # root's intrinsic uncertainty) legitimately exceeds the ~1-ulp
+    # stalled bracket; a bracket clip would bind and silently ZERO the
+    # implicit gradient.  The cell bound only disarms exactly-critical
+    # double roots (R' -> 0), whose true sensitivity diverges anyway.
+    r_d = jax.lax.stop_gradient(0.5 * (lo + hi))
+    rv_d = radial_potential(r_d, lam, eta, params)
+    dr_d = jax.grad(radial_potential, argnums=0)(r_d, lam, eta, params)
+    ok = has_turn & (jnp.abs(dr_d) > 1e-30)
+    cell = jax.lax.stop_gradient(grid[1] - grid[0])
+    delta_r = jnp.clip(rv_d / jnp.where(ok, dr_d, 1.0), -cell, cell)
+    root = jnp.where(ok, r_d - delta_r, r_d)
+    return has_turn, jnp.where(has_turn, root, r_hor)
 
 
 # ------------------------------------------------------------ leg sums
@@ -195,14 +214,23 @@ def _leg_theta(th_a, th_b, th_minus, lam, eta, params):
     gain).  Substitution th = th_minus + x^2 cancels the turning-point
     root of Theta; the integrands' theta-halves are even about the
     equator, so folded legs carry the full contribution."""
-    xa = jnp.sqrt(jnp.maximum(th_a - th_minus, 0.0))
-    xb = jnp.sqrt(jnp.maximum(th_b - th_minus, 0.0))
+    # the 1e-300 floor (not 0.0) keeps AD finite when a leg starts AT
+    # the turning point: th_a == th_minus makes sqrt' infinite, and the
+    # tie must route the gradient to the constant, not through inf * 0
+    xa = jnp.sqrt(jnp.maximum(th_a - th_minus, 1e-300))
+    xb = jnp.sqrt(jnp.maximum(th_b - th_minus, 1e-300))
     mid, half = 0.5 * (xa + xb), 0.5 * (xb - xa)
     x = mid + half * _GL_X
     th = th_minus + x * x
     theta_pot = jax.vmap(lambda t: eta - w_polar(t, lam, params))(th)
-    g = jnp.maximum(theta_pot / jnp.maximum(th - th_minus, 1e-300),
-                    1e-300)
+    # 1e-120 floors (not 1e-300): fully-degenerate legs (both endpoints
+    # at the anchor — the discarded branch of the r(tau) inversions)
+    # must keep every BACKWARD local derivative finite too (g^-3/2,
+    # (th - th_minus)^-2 overflow past ~1e-205 and turn zero cotangents
+    # into 0 * inf = NaN); legitimate node values are >= 1e-23, so the
+    # floor never binds on a real leg
+    g = jnp.maximum(theta_pot / jnp.maximum(th - th_minus, 1e-120),
+                    1e-120)
     base = 2.0 / jnp.sqrt(g)            # dtheta/sqrt(Theta) = base dx
     t_th, p_th = jax.vmap(
         lambda t: t_phi_theta_parts(t, lam, params))(th)
@@ -216,13 +244,15 @@ def _leg_r(r_a, r_b, anchor, lam, eta, params):
     (Mino time, t gain, phi gain).  anchor = the turning point when the
     leg touches it (regularizes the root of R); any value below the leg
     otherwise — the substitution r = anchor + x^2 is exact either way."""
-    xa = jnp.sqrt(jnp.maximum(r_a - anchor, 0.0))
-    xb = jnp.sqrt(jnp.maximum(r_b - anchor, 0.0))
+    xa = jnp.sqrt(jnp.maximum(r_a - anchor, 1e-300))  # AD-safe at r4
+    xb = jnp.sqrt(jnp.maximum(r_b - anchor, 1e-300))
     mid, half = 0.5 * (xa + xb), 0.5 * (xb - xa)
     x = mid + half * _GL_X
     r = anchor + x * x
     rad = jax.vmap(lambda rr: radial_potential(rr, lam, eta, params))(r)
-    g = jnp.maximum(rad / jnp.maximum(r - anchor, 1e-300), 1e-300)
+    # 1e-120 floors: keep backward locals finite on degenerate legs
+    # (see _leg_theta)
+    g = jnp.maximum(rad / jnp.maximum(r - anchor, 1e-120), 1e-120)
     base = 2.0 / jnp.sqrt(g)
     t_r, p_r = jax.vmap(lambda rr: t_phi_r_parts(rr, lam, params))(r)
     w = _GL_W * half
@@ -262,7 +292,22 @@ def _invert_r_leg(tau_target, r_lo, r_hi, anchor, lam, eta, params,
         return jnp.where(too_far, mid, lo), jnp.where(too_far, hi, mid)
 
     lo, hi = jax.lax.fori_loop(0, iters, step, (r_lo, r_hi))
-    return 0.5 * (lo + hi)
+    # Newton polish from the detached seed (implicit gradients, same
+    # treatment as _invert_theta_phase): dtau/dr = -+ 1/sqrt(R) on the
+    # ingoing/outgoing leg, so the step is +-res * sqrt(R).  The result
+    # is clipped to the LEG DOMAIN [r_lo, r_hi] — NOT the final
+    # bisection bracket: the quadrature residual carries a ~1e-13 noise
+    # floor, so the honest Newton correction legitimately exceeds the
+    # 2^-50 bracket; the domain clip still defuses the out-of-range
+    # targets callers deliberately send down the unselected
+    # ingoing/outgoing branch (bisection pins to an edge and the
+    # degenerate residual leg is garbage — bounded garbage now, thanks
+    # to the 1e-120 guard floors, but garbage)
+    r_d = jax.lax.stop_gradient(0.5 * (lo + hi))
+    res = f(r_d) - tau_target
+    rad = jnp.maximum(radial_potential(r_d, lam, eta, params), 1e-30)
+    sgn = 1.0 if from_high else -1.0
+    return jnp.clip(r_d + sgn * res * jnp.sqrt(rad), r_lo, r_hi)
 
 
 # ------------------------------------------------------------ main API
@@ -394,7 +439,20 @@ def _invert_theta_phase(u, th_minus, lam, eta, params, iters=50):
 
     lo, hi = jax.lax.fori_loop(0, iters, step,
                                (th_minus, 0.5 * jnp.pi))
-    return 0.5 * (lo + hi)
+    # Newton polish from the detached seed: the residual's theta
+    # derivative is 1/sqrt(Theta) exactly, so the step is
+    # -res * sqrt(Theta) — and evaluating the residual differentiably
+    # in (u, th_minus, lam, eta, params) gives the inversion the
+    # implicit gradient (d theta/d u = sqrt(Theta), -> 0 at the
+    # turning point as it must)
+    th_d = jax.lax.stop_gradient(0.5 * (lo + hi))
+    res = _leg_theta(th_minus, th_d, th_minus, lam, eta, params)[0] - u
+    theta_pot = jnp.maximum(eta - w_polar(th_d, lam, params), 1e-30)
+    # clip to the DOMAIN, not the bisection bracket: the quadrature
+    # residual's noise floor makes honest corrections exceed the 2^-50
+    # bracket (see _invert_r_leg)
+    return jnp.clip(th_d - res * jnp.sqrt(theta_pot), th_minus,
+                    0.5 * jnp.pi)
 
 
 def escape_state(q0s, p0s, params, r_bound):

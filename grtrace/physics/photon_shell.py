@@ -139,6 +139,7 @@ def _theta_turning(xi, k_const, params, iters=60):
     f = lambda th: k_const - w_polar(th, xi, params)
     lo = jnp.asarray(1e-9)
     hi = jnp.asarray(0.5 * jnp.pi)
+    exists = f(lo) < 0.0   # a forbidden polar cap to turn around in
 
     def step(_, lh):
         lo, hi = lh
@@ -147,7 +148,25 @@ def _theta_turning(xi, k_const, params, iters=60):
         return jnp.where(neg, mid, lo), jnp.where(neg, hi, mid)
 
     lo, hi = jax.lax.fori_loop(0, iters, step, (lo, hi))
-    return 0.5 * (lo + hi)
+    # One Newton step from the DETACHED bisected root.  The value moves
+    # by less than the 2^-60 bracket, but because f is evaluated
+    # differentiably in (xi, k_const, params) the expression carries
+    # the implicit-function-theorem gradient d th_- = -f_p / f_th' that
+    # the bisection's select chain cannot (its iterate is piecewise
+    # constant in the inputs).  Circulating xi = 0 orbits have no root
+    # (f > 0 all the way to the axis, f' -> 0 there): keep the
+    # collapsed value, zero step.
+    th_d = jax.lax.stop_gradient(0.5 * (lo + hi))
+    fd = f(th_d)
+    fp = jax.grad(f)(th_d)
+    denom = jnp.where(exists & (jnp.abs(fp) > 1e-300), fp, 1.0)
+    # result clipped to the DOMAIN — not the collapsed bisection
+    # bracket, which stalls at ~1 ulp while f's cancellation noise
+    # makes the honest Newton step larger (a bracket clip would bind
+    # and silently zero the implicit gradient; see
+    # geodesic_exact.radial_turning)
+    polished = jnp.clip(th_d - fd / denom, 1e-9, 0.5 * jnp.pi)
+    return jnp.where(exists, polished, th_d)
 
 
 def critical_parameters(r_tilde, params):
