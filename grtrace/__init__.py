@@ -16,6 +16,41 @@ from .engine.disk import DiskConfig, render_disk
 __version__ = "0.4.0"
 
 
+def _cache_fingerprint():
+    """Machine/toolchain fingerprint for the persistent compile cache.
+
+    XLA:CPU writes ahead-of-time executables specialized to the build
+    host's CPU features; loading one on a machine with different features
+    is undefined behavior (XLA logs "machine type ... doesn't match ...
+    could lead to SIGILL" and can crash the process outright).  JAX's
+    cache key does NOT include the CPU feature set, so a cache directory
+    shared between machines (network home dirs, container images, copied
+    ~/.cache) can serve foreign executables.  Salting the directory with
+    a (jaxlib version, arch, CPU-feature) digest confines every machine
+    to entries it compiled itself — the cache stays an optimization that
+    can never take the process down.
+    """
+    import hashlib
+    import platform
+
+    parts = [platform.machine(), platform.system()]
+    try:
+        import jaxlib
+        parts.append(getattr(jaxlib, "__version__", "?"))
+    except Exception:
+        parts.append("nojaxlib")
+    try:  # CPU feature flags (linux); absence just coarsens the salt
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.lower().startswith(("flags", "features")):
+                    parts.append(" ".join(sorted(line.split(":", 1)[1]
+                                                 .split())))
+                    break
+    except OSError:
+        parts.append(platform.processor() or "unknown-cpu")
+    return hashlib.sha256("|".join(parts).encode()).hexdigest()[:16]
+
+
 def enable_compilation_cache(path=None):
     """Turn on JAX's persistent compilation cache for this process.
 
@@ -26,6 +61,10 @@ def enable_compilation_cache(path=None):
     not write to disk on import).
 
     path defaults to $GRTRACE_COMPILE_CACHE or ~/.cache/grtrace-jax.
+    Entries live in a per-machine subdirectory keyed by a CPU/toolchain
+    fingerprint (_cache_fingerprint), so a cache written on one host is
+    never loaded on another — XLA:CPU AOT executables are machine-coded
+    and loading a foreign one can SIGILL/segfault the process.
     Safe to call repeatedly; failures (read-only filesystem, old jax) are
     silently ignored — the cache is an optimization, never a requirement.
     """
@@ -36,8 +75,9 @@ def enable_compilation_cache(path=None):
             os.path.join(os.path.expanduser("~"), ".cache", "grtrace-jax"))
     try:
         import jax
+        path = os.path.join(str(path), _cache_fingerprint())
         os.makedirs(path, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", str(path))
+        jax.config.update("jax_compilation_cache_dir", path)
         # cache everything that takes >1 s to compile, however small
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

@@ -257,3 +257,38 @@ def test_scene_boundary_validation():
     with pytest.raises(ValueError, match="observer_distance"):
         SceneConfig(boundary_radius=31.0, observer_distance=40.0)
     SceneConfig(boundary_radius=31.0, observer_distance=30.0)  # default: ok
+
+
+def test_compile_cache_is_machine_salted(tmp_path, monkeypatch):
+    """The persistent compile cache must never serve another machine's
+    XLA:CPU AOT executables (loading one can SIGILL/segfault the whole
+    process — observed crashing the suite when ~/.cache/grtrace-jax was
+    written by a host with different CPU features).  Entries therefore
+    live under a per-machine fingerprint subdirectory: foreign files at
+    the shared root are invisible to this process."""
+    import jax
+
+    import grtrace
+
+    fp = grtrace._cache_fingerprint()
+    assert fp == grtrace._cache_fingerprint()          # deterministic
+    assert len(fp) == 16 and all(c in "0123456789abcdef" for c in fp)
+
+    # a "foreign cache": entries at the shared root, as an unsalted
+    # grtrace (or another machine's salt) would have left them
+    root = tmp_path / "shared-cache"
+    root.mkdir()
+    (root / "jit_render-deadbeef").write_bytes(b"\x7fELF-not-for-this-cpu")
+
+    monkeypatch.setenv("GRTRACE_COMPILE_CACHE", str(root))
+    old = jax.config.jax_compilation_cache_dir
+    try:
+        grtrace.enable_compilation_cache()
+        salted = jax.config.jax_compilation_cache_dir
+        assert salted == str(root / fp)
+        import os
+        assert os.path.isdir(salted)
+        # the foreign entry is not inside the directory jax reads
+        assert "jit_render-deadbeef" not in os.listdir(salted)
+    finally:
+        jax.config.update("jax_compilation_cache_dir", old)
