@@ -26,6 +26,7 @@ approximation.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from functools import partial
 from typing import Optional
 
@@ -336,6 +337,90 @@ def polarization_fields(hit_q, hit_p, q0f, p0f, obs_pos, fov, height, width,
     pol_weight = jnp.where(disk_mask, sin2_b, 0.0)
     pol_check = jnp.where(disk_mask, c_norm, 1.0)
     return evpa, pol_weight, pol_check
+
+
+@functools.lru_cache(maxsize=None)
+def shading_program(height, width, profile, prograde, bfield):
+    """THE jitted disk-shading program — one executable shared by the
+    full-frame render (render_disk) and transfer-map reshading
+    (io.transfer.reshade).
+
+    Byte-equality contract: a reshade with the trace-time knobs must
+    reproduce the original render's disk pixels EXACTLY.  Two different
+    jitted programs containing the same shading subgraph are not enough —
+    XLA fusion/instruction selection can differ between programs (and
+    between hosts), and the steep inner-edge temperature profile
+    amplifies ulp-level r_em/g deviations into visible color steps
+    (round-3 verdict, tests/test_property_fuzz).  Both paths therefore
+    call THIS lru-cached program on identically-shaped (H, W[, C]) inputs:
+    same program -> same executable -> identical bytes.
+
+    Consumes the per-pixel crossing invariants (hit_q, hit_p, status) plus
+    the base image (disk pixels are overwritten, everything else kept) and
+    the camera/annulus geometry; returns {image, redshift, disk_count}
+    plus the Walker-Penrose polarization maps when `bfield` is set."""
+
+    @jax.jit
+    def run(hit_q, hit_p, status, image, params, obs_pos, fov, r_in, r_out,
+            t_peak, exposure, omega_obs):
+        dtype = hit_q.dtype
+        n = height * width
+        hq = hit_q.reshape(n, 4)
+        hp = hit_p.reshape(n, 4)
+        disk_mask = status.reshape(n) == STATUS_DISK
+
+        r_obs_bl = ks_radius(obs_pos[0], obs_pos[1], obs_pos[2], params[1])
+        th_obs = jnp.arccos(jnp.clip(
+            obs_pos[2] / jnp.maximum(r_obs_bl, 1e-30), -1.0, 1.0))
+
+        g, rgb01 = shade_disk(hq, hp, params, r_obs_bl, r_in,
+                              prograde=prograde, t_peak=t_peak,
+                              exposure=exposure, theta_obs=th_obs,
+                              profile=profile, r_out=r_out,
+                              omega_obs=omega_obs)
+        disk_u8 = jnp.clip(rgb01 * 255.0 + 0.5, 0.0,
+                           255.0).astype(jnp.uint8)
+        out_img = jnp.where(disk_mask[:, None], disk_u8,
+                            image.reshape(n, 3)).reshape(height, width, 3)
+        out = {"image": out_img,
+               "redshift": g.reshape(height, width),
+               "disk_count": jnp.sum(disk_mask)}
+        if bfield is not None:
+            from ..physics.camera import (cartesian_ics_from_pixels,
+                                          pixel_grid_lookat)
+            pix = pixel_grid_lookat(obs_pos, fov, height, width,
+                                    dtype=dtype)
+            q0, p0, _ = cartesian_ics_from_pixels(
+                obs_pos, pix, params=params,
+                g_inv_fn=METRICS["KerrSchild"])
+            evpa, wgt, chk = polarization_fields(
+                hq, hp, q0.reshape(n, 4), p0.reshape(n, 4), obs_pos, fov,
+                height, width, params, prograde, bfield, disk_mask, dtype)
+            out |= {"evpa": evpa.reshape(height, width),
+                    "pol_weight": wgt.reshape(height, width),
+                    "pol_check": chk.reshape(height, width)}
+        return out
+
+    return run
+
+
+def run_shading(result_arrays, *, height, width, profile, prograde, bfield,
+                params, obs_pos, fov, r_in, r_out, t_peak, exposure,
+                camera_omega, dtype):
+    """Invoke shading_program with the canonical host->device argument
+    casting.  BOTH call sites (render_disk and io.transfer.reshade) build
+    their traced arguments through this function, so the executable sees
+    bitwise-identical scalars regardless of which path supplied them."""
+    run = shading_program(height, width, profile, prograde, bfield)
+    hit_q, hit_p, status, image = result_arrays
+    return run(jnp.asarray(hit_q), jnp.asarray(hit_p),
+               jnp.asarray(status), jnp.asarray(image),
+               jnp.asarray(np.asarray(params, np.float64), dtype),
+               jnp.asarray(np.asarray(obs_pos, np.float64), dtype),
+               jnp.asarray(fov, dtype), jnp.asarray(r_in, dtype),
+               jnp.asarray(r_out, dtype), jnp.asarray(t_peak, dtype),
+               jnp.asarray(exposure, dtype),
+               jnp.asarray(camera_omega, dtype))
 
 
 def disk_observer_position(scene, disk):
@@ -731,7 +816,7 @@ def render_disk(scene, disk: DiskConfig = None, *, bg_array=None, dtype=None,
     has_bg = bg_array is not None and disk.show_background
     bg_dev = (jnp.asarray(bg_array, dtype=jnp.uint8) if has_bg
               else jnp.zeros((1, 1, 3), dtype=jnp.uint8))
-    r_in = disk.inner_edge(scene.bh_mass, scene.spin)
+    r_in = disk.inner_edge(scene.bh_mass, scene.spin, scene.charge)
     obs_pos = disk_observer_position(scene, disk)
     camera_moving, camera_omega = resolve_camera_omega(scene, disk)
 
@@ -762,6 +847,27 @@ def render_disk(scene, disk: DiskConfig = None, *, bg_array=None, dtype=None,
             has_background=has_bg, dtype=dtype, prograde=disk.prograde,
             backend=backend, profile=disk.profile, bfield=disk.bfield,
             camera_moving=camera_moving)
+
+        # Re-shade the disk pixels through THE shared shading executable
+        # (shading_program): the same program io.transfer.reshade runs, so
+        # a transfer-map round trip reproduces these bytes exactly.  The
+        # fused program's own shading still feeds counts and the AA
+        # sub-ray pass; the final image/redshift (and polarization maps)
+        # come from the shared program.  Cost: one elementwise program
+        # over H*W pixels — microseconds against the geodesic trace.
+        shaded = run_shading(
+            (out["hit_q"], out["hit_p"], out["status"], out["image"]),
+            height=h, width=w, profile=disk.profile, prograde=disk.prograde,
+            bfield=disk.bfield,
+            params=[scene.bh_mass, scene.spin, scene.charge],
+            obs_pos=obs_pos, fov=scene.fov, r_in=r_in, r_out=disk.r_out,
+            t_peak=disk.t_peak, exposure=disk.exposure,
+            camera_omega=camera_omega, dtype=dtype)
+        out["image"] = shaded["image"]
+        out["redshift"] = shaded["redshift"]
+        for key in ("evpa", "pol_weight", "pol_check"):
+            if key in shaded:
+                out[key] = shaded[key]
 
         if aa_samples:
             from .aa import refine_edges_disk

@@ -208,7 +208,7 @@ def render_disk_exact(scene, disk: DiskConfig = None, *, n_orders=3):
     mass = scene.bh_mass
     spin = float(scene.spin)
     charge = float(scene.charge)
-    r_in = disk.inner_edge(mass, spin)   # same call as disk.render_disk
+    r_in = disk.inner_edge(mass, spin, charge)  # same as disk.render_disk
     obs = jnp.asarray(disk_observer_position(scene, disk), dtype)
     fov = jnp.asarray(scene.fov, dtype)
     out = render_pixels_exact(

@@ -171,3 +171,41 @@ def test_save_transfer_requires_disk():
     with pytest.raises(SystemExit, match="--disk"):
         cli_main.main(["--size", "8", "--steps", "10", "--no-plots",
                        "--save-transfer", "/tmp/never.npz"])
+
+
+def test_reshade_byte_exact_charged_kerr_newman(tmp_path):
+    """Round-3 verdict item 1, pinned: a Kerr-Newman (a=0.5, q=0.4) disk
+    transfer map must reshade byte-exactly.  Two defects hid here: (a)
+    render_disk resolved the ISCO WITHOUT the charge while
+    TransferMap.from_result resolved it WITH it, so the reshade shaded
+    against a 7%-smaller r_in (Kerr 4.233 vs exact charged 3.923) —
+    visible as +-8 color steps on inner-edge pixels; (b) render and
+    reshade shaded through two different jitted programs, leaving the
+    byte contract at the mercy of cross-program XLA fusion choices.
+    Both paths now resolve r_in identically and share ONE jitted shading
+    executable (engine.disk.shading_program)."""
+    import numpy as np
+
+    from grtrace import IntegratorConfig, PatchConfig, SceneConfig
+    from grtrace.engine.disk import DiskConfig, render_disk
+    from grtrace.io.transfer import TransferMap, reshade
+
+    scene = SceneConfig(
+        size=12, metric="kerr", spin=0.5, charge=0.4, n_samples=0,
+        integrator=IntegratorConfig(steps=1500, delta=0.1, omega=1.0,
+                                    backend="xla", dtype="float64"),
+        patch=PatchConfig())
+    disk = DiskConfig(r_out=9.0, elevation_deg=5.0)
+    # trace-time and save-time inner edges must agree (the exact charged
+    # ISCO, not the Kerr closed form)
+    assert disk.inner_edge(1.0, 0.5, 0.4) < disk.inner_edge(1.0, 0.5)
+
+    res = render_disk(scene, disk, bg_array=None)
+    tm = TransferMap.from_result(res, scene, disk)
+    assert tm.r_in == disk.inner_edge(1.0, 0.5, 0.4)
+    path = tmp_path / "t.npz"
+    tm.save(path)
+    r2 = reshade(TransferMap.load(path))
+    np.testing.assert_array_equal(r2.image, res.image)
+    np.testing.assert_array_equal(np.asarray(r2.device("redshift")),
+                                  np.asarray(res.device("redshift")))
