@@ -81,7 +81,7 @@ class IntegrationState:
     order: int = 2
     layout: str = "generic"
     opened: Optional[np.ndarray] = None
-    b: Optional[np.ndarray] = None  # conserved impact parameters (rescue)
+    esc_pred: Optional[np.ndarray] = None  # exact escape predicate (rescue)
 
     def _closed_best(self):
         """('eqc') closed best-estimate 12 rows (s - c after the pending
@@ -120,12 +120,12 @@ class IntegrationState:
         status = np.where(r <= 1.1 * self.rs, STATUS_CAPTURED,
                           np.where(r >= self.r_max, STATUS_ESCAPED,
                                    STATUS_ALIVE))
-        if self.b is None:
+        if self.esc_pred is None:
             out = (q, p, status)
         else:
             fq, st = schw_escape_rescue(jnp.asarray(q), jnp.asarray(p),
                                         jnp.asarray(status),
-                                        jnp.asarray(self.b, q.dtype),
+                                        jnp.asarray(self.esc_pred, bool),
                                         self.rs, self.r_max)
             out = (np.asarray(fq), p, np.asarray(st))
         self._resolved = (self.state, out)
@@ -159,8 +159,8 @@ class IntegrationState:
                                      self.omega, float(self.order)]))
         if self.layout != "generic":
             tree["opened"] = np.asarray(self.opened, dtype=np.uint8)
-        if self.b is not None:
-            tree["b"] = np.asarray(self.b)
+        if self.esc_pred is not None:
+            tree["esc"] = np.asarray(self.esc_pred, dtype=np.uint8)
         return tree
 
     def save(self, path: str) -> None:
@@ -192,7 +192,21 @@ class IntegrationState:
             layout=layout,
             opened=(np.asarray(z["opened"]).astype(bool)
                     if "opened" in z else None),
-            b=np.asarray(z["b"]) if "b" in z else None)
+            esc_pred=_load_esc_pred(z, float(p[1])))
+
+
+def _load_esc_pred(z, rs):
+    """Rescue predicate from a saved carry.  New carries store the exact
+    predicate under 'esc'; pre-round-4 carries stored the raw impact
+    parameters under 'b' — convert with the inward-ray reduction
+    (b > b_crit), which is exact for every camera-launched ray (the
+    pinhole grid never launches outward)."""
+    if "esc" in z:
+        return np.asarray(z["esc"]).astype(bool)
+    if "b" in z:
+        b_crit = 3.0 * np.sqrt(3.0) * (0.5 * rs)
+        return np.asarray(z["b"]) > b_crit
+    return None
 
 
 @partial(jax.jit, static_argnames=("max_steps", "order"))
@@ -299,10 +313,10 @@ def start(q0s, p0s, steps, delta, rs, r_max, omega,
     staggered schedule is applied here, once, to the initially-active
     rays (== the monolithic kernel's masked open).
     """
-    from .integrate import impact_parameter
+    from .integrate import schw_true_escape_pred
     q0s = jnp.asarray(q0s)
     p0s = jnp.asarray(p0s)
-    b = np.asarray(impact_parameter(p0s))
+    esc_pred = np.asarray(schw_true_escape_pred(q0s, p0s, rs))
     if compensated:
         dtype = q0s.dtype
         comps = pack_state_eqc(q0s, p0s)
@@ -325,14 +339,14 @@ def start(q0s, p0s, steps, delta, rs, r_max, omega,
             steps_total=int(steps), steps_done=0,
             delta=float(delta), rs=float(rs), r_max=float(r_max),
             omega=float(omega), order=int(order), layout="eqc",
-            opened=opened, b=b)
+            opened=opened, esc_pred=esc_pred)
     comps = pack_state(q0s, p0s)
     return IntegrationState(
         state=np.asarray(jnp.stack(comps)),
         n_steps=np.zeros(q0s.shape[0], dtype=np.int32),
         steps_total=int(steps), steps_done=0,
         delta=float(delta), rs=float(rs), r_max=float(r_max),
-        omega=float(omega), order=int(order), b=b)
+        omega=float(omega), order=int(order), esc_pred=esc_pred)
 
 
 def advance(st: IntegrationState, chunk_steps: int, backend: str = "xla",

@@ -133,39 +133,76 @@ def impact_parameter(p0s):
     return jnp.abs(p0s[..., 3]) / jnp.maximum(jnp.abs(p0s[..., 0]), 1e-30)
 
 
-def schw_escape_rescue(final_q, final_p, status, b, rs, r_max):
-    """Reclassify FAKE ESCAPES by the exact capture predicate.
+def schw_true_escape_pred(q0s, p0s, rs):
+    """Exact capture/escape predicate per ray, from the LAUNCH state.
 
-    b: per-ray conserved impact parameter (impact_parameter(p0s),
+    Schwarzschild null geodesics are integrable: each ray's fate follows
+    in closed form from its conserved impact parameter b = |L/E| (exact
+    invariants of the flows, see impact_parameter) and its initial radial
+    heading — the Schwarzschild collapse of the Kerr Bardeen predicate
+    (integrate_ks.bardeen_escape_pred), where the quartic turning-point
+    test reduces to one comparison against b_crit = 3 sqrt(3) M because
+    the radial potential has its single barrier peak at r = 3M:
+
+      * r0 >= 3M:  outward rays always escape; inward rays escape iff
+        b > b_crit (they turn at the outer root of  b = r/sqrt(f));
+      * r0 <  3M (inside the barrier): only outward rays with b <= b_crit
+        clear the peak; everything else falls in.
+
+    The covariant p_r sign IS the integration radial heading (dr/dlambda
+    = g^rr p_r with g^rr = f > 0), and the overall covector sign (the
+    camera's backward-ray p_t > 0 root) cancels in b.
+    """
+    dtype = q0s.dtype
+    m = 0.5 * jnp.asarray(rs, dtype)
+    b = impact_parameter(p0s)
+    b_crit = 3.0 * jnp.sqrt(jnp.asarray(3.0, dtype)) * m
+    outward = p0s[..., 1] >= 0.0
+    far = q0s[..., 1] >= 3.0 * m
+    return jnp.where(far, outward | (b > b_crit),
+                     outward & (b <= b_crit))
+
+
+def schw_escape_rescue(final_q, final_p, status, esc_pred, rs, r_max):
+    """Reconcile the integrator's classification with the exact one.
+
+    esc_pred: per-ray analytic escape predicate (schw_true_escape_pred,
     evaluated at launch — resumable jobs store it in their carry).
 
-    A fast plunge can blow up in the stiff horizon zone and eject the ray
-    outward with |dr| under the jump cap every step — it then coasts to
-    the boundary and reports ESCAPED with a garbage state.  Detected by
-    the null invariant: healthy escapes hold |H| <~ 3e-3 * |p|^2 (f32,
-    200k steps, measured), a blow-up survivor carries |H| ~ 1..1e4 * |p|^2
-    frozen in (the flows conserve H along the post-blow-up trajectory).
-    Because Schwarzschild geodesics are integrable, the flagged ray's true
-    fate follows exactly from its conserved impact parameter:
-    b < b_crit = 3 sqrt(3) M -> park as CAPTURED; b > b_crit -> it really
-    does escape (the state is degraded but the class is right) -> keep.
-    Captured/alive rays are never touched (captured finals sit in the
-    stiff zone where legitimate truncation deposits O(1) H error).
+    Two float-integration failure modes produce misclassifications, and
+    because the system is integrable both have exact corrections:
 
-    Applied by every Schwarzschild batch integrator (both backends and
-    the resumable read-out), so kernel/twin/chunked parity is preserved.
+      * fake ESCAPES — a fast plunge blows up in the stiff horizon zone
+        and coasts to the boundary with garbage state.  pred says capture
+        -> park at r = rs, CAPTURED.
+      * fake CAPTURES — near-critical rays (|b - b_crit|/b_crit within
+        the integrator's truncation band, ~5e-3 at delta = 0.01) spiral
+        at the photon sphere until O(delta^2) error pushes them across;
+        the side they fall off is then decided by noise, biasing the
+        numerical shadow boundary outward by ~0.1 px (round-3 verdict
+        item 3).  pred says escape -> park at 1.001 r_max along the
+        last-resolved (theta, phi), ESCAPED — the same semantics as the
+        Kerr analytic rescue (integrate_ks.apply_bardeen_rescue): a
+        photon-sphere winder's escape direction samples the sky
+        quasi-randomly, so the last resolved heading is as faithful as
+        any integrator could be.
+
+    Rays the predicate agrees with — everything except a vanishing
+    near-critical band — pass through bit-untouched, and ALIVE rays are
+    never touched (the budget genuinely ran out).  Applied identically by
+    every Schwarzschild batch integrator (both backends and the resumable
+    read-out), so kernel/twin/chunked parity is preserved.
     """
-    from ..physics.hamiltonian import hamiltonian
-    h = hamiltonian(final_q, final_p, rs)
-    p2n = (final_p[..., 0] ** 2 + final_p[..., 1] ** 2
-           + final_p[..., 3] ** 2 + 1.0)
-    fake = (status == STATUS_ESCAPED) & (jnp.abs(h) > 3e-2 * p2n)
-    b_crit = 3.0 * jnp.sqrt(jnp.asarray(3.0, final_q.dtype)) * (0.5 * rs)
-    captured = fake & (jnp.asarray(b) <= b_crit)
-    status = jnp.where(captured, STATUS_CAPTURED, status)
-    final_q = final_q.at[..., 1].set(
-        jnp.where(captured, jnp.asarray(rs, final_q.dtype),
-                  final_q[..., 1]))
+    esc_pred = jnp.asarray(esc_pred)
+    dtype = final_q.dtype
+    to_cap = (status == STATUS_ESCAPED) & ~esc_pred
+    to_esc = (status == STATUS_CAPTURED) & esc_pred
+    status = jnp.where(to_cap, STATUS_CAPTURED,
+                       jnp.where(to_esc, STATUS_ESCAPED, status))
+    r_new = jnp.where(to_cap, jnp.asarray(rs, dtype),
+                      jnp.where(to_esc, 1.001 * jnp.asarray(r_max, dtype),
+                                final_q[..., 1]))
+    final_q = final_q.at[..., 1].set(r_new)
     return final_q, status
 
 
@@ -205,8 +242,9 @@ def integrate_batch(q0s, p0s, steps, delta, rs, r_max, omega, order=2):
                        jnp.where(q1r >= r_max, STATUS_ESCAPED, STATUS_ALIVE))
     final_q, final_p = unpack_q1(state), unpack_p1(state)
     final_q, status = schw_escape_rescue(final_q, final_p, status,
-                                         impact_parameter(p0s), rs,
-                                         r_max)
+                                         schw_true_escape_pred(q0s, p0s,
+                                                               rs),
+                                         rs, r_max)
     return final_q, final_p, status, n_steps
 
 
@@ -278,8 +316,9 @@ def integrate_batch_compensated(q0s, p0s, steps, delta, rs, r_max, omega,
     status = jnp.where(q1r <= 1.1 * rs, STATUS_CAPTURED,
                        jnp.where(q1r >= r_max, STATUS_ESCAPED, STATUS_ALIVE))
     final_q, status = schw_escape_rescue(final_q, final_p, status,
-                                         impact_parameter(p0s), rs,
-                                         r_max)
+                                         schw_true_escape_pred(q0s, p0s,
+                                                               rs),
+                                         rs, r_max)
     return final_q, final_p, status, n_steps
 
 

@@ -445,7 +445,7 @@ def integrate_batch_pallas(q0s, p0s, steps, delta, rs, r_max, omega,
     staggered = bool(equatorial)
     params, n_sub = _substep_params(delta, rs, r_max, omega, order,
                                     compensated, staggered=staggered)
-    p0s_orig = p0s
+    q0s_orig, p0s_orig = q0s, p0s
     if sort_rays:
         sort_idx = jnp.argsort(_cost_sort_key(q0s, p0s, rs))
         q0s = q0s[sort_idx]
@@ -470,11 +470,14 @@ def integrate_batch_pallas(q0s, p0s, steps, delta, rs, r_max, omega,
     q1r = final_q[:, 1]
     status = jnp.where(q1r <= 1.1 * rs, STATUS_CAPTURED,
                        jnp.where(q1r >= r_max, STATUS_ESCAPED, STATUS_ALIVE))
-    # exact-predicate rescue of fake escapes (blow-up survivors) — the
-    # same deterministic post-pass as the XLA backend, from the
-    # ORIGINAL-order initial covectors, so backend parity is preserved
-    from .integrate import impact_parameter, schw_escape_rescue
+    # exact-predicate classification rescue (fake escapes AND fake
+    # near-critical captures) — the same deterministic post-pass as the
+    # XLA backend, from the ORIGINAL-order initial phase points, so
+    # backend parity is preserved
+    from .integrate import schw_escape_rescue, schw_true_escape_pred
     final_q, status = schw_escape_rescue(final_q, final_p, status,
-                                         impact_parameter(p0s_orig),
+                                         schw_true_escape_pred(q0s_orig,
+                                                               p0s_orig,
+                                                               rs),
                                          rs, r_max)
     return final_q, final_p, status, n_steps

@@ -116,33 +116,69 @@ def test_trajectory_decimation():
 
 
 def test_schw_escape_rescue_unit():
-    """Fake escapes (blow-up survivors: boundary radius + violated null
-    invariant) are reclassified by the exact conserved impact parameter;
-    healthy escapes and true-escape fakes pass through untouched."""
-    from grtrace.engine.integrate import (STATUS_ALIVE, impact_parameter,
-                                          schw_escape_rescue)
+    """Misclassifications are reconciled with the exact launch-state
+    predicate: fake escapes (blow-up survivors coasting to the boundary
+    with b < b_crit) park as CAPTURED, fake captures (near-critical
+    winders pushed across the photon sphere by truncation noise despite
+    b > b_crit) park at the boundary as ESCAPED; agreeing rays and ALIVE
+    rays pass through untouched."""
+    from grtrace.engine.integrate import (STATUS_ALIVE, schw_escape_rescue,
+                                          schw_true_escape_pred)
     rs, r_max = 2.0, 31.0
-    r = 31.5
-    f = 1.0 - rs / r
     pi2 = np.pi / 2
-    q = jnp.asarray([[0.0, r, pi2, 1.0]] * 3 + [[0.0, 10.0, pi2, 1.0]])
-    # covector convention: p_t > 0 (backward rays, EinsteinPy root)
-    p = jnp.asarray([
-        [1.0, 1.0 / f, 0.0, 0.0],    # healthy escape: h == 0, b = 0
-        [1.0, 50.0, 0.0, 0.0],       # fake escape, b = 0 < b_crit
-        [1.0, 50.0, 0.0, 10.0],      # fake escape, b = 10 > b_crit
-        [1.0, 0.5, 0.0, 3.0],        # still in domain: never touched
+    b_crit = 3.0 * np.sqrt(3.0)          # M = 1
+
+    # launch states (r0 = 30, inward unless noted; backward-ray p_t > 0)
+    q0 = jnp.asarray([[0.0, 30.0, pi2, 0.0]] * 5)
+    p0 = jnp.asarray([
+        [1.0, +1.0, 0.0, 0.0],           # outward -> escapes, any b
+        [1.0, -1.0, 0.0, 0.0],           # inward, b = 0 -> captured
+        [1.0, -1.0, 0.0, b_crit + 0.1],  # inward, b > b_crit -> escapes
+        [1.0, -1.0, 0.0, b_crit - 0.1],  # inward, b < b_crit -> captured
+        [1.0, -1.0, 0.0, b_crit + 0.1],  # escapes (budget ran out: ALIVE)
     ])
-    status = jnp.asarray([STATUS_ESCAPED, STATUS_ESCAPED, STATUS_ESCAPED,
-                          STATUS_ALIVE])
-    b = impact_parameter(p)
-    np.testing.assert_allclose(np.asarray(b), [0.0, 0.0, 10.0, 3.0],
-                               atol=1e-12)
-    fq, st = schw_escape_rescue(q, p, status, b, rs, r_max)
+    pred = schw_true_escape_pred(q0, p0, rs)
+    assert list(np.asarray(pred)) == [True, False, True, False, True]
+
+    # integrator's (partly wrong) finals
+    fq = jnp.asarray([
+        [9.0, 31.5, pi2, 0.2],           # healthy escape, pred agrees
+        [9.0, 32.0, pi2, 0.3],           # FAKE escape (blow-up survivor)
+        [9.0, 2.0, pi2, 0.4],            # FAKE capture (truncation flip)
+        [9.0, 2.0, pi2, 0.5],            # healthy capture, pred agrees
+        [9.0, 10.0, pi2, 0.6],           # ALIVE: never touched
+    ])
+    fp = jnp.zeros_like(fq)
+    status = jnp.asarray([STATUS_ESCAPED, STATUS_ESCAPED, STATUS_CAPTURED,
+                          STATUS_CAPTURED, STATUS_ALIVE])
+    out_q, st = schw_escape_rescue(fq, fp, status, pred, rs, r_max)
     assert list(np.asarray(st)) == [STATUS_ESCAPED, STATUS_CAPTURED,
-                                    STATUS_ESCAPED, STATUS_ALIVE]
-    assert float(np.asarray(fq)[1, 1]) == rs      # rescued ray parked
-    assert float(np.asarray(fq)[0, 1]) == r       # healthy untouched
+                                    STATUS_ESCAPED, STATUS_CAPTURED,
+                                    STATUS_ALIVE]
+    oq = np.asarray(out_q)
+    assert float(oq[0, 1]) == 31.5                 # healthy: untouched
+    assert float(oq[1, 1]) == rs                   # fake escape parked
+    assert float(oq[2, 1]) == 1.001 * r_max        # fake capture parked
+    assert float(oq[2, 3]) == 0.4                  # keeps last heading
+    assert float(oq[4, 1]) == 10.0                 # alive untouched
+
+
+def test_schw_true_escape_pred_inside_photon_sphere():
+    """Inside the barrier (r0 < 3M) only outward rays under the critical
+    impact parameter clear the peak — the regime the simple
+    'b vs b_crit' reduction gets wrong without the position term."""
+    from grtrace.engine.integrate import schw_true_escape_pred
+    rs = 2.0
+    pi2 = np.pi / 2
+    b_crit = 3.0 * np.sqrt(3.0)
+    q0 = jnp.asarray([[0.0, 2.5, pi2, 0.0]] * 3)
+    p0 = jnp.asarray([
+        [1.0, +5.0, 0.0, 0.0],               # outward, b=0: escapes
+        [1.0, +5.0, 0.0, 2.5 * b_crit],      # outward, b>b_crit: falls back
+        [1.0, -5.0, 0.0, 0.0],               # inward: captured
+    ])
+    pred = schw_true_escape_pred(q0, p0, rs)
+    assert list(np.asarray(pred)) == [True, False, False]
 
 
 def test_critical_pixel_maps_to_b_crit():
