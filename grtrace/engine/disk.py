@@ -94,12 +94,6 @@ class DiskConfig:
             raise ValueError(
                 f"DiskConfig.camera_omega must be None, a float, "
                 f"'keplerian' or 'zamo', got {self.camera_omega!r}")
-        if self.bfield is not None and self.camera_omega is not None:
-            raise NotImplementedError(
-                "polarized imaging with a moving camera is not supported: "
-                "the EVPA screen solve measures the polarization angle in "
-                "the STATIC observer's screen basis (physics.polarization."
-                "observer_evpa); a boosted screen basis is future work")
 
     def inner_edge(self, mass, a, charge=0.0):
         """Inner disk edge: explicit r_in, else the ISCO — the BPT closed
@@ -309,13 +303,18 @@ def shade_disk_constants(energy, l_z, r_em, params, r_obs, r_in, *,
 
 
 def polarization_fields(hit_q, hit_p, q0f, p0f, obs_pos, fov, height, width,
-                        params, prograde, bfield, disk_mask, dtype):
+                        params, prograde, bfield, disk_mask, dtype,
+                        omega_obs=0.0):
     """Walker-Penrose EVPA per disk pixel on flat (N, 4) arrays.
 
-    Shared by the full-frame program (render_pixels_disk) and transfer-map
-    reshading (io.transfer.reshade) — the EVPA is a pure function of the
-    emission event, the camera ray, and the field geometry, so a saved
-    transfer map can be re-polarized for a new `bfield` without retracing.
+    Runs inside the shared shading program (shading_program), which both
+    the full-frame render and transfer-map reshading invoke — the EVPA is
+    a pure function of the emission event, the camera ray, and the field
+    geometry, so a saved transfer map can be re-polarized for a new
+    `bfield` without retracing.  omega_obs is the camera worldline's
+    angular velocity (0 = static): the screen basis the angle is measured
+    in is the OBSERVER's (boosted for a moving camera —
+    physics.polarization.observer_evpa).
     Returns (evpa, pol_weight, pol_check), each masked to disk pixels.
     """
     from ..physics.camera import _lookat_frame
@@ -331,7 +330,8 @@ def polarization_fields(hit_q, hit_p, q0f, p0f, obs_pos, fov, height, width,
                                                width, dtype)
     evpa, c_norm = jax.vmap(
         lambda k1, k2, qi, pi: observer_evpa(k1, k2, qi, pi, cam_up,
-                                             cam_right, params)
+                                             cam_right, params,
+                                             omega_obs=omega_obs)
     )(kap1, kap2, q0f, p0f)
     evpa = jnp.where(disk_mask, evpa, 0.0)
     pol_weight = jnp.where(disk_mask, sin2_b, 0.0)
@@ -340,7 +340,8 @@ def polarization_fields(hit_q, hit_p, q0f, p0f, obs_pos, fov, height, width,
 
 
 @functools.lru_cache(maxsize=None)
-def shading_program(height, width, profile, prograde, bfield):
+def shading_program(height, width, profile, prograde, bfield,
+                    camera_moving=False):
     """THE jitted disk-shading program — one executable shared by the
     full-frame render (render_disk) and transfer-map reshading
     (io.transfer.reshade).
@@ -386,16 +387,29 @@ def shading_program(height, width, profile, prograde, bfield):
                "redshift": g.reshape(height, width),
                "disk_count": jnp.sum(disk_mask)}
         if bfield is not None:
-            from ..physics.camera import (cartesian_ics_from_pixels,
+            from ..physics.camera import (boosted_ics_from_pixels,
+                                          cartesian_ics_from_pixels,
                                           pixel_grid_lookat)
             pix = pixel_grid_lookat(obs_pos, fov, height, width,
                                     dtype=dtype)
-            q0, p0, _ = cartesian_ics_from_pixels(
-                obs_pos, pix, params=params,
-                g_inv_fn=METRICS["KerrSchild"])
+            # the camera rays the EVPA screen solve needs — recomputed
+            # (deterministically) from the saved geometry rather than
+            # persisted; a MOVING camera's rays come from the same
+            # boosted tetrad the trace used, and the screen basis is
+            # built around the same worldline (omega_obs) inside
+            # observer_evpa
+            if camera_moving:
+                q0, p0, _ = boosted_ics_from_pixels(
+                    obs_pos, pix, params=params,
+                    g_inv_fn=METRICS["KerrSchild"], omega_cam=omega_obs)
+            else:
+                q0, p0, _ = cartesian_ics_from_pixels(
+                    obs_pos, pix, params=params,
+                    g_inv_fn=METRICS["KerrSchild"])
             evpa, wgt, chk = polarization_fields(
                 hq, hp, q0.reshape(n, 4), p0.reshape(n, 4), obs_pos, fov,
-                height, width, params, prograde, bfield, disk_mask, dtype)
+                height, width, params, prograde, bfield, disk_mask, dtype,
+                omega_obs=omega_obs if camera_moving else 0.0)
             out |= {"evpa": evpa.reshape(height, width),
                     "pol_weight": wgt.reshape(height, width),
                     "pol_check": chk.reshape(height, width)}
@@ -406,12 +420,13 @@ def shading_program(height, width, profile, prograde, bfield):
 
 def run_shading(result_arrays, *, height, width, profile, prograde, bfield,
                 params, obs_pos, fov, r_in, r_out, t_peak, exposure,
-                camera_omega, dtype):
+                camera_omega, dtype, camera_moving=False):
     """Invoke shading_program with the canonical host->device argument
     casting.  BOTH call sites (render_disk and io.transfer.reshade) build
     their traced arguments through this function, so the executable sees
     bitwise-identical scalars regardless of which path supplied them."""
-    run = shading_program(height, width, profile, prograde, bfield)
+    run = shading_program(height, width, profile, prograde, bfield,
+                          camera_moving)
     hit_q, hit_p, status, image = result_arrays
     return run(jnp.asarray(hit_q), jnp.asarray(hit_p),
                jnp.asarray(status), jnp.asarray(image),
@@ -545,7 +560,7 @@ def _trace_shade_flat(q0f, p0f, bg_array, params, r_obs, r_obs_bl, th_obs,
 @partial(jax.jit,
          static_argnames=("height", "width", "steps", "order", "flip_theta",
                           "flip_phi", "has_background", "dtype", "prograde",
-                          "backend", "profile", "bfield", "camera_moving"))
+                          "backend", "profile", "camera_moving"))
 def render_pixels_disk(bg_array, obs_pos, fov, mass, spin, charge,
                        boundary_radius, steps, delta, omega,
                        r_in, r_out, t_peak, exposure,
@@ -555,8 +570,7 @@ def render_pixels_disk(bg_array, obs_pos, fov, mass, spin, charge,
                        *, height, width, order=2, flip_theta=False,
                        flip_phi=False, has_background=True,
                        dtype=jnp.float32, prograde=True, backend="xla",
-                       profile="shakura", bfield=None,
-                       camera_moving=False):
+                       profile="shakura", camera_moving=False):
     """One compiled program: camera -> disk integration -> shade + classify
     -> RGB.  Mirrors render_pixels_generic with the disk overlay on top;
     obs_pos is a full (3,) position (the disk camera may sit above the
@@ -601,13 +615,6 @@ def render_pixels_disk(bg_array, obs_pos, fov, mass, spin, charge,
     status, n_steps = flat["status"], flat["n_steps"]
     hit_q, hit_p = flat["hit_q"], flat["hit_p"]
     g_fac = flat["g_fac"]
-    disk_mask = status == STATUS_DISK
-
-    # --- polarized imaging: Walker-Penrose EVPA per disk pixel ---
-    if bfield is not None:
-        evpa, pol_weight, pol_check = polarization_fields(
-            hit_q, hit_p, q0.reshape(n, 4), p0.reshape(n, 4), obs_pos, fov,
-            height, width, params, prograde, bfield, disk_mask, dtype)
 
     image = flat["colors"].reshape(height, width, 3)
     cls = flat["cls"].reshape(height, width)
@@ -639,11 +646,7 @@ def render_pixels_disk(bg_array, obs_pos, fov, mass, spin, charge,
         "hit_p": hit_p.reshape(height, width, 4),
         "redshift": g_fac.reshape(height, width),
         "count_vec": count_vec,
-    } | ({} if bfield is None else {
-        "evpa": evpa.reshape(height, width),
-        "pol_weight": pol_weight.reshape(height, width),
-        "pol_check": pol_check.reshape(height, width),
-    })
+    }
 
 
 def save_disk_maps(result, out_dir, emissivity_index=3.0, spin=0.0):
@@ -845,7 +848,7 @@ def render_disk(scene, disk: DiskConfig = None, *, bg_array=None, dtype=None,
             flip_theta=scene.patch.flip_theta,
             flip_phi=scene.patch.flip_phi,
             has_background=has_bg, dtype=dtype, prograde=disk.prograde,
-            backend=backend, profile=disk.profile, bfield=disk.bfield,
+            backend=backend, profile=disk.profile,
             camera_moving=camera_moving)
 
         # Re-shade the disk pixels through THE shared shading executable
@@ -862,7 +865,8 @@ def render_disk(scene, disk: DiskConfig = None, *, bg_array=None, dtype=None,
             params=[scene.bh_mass, scene.spin, scene.charge],
             obs_pos=obs_pos, fov=scene.fov, r_in=r_in, r_out=disk.r_out,
             t_peak=disk.t_peak, exposure=disk.exposure,
-            camera_omega=camera_omega, dtype=dtype)
+            camera_omega=camera_omega, dtype=dtype,
+            camera_moving=camera_moving)
         out["image"] = shaded["image"]
         out["redshift"] = shaded["redshift"]
         for key in ("evpa", "pol_weight", "pol_check"):

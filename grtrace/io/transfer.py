@@ -80,7 +80,7 @@ class TransferMap:
                                    resolve_camera_omega)
 
         r_in = disk.inner_edge(scene.bh_mass, scene.spin, scene.charge)
-        _, camera_omega = resolve_camera_omega(scene, disk)
+        camera_moving, camera_omega = resolve_camera_omega(scene, disk)
         meta = {
             "format": _FORMAT_VERSION,
             "grtrace": __version__,
@@ -90,10 +90,14 @@ class TransferMap:
             "profile": disk.profile,
             "bfield": disk.bfield,
             "emissivity_index": float(disk.emissivity_index),
-            # camera worldline angular velocity baked into the traced
-            # rays (aberration is in hit_q/hit_p; reshading only needs
-            # the receiver leg of the redshift)
+            # camera worldline baked into the traced rays (aberration is
+            # in hit_q/hit_p; reshading needs the receiver leg of the
+            # redshift plus the worldline for the boosted EVPA screen —
+            # camera_moving is stored separately because an explicit
+            # omega = 0.0 still selects the boosted-tetrad camera, which
+            # differs from the static chart camera in Kerr)
             "camera_omega": float(camera_omega),
+            "camera_moving": bool(camera_moving),
             # provenance (informational)
             "steps": int(scene.integrator.steps),
             "delta": float(scene.integrator.delta),
@@ -188,10 +192,6 @@ def reshade(tm: TransferMap, *, t_peak=None, exposure=None, profile=None,
     bfield = tm.meta.get("bfield") if bfield is None else (
         None if bfield == "none" else bfield)
     camera_omega = tm.meta.get("camera_omega", 0.0)
-    if bfield is not None and camera_omega != 0.0:
-        raise NotImplementedError(
-            "polarized reshading of a moving-camera transfer map is not "
-            "supported (see DiskConfig.camera_omega)")
 
     h, w = tm.shape
     dtype = jnp.asarray(tm.hit_q).dtype
@@ -200,7 +200,8 @@ def reshade(tm: TransferMap, *, t_peak=None, exposure=None, profile=None,
         height=h, width=w, profile=profile, prograde=prograde,
         bfield=bfield, params=tm.params, obs_pos=tm.obs_pos, fov=tm.fov,
         r_in=tm.r_in, r_out=tm.r_out, t_peak=t_peak, exposure=exposure,
-        camera_omega=camera_omega, dtype=dtype)
+        camera_omega=camera_omega, dtype=dtype,
+        camera_moving=tm.meta.get("camera_moving", camera_omega != 0.0))
     out = dict(out)
     disk_count = int(out.pop("disk_count"))
     dev = {"status": jnp.asarray(tm.status), "hit_q": jnp.asarray(tm.hit_q),

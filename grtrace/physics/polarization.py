@@ -259,17 +259,25 @@ def emission_polarization(q_bl, p_bl, params, prograde=True,
 # Camera: reconstruct the screen EVPA from the conserved constant
 # ---------------------------------------------------------------------------
 
-def observer_evpa(kappa1, kappa2, q0_ks, p0_ks, up3, right3, params):
+def observer_evpa(kappa1, kappa2, q0_ks, p0_ks, up3, right3, params,
+                  omega_obs=0.0):
     """Electric-vector position angle on the camera screen, from the
     conserved WP constant of the ray whose camera-end phase point is
     (q0_ks, p0_ks) on the KS chart.
 
     up3/right3: the camera's (contravariant, spatial) basis directions
-    in KS Cartesian coordinates.  Procedure: build the static observer's
-    orthonormal screen {e1 (up), e2 (right)} orthogonal to u_obs and to
-    the photon's spatial direction; kappa is linear in f and
-    k-gauge-invariant, so the physical f = c1 e1 + c2 e2 (mod k, u) and
-    (c1, c2) solve the 2x2 real system kappa(f) = kappa_target.
+    in KS Cartesian coordinates.  omega_obs: the camera worldline's
+    coordinate angular velocity — 0 for the static observer, nonzero for
+    a circular camera u = u^t (partial_t + omega partial_phi), the SAME
+    worldline physics.camera.boosted_ics_from_pixels shoots rays from.
+    Procedure: build the OBSERVER's orthonormal screen {e1 (up),
+    e2 (right)} orthogonal to u_obs and to the photon's spatial direction
+    in the observer's rest space (for a moving camera this is exactly the
+    boosted-tetrad screen: same Gram-Schmidt of the look-at coordinate
+    directions against the same u, plus the transversality projection);
+    kappa is linear in f and k-gauge-invariant, so the physical
+    f = c1 e1 + c2 e2 (mod k, u) and (c1, c2) solve the 2x2 real system
+    kappa(f) = kappa_target.
 
     EVPA = atan2(c2, c1), measured from camera-up toward camera-right,
     defined mod pi.  Also returns the reconstruction residual
@@ -282,7 +290,11 @@ def observer_evpa(kappa1, kappa2, q0_ks, p0_ks, up3, right3, params):
     def dot(a_up, b_up):
         return ks_dot(q0_ks, a_up, b_up, params)
 
-    u_obs = jnp.stack([one, zero, zero, zero])
+    # circular-worldline 4-velocity direction (1, -w y, w x, 0): the
+    # Cartesian form of partial_t + w partial_phi (reduces to the static
+    # observer at w = 0)
+    w = jnp.asarray(omega_obs, q0_ks.dtype)
+    u_obs = jnp.stack([one, -w * q0_ks[2], w * q0_ks[1], zero])
     u_obs = u_obs / jnp.sqrt(jnp.maximum(-dot(u_obs, u_obs), 1e-30))
 
     # contravariant photon vector at the camera

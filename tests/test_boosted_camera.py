@@ -206,9 +206,12 @@ def test_superluminal_camera_rejected():
                                                camera_omega=0.05))
 
 
-def test_bfield_with_moving_camera_rejected():
-    with pytest.raises(NotImplementedError, match="polarized"):
-        DiskConfig(bfield="vertical", camera_omega="zamo")
+def test_bfield_with_moving_camera_accepted():
+    """Polarized imaging composes with every camera worldline since
+    round 4 (the EVPA screen basis is built from the boosted tetrad,
+    physics.polarization.observer_evpa omega_obs)."""
+    disk = DiskConfig(bfield="vertical", camera_omega="zamo")
+    assert disk.bfield == "vertical" and disk.camera_omega == "zamo"
 
 
 def test_hotspot_corotating_camera_freezes_light_curve():
@@ -249,8 +252,19 @@ def test_transfer_roundtrip_with_moving_camera(tmp_path):
     np.testing.assert_array_equal(r2.image, res.image)
     np.testing.assert_array_equal(np.asarray(r2.device("redshift")),
                                   np.asarray(res.device("redshift")))
-    with pytest.raises(NotImplementedError):
-        reshade(tm, bfield="vertical")
+    # re-polarizing a MOVING-camera map works (round 4): the EVPA screen
+    # solve rebuilds the boosted rays from the saved geometry
+    rp = reshade(tm, bfield="vertical")
+    evpa = np.asarray(rp.device("evpa"))
+    chk = np.asarray(rp.device("pol_check"))
+    dm = np.asarray(rp.device("status")) == 3
+    assert dm.any()
+    assert np.isfinite(evpa[dm]).all()
+    # screen solve healthy: residual ~1 in the bulk (single inner-edge
+    # pixels carry the coarse-delta crossing-lerp error; the exact-limit
+    # EVPA is pinned by the SR closed-form test in test_polarization)
+    assert np.median(np.abs(chk[dm] - 1.0)) < 1e-3
+    assert (np.abs(chk[dm] - 1.0) < 0.3).all()
 
     # the hotspot path must carry the camera angular velocity too: the
     # transfer-shaded movie equals the direct render_hotspot (which

@@ -421,3 +421,167 @@ def test_subring_beta2_radial_pattern_closed_form(subring_toroidal_faceon):
     s = subring_summary(res)
     assert s["beta2_abs_per_order"][0] == pytest.approx(abs(beta[2][0]))
     assert abs(s["beta2_arg_per_order_rad"][1]) < 0.06
+
+
+# ---------------------------------------------------------------------------
+# moving-camera polarization (round 4): boosted EVPA screen basis
+# ---------------------------------------------------------------------------
+
+def _minkowski_boost(beta_vec):
+    """Explicit Lorentz boost matrix taking lab components to the frame
+    of an observer moving with 3-velocity beta_vec (numpy, independent
+    of every grtrace tetrad routine)."""
+    b = np.asarray(beta_vec, float)
+    b2 = b @ b
+    g = 1.0 / np.sqrt(1.0 - b2)
+    lam = np.eye(4)
+    lam[0, 0] = g
+    lam[0, 1:] = lam[1:, 0] = -g * b
+    lam[1:, 1:] += (g - 1.0) * np.outer(b, b) / max(b2, 1e-30)
+    return lam
+
+
+def test_observer_evpa_flat_limit_matches_sr_boost():
+    """M = a = 0 collapses the whole GR machinery to special relativity,
+    where the boosted-screen EVPA has a closed form: Lorentz-boost the
+    photon, the polarization and the camera frame vectors, then measure
+    the angle in the aberrated transverse plane.  The GR path
+    (walker_penrose + observer_evpa with omega_obs) must reproduce that
+    to float64 roundoff — and differ from the static answer (the
+    aberration rotation is the physics being added)."""
+    from grtrace.physics.polarization import observer_evpa, walker_penrose
+
+    dt = jnp.float64
+    params = jnp.zeros(3, dt)                       # flat spacetime
+    obs = np.array([30.0, 0.0, 0.0])
+    omega = 0.01                                    # beta = 0.3 at r = 30
+    beta_vec = np.array([-omega * obs[1], omega * obs[0], 0.0])
+
+    q0 = jnp.asarray([0.0, *obs], dt)
+    # incoming photon, generic direction (not aligned with any axis)
+    n = np.array([-0.6, 0.5, 0.4])
+    n /= np.linalg.norm(n)
+    k_up = np.array([1.0, *n])                      # null: flat metric
+    p_cov = np.array([-1.0, *n])                    # eta_mn k^n
+
+    # camera look-at frame for obs on +x: axis=-x, right, up (the same
+    # construction _lookat_frame uses, done independently here)
+    axis = -obs / np.linalg.norm(obs)
+    right = np.cross(axis, [0.0, 0.0, 1.0])
+    right /= np.linalg.norm(right)
+    up = np.cross(right, axis)
+
+    def mdot(a, b):
+        return -a[0] * b[0] + a[1:] @ b[1:]
+
+    # build a physical unit polarization transverse to k in the STATIC
+    # frame screen, at 35 degrees from up
+    def static_screen():
+        u = np.array([1.0, 0.0, 0.0, 0.0])
+        nh = k_up + mdot(k_up, u) * u
+        nh = nh / np.sqrt(mdot(nh, nh))
+        e1 = np.r_[0.0, up]
+        e1 += mdot(e1, u) * u
+        e1 -= mdot(e1, nh) * nh
+        e1 /= np.sqrt(mdot(e1, e1))
+        e2 = np.r_[0.0, right]
+        e2 += mdot(e2, u) * u
+        e2 -= mdot(e2, nh) * nh
+        e2 -= mdot(e2, e1) * e1
+        e2 /= np.sqrt(mdot(e2, e2))
+        return e1, e2
+
+    chi0 = np.deg2rad(35.0)
+    e1s, e2s = static_screen()
+    f = np.cos(chi0) * e1s + np.sin(chi0) * e2s
+
+    kap1, kap2 = walker_penrose(
+        jnp.asarray([0.0, 30.0, np.pi / 2, 0.0], dt),
+        jnp.asarray(_to_bl_up(k_up, obs), dt),
+        jnp.asarray(_to_bl_up(f, obs), dt), jnp.zeros((), dt))
+
+    # GR machinery: static observer must recover chi0 exactly
+    chi_static, c_static = observer_evpa(
+        kap1, kap2, q0, jnp.asarray(p_cov, dt), jnp.asarray(up, dt),
+        jnp.asarray(right, dt), params, omega_obs=jnp.zeros((), dt))
+    np.testing.assert_allclose(float(chi_static), chi0, atol=1e-10)
+    np.testing.assert_allclose(float(c_static), 1.0, atol=1e-10)
+
+    # GR machinery: moving observer
+    chi_gr, c_gr = observer_evpa(
+        kap1, kap2, q0, jnp.asarray(p_cov, dt), jnp.asarray(up, dt),
+        jnp.asarray(right, dt), params, omega_obs=jnp.asarray(omega, dt))
+
+    # SR oracle: boost everything, measure in the aberrated screen
+    lam = _minkowski_boost(beta_vec)
+    kb = lam @ k_up
+    fb = lam @ f
+    upb = lam @ np.r_[0.0, up]
+    rib = lam @ np.r_[0.0, right]
+    nh = kb[1:] / np.linalg.norm(kb[1:])
+    E1 = upb[1:] - (upb[1:] @ nh) * nh
+    E1 /= np.linalg.norm(E1)
+    E2 = rib[1:] - (rib[1:] @ nh) * nh - (rib[1:] @ E1) * E1
+    E2 /= np.linalg.norm(E2)
+    chi_sr = np.mod(np.arctan2(fb[1:] @ E2, fb[1:] @ E1), np.pi)
+
+    np.testing.assert_allclose(float(chi_gr), chi_sr, atol=1e-10)
+    np.testing.assert_allclose(float(c_gr), 1.0, atol=1e-10)
+    # the aberration rotation is real: beta = 0.3 moves the angle
+    assert abs(float(chi_gr) - chi0) > 0.05
+
+
+def _to_bl_up(w_up, obs):
+    """Contravariant Cartesian -> spherical (BL at M=a=0) at the
+    equatorial point obs = (x, 0, 0): dr = dx, dtheta = -dz/r,
+    dphi = dy/r."""
+    r = np.linalg.norm(obs)
+    return np.array([w_up[0], w_up[1], -w_up[3] / r, w_up[2] / r])
+
+
+def test_render_disk_polarized_moving_camera(tmp_path):
+    """End-to-end: --disk-bfield + --camera-omega compose.  The moving-
+    camera EVPA map is finite with a healthy screen solve, DIFFERS from
+    the static map (aberration), and the full CLI writes the polarization
+    artifacts."""
+    from grtrace import IntegratorConfig, PatchConfig, SceneConfig
+    from grtrace.engine.disk import DiskConfig, render_disk
+
+    scene = SceneConfig(size=20, metric="kerr", spin=0.9, n_samples=0,
+                        integrator=IntegratorConfig(steps=1500, delta=0.1,
+                                                    omega=1.0,
+                                                    backend="xla",
+                                                    dtype="float64"),
+                        patch=PatchConfig())
+    moving = render_disk(scene, DiskConfig(r_out=10.0, bfield="vertical",
+                                           camera_omega="keplerian"),
+                         bg_array=None)
+    static = render_disk(scene, DiskConfig(r_out=10.0, bfield="vertical"),
+                         bg_array=None)
+    dm = np.asarray(moving.device("status")) == 3
+    ds = np.asarray(static.device("status")) == 3
+    assert dm.sum() > 10
+    evpa_m = np.asarray(moving.device("evpa"))
+    chk_m = np.asarray(moving.device("pol_check"))
+    assert np.isfinite(evpa_m[dm]).all()
+    # the screen-solve residual is the lerped-crossing diagnostic; at the
+    # coarse test delta=0.1 the aberrated bundle hits at a few-percent
+    # level (the exact-limit EVPA itself is pinned to 1e-10 by
+    # test_observer_evpa_flat_limit_matches_sr_boost)
+    np.testing.assert_allclose(chk_m[dm], 1.0, atol=0.08)
+    both = dm & ds
+    evpa_s = np.asarray(static.device("evpa"))
+    # wrapped mod-pi difference; aberration must move the pattern
+    d = np.abs(evpa_m[both] - evpa_s[both])
+    d = np.minimum(d, np.pi - d)
+    assert d.max() > 0.01
+
+    # CLI: the flags compose and the artifacts land
+    from grtrace.cli.main import main
+    out = str(tmp_path / "polmov")
+    main(["--size", "20", "--metric", "kerr", "--spin", "0.9", "--disk",
+          "--disk-bfield", "vertical", "--camera-omega", "keplerian",
+          "--steps", "1500", "--delta", "0.1", "--out-dir", out,
+          "--no-plots", "--no-flat", "--n-samples", "0"])
+    import os
+    assert os.path.exists(os.path.join(out, "polarization_map.csv"))
