@@ -192,6 +192,19 @@ def make_ks_step(subs, mass, a, charge, r_cap, r_max, plunge_zone,
         out, ns_new, _, _ = _advance(comps, ns)
         return out, ns_new
 
+    # crossing-event reads fold the Kahan deficits (true = s - c): the
+    # deficit of a 3,000-step f32 trajectory reaches ~1e-3 in the
+    # coordinates, and recording raw accumulator rows was exactly the
+    # round-3 subring event drift (BENCH_r03 max_event_q_delta 8.4e-3).
+    # Folding costs one subtract per read and keeps kernel/twin parity
+    # bit-exact (both run this same code).
+    if compensated:
+        def best(state, i):
+            return state[i] - state[16 + i]
+    else:
+        def best(state, i):
+            return state[i]
+
     if subrings is None and disk is None:
         return active, masked_step, open_fn, close_fn
 
@@ -207,11 +220,13 @@ def make_ks_step(subs, mass, a, charge, r_cap, r_max, plunge_zone,
 
         def masked_step_subrings(comps, ns, cnt, hq, hp):
             out, ns_new, new, ok = _advance(comps, ns)
-            z0, z1 = comps[3], new[3]
+            z0, z1 = best(comps, 3), best(new, 3)
             crossed = ok & (z0 * z1 < 0.0)
             t = jnp.where(crossed, z0 / (z0 - z1), 0.0)
-            cq = tuple(comps[i] + t * (new[i] - comps[i]) for i in range(4))
-            cp = tuple(comps[12 + i] + t * (new[12 + i] - comps[12 + i])
+            cq = tuple(best(comps, i) + t * (best(new, i) - best(comps, i))
+                       for i in range(4))
+            cp = tuple(best(comps, 12 + i)
+                       + t * (best(new, 12 + i) - best(comps, 12 + i))
                        for i in range(4))
             hq_new, hp_new = [], []
             for s in range(n_orders):
@@ -235,11 +250,13 @@ def make_ks_step(subs, mass, a, charge, r_cap, r_max, plunge_zone,
         # visible surface).  ok excludes guard-parked rays — a ray cannot
         # hit the disk on the step its state blew up, matching
         # integrate_batch_disk's `act & ~bad` condition.
-        z0, z1 = comps[3], new[3]
+        z0, z1 = best(comps, 3), best(new, 3)
         crossed = ok & (z0 * z1 < 0.0)
         t = jnp.where(crossed, z0 / (z0 - z1), 0.0)
-        cq = tuple(comps[i] + t * (new[i] - comps[i]) for i in range(4))
-        cp = tuple(comps[12 + i] + t * (new[12 + i] - comps[12 + i])
+        cq = tuple(best(comps, i) + t * (best(new, i) - best(comps, i))
+                   for i in range(4))
+        cp = tuple(best(comps, 12 + i)
+                   + t * (best(new, 12 + i) - best(comps, 12 + i))
                    for i in range(4))
         r_hit = ks_radius_c(cq[1], cq[2], cq[3], a)
         new_hit = crossed & (r_hit >= r_in) & (r_hit <= r_out)
@@ -491,3 +508,70 @@ def integrate_batch_ksc(q0s, p0s, steps, delta, params, r_max, omega,
         final_q, final_p, ns, q2_spatial, q0s, p0s, mass, a, charge,
         r_cap, r_max)
     return final_q, final_p, status, n_steps
+
+
+@partial(jax.jit, static_argnames=("steps", "order", "n_orders"))
+def integrate_batch_subrings_ksc(q0s, p0s, steps, delta, params, r_max,
+                                 omega, n_orders=3, order=2):
+    """XLA twin of the compensated Pallas SUBRING kernel.
+
+    Runs the EXACT step/guard/crossing-recorder construction the kernel
+    compiles (make_ks_step, compensated=True, subrings=n_orders) through
+    a lax.while_loop — the subring analog of integrate_batch_ksc, so
+    on-chip kernel-vs-XLA parity compares Mosaic-vs-XLA compilation of
+    identical code (round-3 compared the compensated kernel against the
+    PLAIN engine.subring integrator, and the 8.4e-3 'event drift' it
+    measured was mostly the plain twin's own f32 error).  Same contract
+    as subring.integrate_batch_subrings: returns (final_q, final_p,
+    status, n_steps, hits_q (n_orders, N, 4), hits_p, count).
+    """
+    dtype = q0s.dtype
+    delta = jnp.asarray(delta, dtype)
+    r_max = jnp.asarray(r_max, dtype)
+    omega = jnp.asarray(omega, dtype)
+    mass, a, charge, r_cap, plunge_zone = ks_scene_scalars(params, dtype)
+    subs = ks_substeps(delta, omega, order, compensated=True)
+    active, masked_step, open_fn, close_fn = make_ks_step(
+        subs, mass, a, charge, r_cap, r_max, plunge_zone,
+        compensated=True, subrings=n_orders)
+    d0 = subs[0][0]
+
+    n = q0s.shape[0]
+    state0 = pack_state_ksc(q0s, p0s)
+    ns0 = jnp.zeros((n,), dtype=jnp.int32)
+    cnt0 = jnp.zeros((n,), dtype=jnp.int32)
+    zeros = jnp.zeros((n,), dtype)
+    hq0 = tuple(tuple(zeros for _ in range(4)) for _ in range(n_orders))
+    hp0 = tuple(tuple(zeros for _ in range(4)) for _ in range(n_orders))
+
+    act0 = active(state0)
+    if steps > 0:  # steps == 0 must be an exact no-op (matches the kernel)
+        opened = open_fn(state0, d0)
+        state0 = tuple(jnp.where(act0, o, s) for o, s in zip(opened, state0))
+
+    def cond(carry):
+        comps, _, k, _, _, _ = carry
+        return (k < steps) & jnp.any(active(comps))
+
+    def body(carry):
+        comps, ns, k, cnt, hq, hp = carry
+        comps, ns, cnt, hq, hp = masked_step(comps, ns, cnt, hq, hp)
+        return comps, ns, k + 1, cnt, hq, hp
+
+    comps, ns, _, cnt, hq, hp = jax.lax.while_loop(
+        cond, body, (state0, ns0, jnp.int32(0), cnt0, hq0, hp0))
+
+    if steps > 0:
+        closed = close_fn(comps, d0)
+        comps = tuple(jnp.where(act0, cl, c) for cl, c in zip(closed, comps))
+
+    best = unpack_ksc(comps)
+    final_q = jnp.stack(best[0:4], axis=-1)
+    final_p = jnp.stack(best[4:8], axis=-1)
+    q2_spatial = jnp.stack(best[9:12], axis=-1)
+    final_q, final_p, status, n_steps = apply_bardeen_rescue(
+        final_q, final_p, ns, q2_spatial, q0s, p0s, mass, a, charge,
+        r_cap, r_max)
+    hits_q = jnp.stack([jnp.stack(hq[s], axis=-1) for s in range(n_orders)])
+    hits_p = jnp.stack([jnp.stack(hp[s], axis=-1) for s in range(n_orders)])
+    return final_q, final_p, status, n_steps, hits_q, hits_p, cnt

@@ -23,6 +23,13 @@ stderr JSON, so every round's driver artifact carries them):
 Everything here also runs on CPU (backend='xla' / interpret=True), so the
 module itself is covered by the ordinary test suite.
 
+Step budgets are exact multiples of the kernels' UNROLL group sizes
+(64 base steps for the Schwarzschild kernel, 32 for the Kerr-Schild
+family): a non-multiple leaves `steps % unroll` step-function copies
+STATICALLY inlined as the exact-budget remainder, which bloats the
+Mosaic compile of every probe program — the dominant cost of the bench's
+validation tail (round-3 verdict item 7).
+
 Boundary positions are quoted in 256x256-image pixels regardless of probe
 resolution (matching tests/test_shadow_analytic and the README numbers).
 Scene: observer at r0 = 30 M on +x, fov 80 deg, boundary sphere 31 M —
@@ -124,7 +131,7 @@ def bardeen_escapes(rhos, spin, charge=0.0, psis=None):
     return out
 
 
-def schwarzschild_shadow_error(steps=20_000, delta=0.01, omega=1.0,
+def schwarzschild_shadow_error(steps=19_968, delta=0.01, omega=1.0,
                                backend="auto", dtype=jnp.float32):
     """{'px_err': max |boundary - analytic| in 256^2 pixels, 'bracket',
     'rho_num': per-azimuth, 'rho_analytic'} for the production float32
@@ -209,7 +216,7 @@ def kerr_shadow_errors(spin=0.9, charge=0.0, steps=8_000, delta=0.02,
     }
 
 
-def ks_kernel_parity(spin=0.9, charge=0.0, size=48, steps=5_000,
+def ks_kernel_parity(spin=0.9, charge=0.0, size=48, steps=4_992,
                      delta=0.05, dtype=jnp.float32, interpret=False):
     """Compensated KS Pallas kernel vs its XLA twin ON THE SAME DEVICE:
     status / step-count / final-position agreement.  Both compile the same
@@ -249,19 +256,22 @@ def ks_kernel_parity(spin=0.9, charge=0.0, size=48, steps=5_000,
     }
 
 
-def subring_kernel_parity(spin=0.9, size=24, steps=3_000, delta=0.05,
+def subring_kernel_parity(spin=0.9, size=24, steps=2_944, delta=0.05,
                           n_orders=3, elev=0.3, dtype=jnp.float32,
                           interpret=False):
-    """Subring Pallas kernel vs the XLA subring engine ON THE SAME
-    DEVICE: status / total-crossing-count / recorded-event agreement.
-    Both record the p2 momentum copy at the lerped crossing (see
-    engine/subring.py), so the event deltas measure only the
-    staggered-vs-plain fusion rounding (plus the Kahan compensation on
-    the f32 kernel side), not the FANTASY copy-split."""
+    """Subring Pallas kernel vs its TRUE XLA twin ON THE SAME DEVICE:
+    status / total-crossing-count / recorded-event agreement.  Both
+    compile the same step/guard/crossing-recorder functions
+    (integrate_ks.make_ks_step, compensated, with deficit-folded event
+    reads), so any disagreement is a Mosaic-vs-XLA compilation
+    difference — the round-3 version compared against the PLAIN
+    engine.subring integrator, and the 8.4e-3 event drift it reported
+    was dominated by that integrator's own uncompensated f32 error, not
+    kernel miscompilation."""
     from ..physics.camera import cartesian_ics_from_pixels, pixel_grid_lookat
     from ..physics.spacetime import kerr_schild_g_inv
+    from .integrate_ks import integrate_batch_subrings_ksc
     from .integrate_pallas_ks import integrate_batch_pallas_subrings
-    from .subring import integrate_batch_subrings
 
     params = jnp.asarray([1.0, spin, 0.0], dtype)
     obs = jnp.asarray([R0 * np.cos(elev), 0.0, R0 * np.sin(elev)], dtype)
@@ -276,8 +286,8 @@ def subring_kernel_parity(spin=0.9, size=24, steps=3_000, delta=0.05,
 
     _, _, sk, _, hq_k, hp_k, cnt_k = integrate_batch_pallas_subrings(
         q0, p0, steps, d, params, b, om, n_orders=n_orders,
-        compensated=dtype == jnp.float32, interpret=interpret)
-    _, _, sx, _, hq_x, hp_x, cnt_x = integrate_batch_subrings(
+        compensated=True, interpret=interpret)
+    _, _, sx, _, hq_x, hp_x, cnt_x = integrate_batch_subrings_ksc(
         q0, p0, steps, d, params, b, om, n_orders=n_orders)
 
     cnt_k, cnt_x = np.asarray(cnt_k), np.asarray(cnt_x)
