@@ -42,7 +42,8 @@ def resolve_backend(backend: str) -> str:
 
 
 def integrate_dispatch(q0s, p0s, steps, delta, rs, r_max, omega,
-                       backend="auto", equatorial=False, order=2):
+                       backend="auto", equatorial=False, order=2,
+                       unroll=None):
     """Backend-dispatching integrate: same signature/returns for both.
 
     equatorial=True is a static promise that every ray has theta == pi/2
@@ -63,7 +64,8 @@ def integrate_dispatch(q0s, p0s, steps, delta, rs, r_max, omega,
         compensated = bool(equatorial) and q0s.dtype == jnp.float32
         return integrate_batch_pallas(q0s, p0s, steps, delta, rs, r_max,
                                       omega, equatorial=equatorial,
-                                      order=order, compensated=compensated)
+                                      order=order, compensated=compensated,
+                                      unroll=unroll)
     return integrate_batch(q0s, p0s, steps, delta, rs, r_max, omega,
                            order=order)
 

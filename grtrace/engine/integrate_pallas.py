@@ -414,10 +414,12 @@ def advance_state_pallas_eqc(state24, steps, delta, rs, r_max, omega,
 
 
 @partial(jax.jit, static_argnames=("steps", "interpret", "sort_rays",
-                                   "equatorial", "order", "compensated"))
+                                   "equatorial", "order", "compensated",
+                                   "unroll"))
 def integrate_batch_pallas(q0s, p0s, steps, delta, rs, r_max, omega,
                            interpret=False, sort_rays=True,
-                           equatorial=False, order=2, compensated=False):
+                           equatorial=False, order=2, compensated=False,
+                           unroll=None):
     """Drop-in replacement for engine.integrate.integrate_batch on TPU.
 
     Returns (final_q, final_p, status, n_steps), identical semantics to the
@@ -433,6 +435,13 @@ def integrate_batch_pallas(q0s, p0s, steps, delta, rs, r_max, omega,
     deficit rows, pinning escape directions to ~1e-7 of the float64 oracle
     at the 200k-step headline budget instead of the ~1e-4 tail of the plain
     float32 kernel.  The SMEM triples carry one_minus_cos in the cos slot.
+
+    unroll=None uses the chip-tuned UNROLL.  The result is unroll-INVARIANT
+    (identical masked-step sequence per ray; only the early-exit check
+    cadence changes — pinned by tests/test_pallas_kernel.py
+    test_unroll_invariance),
+    but Mosaic compile time scales with the inlined body, so short-lived
+    probe programs (engine.validate) pass a small explicit unroll.
     """
     dtype = q0s.dtype
     delta = jnp.asarray(delta, dtype)
@@ -455,11 +464,15 @@ def integrate_batch_pallas(q0s, p0s, steps, delta, rs, r_max, omega,
     n_rows = 24 if compensated else (12 if equatorial else 16)
     state, n = _pack_tiles(q0s, p0s, r_max, equatorial=equatorial,
                            compensated=compensated)
+    # explicit unroll wins even in interpret mode (the unroll-invariance
+    # tests need it); interpret's default stays 1 for trace size
+    if unroll is None and interpret:
+        unroll = 1
     out_state, ns = _integrate_tiles(state, params, steps,
                                      interpret=interpret,
                                      n_rows=n_rows,
                                      n_sub=n_sub,
-                                     unroll=1 if interpret else None,
+                                     unroll=unroll,
                                      staggered=staggered)
     final_q, final_p, n_steps = _unpack_tiles(out_state, ns, n, q0s, p0s)
     if sort_rays:

@@ -211,17 +211,26 @@ def _make_kernel_ks(steps, n_sub, compensated=False, unroll=None,
 
 
 @partial(jax.jit, static_argnames=("steps", "interpret", "n_sub",
-                                   "compensated", "disk", "subrings"))
+                                   "compensated", "disk", "subrings",
+                                   "unroll"))
 def _integrate_tiles_ks(state, params, steps, interpret=False, n_sub=1,
-                        compensated=False, disk=False, subrings=0):
+                        compensated=False, disk=False, subrings=0,
+                        unroll=None):
     num_tiles = state.shape[0]
     n_rows = state.shape[1]
     dtype = state.dtype
     # interpret mode gets unroll=1: bit-identical results (masked no-op
     # steps and the exact-budget remainder are unchanged) but a 16x
-    # smaller trace, which dominates interpret-mode wall time on CPU
+    # smaller trace, which dominates interpret-mode wall time on CPU.
+    # Explicit unroll overrides serve the same purpose on HARDWARE: the
+    # step sequence (and so the result) is unroll-invariant, but the
+    # Mosaic compile cost scales with the statically-inlined body — the
+    # on-chip validation probes trade a few masked-step groups for a
+    # severalfold cheaper compile (engine.validate PROBE_UNROLL).
+    if unroll is None and interpret:
+        unroll = 1  # default; explicit unroll wins (unroll-invariance tests)
     kernel = _make_kernel_ks(steps, n_sub, compensated=compensated,
-                             unroll=1 if interpret else None, disk=disk,
+                             unroll=unroll, disk=disk,
                              subrings=subrings)
     out_specs = [pl.BlockSpec((1, n_rows, SUBLANES, LANES),
                               lambda i: (i, 0, 0, 0),
@@ -297,10 +306,10 @@ def _cost_sort_key_ks(q0s, p0s, mass):
 
 
 @partial(jax.jit, static_argnames=("steps", "interpret", "sort_rays",
-                                   "order", "compensated"))
+                                   "order", "compensated", "unroll"))
 def integrate_batch_pallas_ks(q0s, p0s, steps, delta, params, r_max, omega,
                               interpret=False, sort_rays=True, order=2,
-                              compensated=False):
+                              compensated=False, unroll=None):
     """Drop-in replacement for integrate_batch_generic(metric='KerrSchild')
     on TPU: same (final_q, final_p, status, n_steps) contract, same capture
     shell, parking coordinates and status codes, plus per-tile early exit
@@ -332,7 +341,8 @@ def integrate_batch_pallas_ks(q0s, p0s, steps, delta, params, r_max, omega,
     out_state, ns = _integrate_tiles_ks(state, smem, steps,
                                         interpret=interpret,
                                         n_sub=len(subs),
-                                        compensated=compensated)
+                                        compensated=compensated,
+                                        unroll=unroll)
 
     n_rows = out_state.shape[1]
     comp = out_state.transpose(1, 0, 2, 3).reshape(n_rows, -1)[:, :n]
@@ -423,11 +433,12 @@ def integrate_batch_pallas_disk(q0s, p0s, steps, delta, params, r_max,
 
 
 @partial(jax.jit, static_argnames=("steps", "n_orders", "interpret",
-                                   "sort_rays", "order", "compensated"))
+                                   "sort_rays", "order", "compensated",
+                                   "unroll"))
 def integrate_batch_pallas_subrings(q0s, p0s, steps, delta, params, r_max,
                                     omega, n_orders=3, interpret=False,
                                     sort_rays=True, order=2,
-                                    compensated=False):
+                                    compensated=False, unroll=None):
     """Subring (transparent-disk) twin of integrate_batch_pallas_ks: the
     production kernel for engine.subring renders.  Same contract as
     subring.integrate_batch_subrings — (final_q, final_p, status,
@@ -455,7 +466,7 @@ def integrate_batch_pallas_subrings(q0s, p0s, steps, delta, params, r_max,
     state, n = _pack_tiles_ks(q0s, p0s, r_max, compensated=compensated)
     out_state, ns, sub_rows = _integrate_tiles_ks(
         state, smem, steps, interpret=interpret, n_sub=len(subs),
-        compensated=compensated, subrings=n_orders)
+        compensated=compensated, subrings=n_orders, unroll=unroll)
 
     n_rows = out_state.shape[1]
     comp = out_state.transpose(1, 0, 2, 3).reshape(n_rows, -1)[:, :n]

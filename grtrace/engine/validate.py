@@ -23,12 +23,23 @@ stderr JSON, so every round's driver artifact carries them):
 Everything here also runs on CPU (backend='xla' / interpret=True), so the
 module itself is covered by the ordinary test suite.
 
-Step budgets are exact multiples of the kernels' UNROLL group sizes
-(64 base steps for the Schwarzschild kernel, 32 for the Kerr-Schild
-family): a non-multiple leaves `steps % unroll` step-function copies
-STATICALLY inlined as the exact-budget remainder, which bloats the
-Mosaic compile of every probe program — the dominant cost of the bench's
-validation tail (round-3 verdict item 7).
+The validation tail is COMPILE-bound, not run-bound (measured on chip:
+each check is 40-70 s of which all but ~2-5 s is Mosaic/XLA compilation
+of its probe programs — round-3 verdict item 7).  Three measures keep it
+under a minute per bench invocation without dropping any check:
+
+  * probe kernels compile with a small explicit `unroll` (PROBE_UNROLL):
+    results are unroll-INVARIANT (identical masked-step sequence per ray —
+    pinned by the test_unroll_invariance tests in tests/test_pallas_kernel.py
+    and tests/test_pallas_ks.py),
+    but the Mosaic body is severalfold smaller, which is most of each
+    probe's compile time;
+  * step budgets are exact multiples of the probe unroll, so no
+    `steps % unroll` step-function copies are statically inlined as an
+    exact-budget remainder;
+  * `run_all` compiles/runs the four checks on worker threads — the axon
+    service compiles concurrently (measured ~2.8x for 4 programs), so the
+    tail is max-of-compiles, not sum.
 
 Boundary positions are quoted in 256x256-image pixels regardless of probe
 resolution (matching tests/test_shadow_analytic and the README numbers).
@@ -48,6 +59,11 @@ PLANE_D = 0.2 * R0              # image plane distance (raytracing.py:60-88)
 PLANE_W = 2.0 * PLANE_D * np.tan(FOV / 2.0)
 N_PSI = 8
 PSIS = np.linspace(0.0, 2 * np.pi, N_PSI, endpoint=False)
+# Probe-kernel unroll: base masked steps between early-exit checks (the
+# KS-family probes divide by their substep count, mirroring the production
+# default UNROLL // n_sub).  8 keeps the Mosaic body ~8x smaller than the
+# production 64 at <1 s of extra masked-step runtime on these tiny batches.
+PROBE_UNROLL = 8
 
 
 def _pixel_positions(rho_px, psi):
@@ -148,7 +164,7 @@ def schwarzschild_shadow_error(steps=19_968, delta=0.01, omega=1.0,
             q0.reshape(-1, 4), p0.reshape(-1, 4), steps,
             jnp.asarray(delta, dtype), jnp.asarray(2.0, dtype),
             jnp.asarray(BOUNDARY, dtype), jnp.asarray(omega, dtype),
-            backend=backend, equatorial=True)
+            backend=backend, equatorial=True, unroll=PROBE_UNROLL)
         return np.asarray(status).reshape(rhos.shape) == STATUS_ESCAPED
 
     rho_num, bracket = bisect_boundary(escape, 15.0, 32.0)
@@ -194,11 +210,15 @@ def kerr_shadow_errors(spin=0.9, charge=0.0, steps=8_000, delta=0.02,
                 order=order)
         else:
             from .integrate_pallas_ks import integrate_batch_pallas_ks
+            from .integrate_ks import ks_substeps
+            n_sub = len(ks_substeps(jnp.asarray(delta, dtype),
+                                    jnp.asarray(1.0, dtype), order))
             _, _, status, _ = integrate_batch_pallas_ks(
                 q0, p0, steps, jnp.asarray(delta, dtype), params,
                 jnp.asarray(BOUNDARY, dtype), jnp.asarray(1.0, dtype),
                 order=order, compensated=dtype == jnp.float32,
-                interpret=interpret)
+                interpret=interpret,
+                unroll=max(1, PROBE_UNROLL // n_sub))
         return np.asarray(status).reshape(rhos.shape) == STATUS_ESCAPED
 
     rho_ana, br_a = bisect_boundary(
@@ -240,7 +260,7 @@ def ks_kernel_parity(spin=0.9, charge=0.0, size=48, steps=4_992,
 
     qk, _, sk, nk = integrate_batch_pallas_ks(
         q0, p0, steps, d, params, b, om, compensated=True,
-        interpret=interpret)
+        interpret=interpret, unroll=PROBE_UNROLL)
     qt, _, st, nt = integrate_batch_ksc(q0, p0, steps, d, params, b, om)
 
     sk, st = np.asarray(sk), np.asarray(st)
@@ -286,7 +306,7 @@ def subring_kernel_parity(spin=0.9, size=24, steps=2_944, delta=0.05,
 
     _, _, sk, _, hq_k, hp_k, cnt_k = integrate_batch_pallas_subrings(
         q0, p0, steps, d, params, b, om, n_orders=n_orders,
-        compensated=True, interpret=interpret)
+        compensated=True, interpret=interpret, unroll=PROBE_UNROLL)
     _, _, sx, _, hq_x, hp_x, cnt_x = integrate_batch_subrings_ksc(
         q0, p0, steps, d, params, b, om, n_orders=n_orders)
 
@@ -307,3 +327,34 @@ def subring_kernel_parity(spin=0.9, size=24, steps=2_944, delta=0.05,
         "max_event_q_delta": float(dq),
         "max_event_p_delta": float(dp),
     }
+
+
+CHECKS = (("schw", schwarzschild_shadow_error),
+          ("kerr", kerr_shadow_errors),
+          ("ks_parity", ks_kernel_parity),
+          ("subring_parity", subring_kernel_parity))
+
+
+def run_all(parallel=True):
+    """Run every on-chip validation check; {name: result-or-error dict}.
+
+    parallel=True runs the four checks on worker threads.  JAX dispatch is
+    thread-safe, the probes touch disjoint programs, and the compile
+    service builds them concurrently (measured ~2.8x for 4 programs), so
+    the wall time is the SLOWEST check instead of the sum — this is what
+    makes the bench's validation tail affordable every round.  A failing
+    check must never cost the round its headline artifact: failures come
+    back as {"error": ...} entries instead of raising.
+    """
+    def guarded(check):
+        try:
+            return check()
+        except Exception as e:                      # noqa: BLE001
+            return {"error": f"{type(e).__name__}: {e}"[:300]}
+
+    if not parallel:
+        return {name: guarded(check) for name, check in CHECKS}
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(len(CHECKS)) as ex:
+        futs = {name: ex.submit(guarded, check) for name, check in CHECKS}
+        return {name: f.result() for name, f in futs.items()}

@@ -100,3 +100,50 @@ def test_step_budget_exact():
     # r_max=1e6: nothing escapes, every ray runs the full budget
     assert int(np.asarray(ns).max()) == steps
     assert bool((ns == ns_x).all())
+
+
+def test_unroll_invariance():
+    """Unroll only changes the early-exit check cadence, never the per-ray
+    masked-step sequence — this is what licenses engine.validate's
+    small-unroll probe kernels.  The exact contract (measured, x64 env):
+
+      * status and n_steps are invariant at ANY unroll (classification is
+        all the boundary-bisection probes consume);
+      * at a DIVISOR unroll (steps %% unroll == 0) the plain layout is
+        byte-identical;
+      * at a non-divisor unroll the remainder steps compile in a different
+        fusion context — ulp-level state noise, nothing more.
+    """
+    q0, p0 = _ics(12)  # mixed fates: escapes, captures, budget survivors
+    base = integrate_batch_pallas(q0, p0, 1000, 0.05, 2.0, 31.0, 1.0,
+                                  interpret=True, unroll=1)
+    # divisor unroll: byte-identical
+    out = integrate_batch_pallas(q0, p0, 1000, 0.05, 2.0, 31.0, 1.0,
+                                 interpret=True, unroll=8)
+    for a, b in zip(base, out):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # non-divisor unroll: classification invariant, state to ulp noise
+    out = integrate_batch_pallas(q0, p0, 1000, 0.05, 2.0, 31.0, 1.0,
+                                 interpret=True, unroll=3)
+    assert bool((base[2] == out[2]).all())
+    assert bool((base[3] == out[3]).all())
+    assert np.abs(np.asarray(base[0]) - np.asarray(out[0])).max() < 1e-12
+
+
+def test_unroll_invariance_compensated_equatorial():
+    """Production (Kahan f32 staggered) layout: status and n_steps are
+    exactly unroll-invariant.  Positions are NOT pinned byte-exact here:
+    different unrolled bodies fuse the Kahan ops differently and chaotic
+    near-capture rays amplify that compile-level ulp noise to ~1e-3
+    (same class of effect the Mosaic-vs-XLA parity budgets already
+    cover); the validate probes only read statuses."""
+    q0, p0 = _ics(12)
+    q0 = q0.astype(jnp.float32)
+    p0 = p0.astype(jnp.float32)
+    kw = dict(equatorial=True, compensated=True, interpret=True)
+    base = integrate_batch_pallas(q0, p0, 1000, 0.05, 2.0, 31.0, 1.0,
+                                  unroll=1, **kw)
+    out = integrate_batch_pallas(q0, p0, 1000, 0.05, 2.0, 31.0, 1.0,
+                                 unroll=8, **kw)
+    assert bool((base[2] == out[2]).all())
+    assert bool((base[3] == out[3]).all())

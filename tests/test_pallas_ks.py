@@ -195,3 +195,39 @@ def test_render_generic_backend_arg():
         dtype=jnp.float64, metric="KerrSchild")
     out_x = render_pixels_generic(**common, backend="xla")
     assert int(np.asarray(out_x["count_vec"])[0]) > 0  # some capture
+
+
+def test_unroll_invariance_ks():
+    """KS kernels: status and n_steps are unroll-invariant at any unroll;
+    at a divisor unroll the whole output is byte-identical (licenses
+    engine.validate's small-unroll KS probe kernels — the boundary
+    bisections only consume statuses)."""
+    q0, p0 = _camera_batch(10)
+    q0 = q0.astype(jnp.float32)
+    p0 = p0.astype(jnp.float32)
+    kw = dict(steps=600, delta=0.05, params=PARAMS.astype(jnp.float32),
+              r_max=31.0, omega=1.0, compensated=True, interpret=True)
+    base = integrate_batch_pallas_ks(q0, p0, unroll=1, **kw)
+    out = integrate_batch_pallas_ks(q0, p0, unroll=8, **kw)  # 600 % 8 == 0
+    for a, b in zip(base, out):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    out = integrate_batch_pallas_ks(q0, p0, unroll=7, **kw)  # remainder 5
+    assert bool((base[2] == out[2]).all())
+    assert bool((base[3] == out[3]).all())
+
+
+def test_unroll_invariance_subrings():
+    """Crossing records (count + per-order events) are part of the
+    divisor-unroll byte-identity contract too."""
+    from grtrace.engine.integrate_pallas_ks import (
+        integrate_batch_pallas_subrings)
+    q0, p0 = _camera_batch(8)
+    q0 = q0.astype(jnp.float32)
+    p0 = p0.astype(jnp.float32)
+    kw = dict(steps=600, delta=0.05, params=PARAMS.astype(jnp.float32),
+              r_max=31.0, omega=1.0, n_orders=2, compensated=True,
+              interpret=True)
+    base = integrate_batch_pallas_subrings(q0, p0, unroll=1, **kw)
+    out = integrate_batch_pallas_subrings(q0, p0, unroll=8, **kw)
+    for a, b in zip(base, out):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
