@@ -1,1 +1,1 @@
-from .einsteinpy import Nulllike
+from .einsteinpy import Geodesic, Nulllike, Timelike

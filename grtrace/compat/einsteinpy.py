@@ -1,9 +1,9 @@
-"""EinsteinPy-compatible `Nulllike` API.
+"""EinsteinPy-compatible `Geodesic` / `Nulllike` / `Timelike` API.
 
 The reference's CPU ground-truth path is EinsteinPy's `Nulllike` geodesic
 (reference: tests/debug_single_ray.py:51-60,
 tests/einsteinpy-geodesic-test/main.py:145-155).  einsteinpy is not a
-dependency of this framework; this module provides a drop-in `Nulllike`
+dependency of this framework; this module provides drop-in classes
 backed by the grtrace FANTASY engine so reference users can migrate
 unchanged.  Validated against the reference's committed EinsteinPy output
 (tests/einsteinpy-geodesic-test/trajectory.csv): machine-epsilon agreement
@@ -11,8 +11,12 @@ over thousands of steps (see tests/test_compat_einsteinpy.py).
 
 Semantics mirrored from EinsteinPy:
   * momentum = (p_r, p_th, p_ph); p_t is closed internally with the
-    *past-directed* (negative) root of the null condition — the `_P()`
-    convention (reference simulation/utils.py:24,59-60).
+    `_P()` root of the mass-shell quadratic g^{ab} p_a p_b = -mu^2
+    (mu = 0 null, mu = 1 timelike): the (-B + disc)/(2 g^tt) branch,
+    i.e. p_t < 0 / E = -p_t > 0 (reference simulation/utils.py:24,59-60).
+    The FANTASY flows themselves are mass-shell independent (H = 1/2
+    g^ab p_a p_b for ANY covector), so `Timelike` runs the exact same
+    integrator — only this closure differs (physics/timelike.py).
   * no early exit: the integrator runs the full step budget regardless of
     horizon proximity (unlike the render kernels' capture/escape exits).
   * `trajectory` returns (step_indices, data) where data[k] is the state
@@ -53,18 +57,20 @@ def _trajectory(q0, p0, steps, delta, rs, omega, order=2):
     return qs, ps
 
 
-class Nulllike:
-    """Drop-in analog of einsteinpy.geodesic.Nulllike.
+class Geodesic:
+    """Drop-in analog of einsteinpy.geodesic.Geodesic.
 
     Parameters follow EinsteinPy: position=(r, th, ph), momentum=
     (p_r, p_th, p_ph), steps, delta, omega, order, return_cartesian,
-    suppress_warnings (accepted, unused), metric in
+    suppress_warnings (accepted, unused), time_like (mass shell: False
+    -> photon, True -> unit-mass particle), metric in
     {"Schwarzschild", "Kerr", "KerrNewman"} with metric_params=(a,) —
     the spin — or (a, Q) for KerrNewman, exactly EinsteinPy's convention.
     Schwarzschild runs the specialized fast path; Kerr/KerrNewman (and
     Schwarzschild-with-nonzero-a requests) run the generic autodiff engine
     (engine.integrate_generic), which EinsteinPy matches with its own
-    metric-generic FANTASY integrator.
+    metric-generic FANTASY integrator.  The integrator is identical for
+    null and timelike — the mass shell only enters the p_t closure.
     """
 
     def __init__(self, metric="Schwarzschild", metric_params=(0.0,),
@@ -77,8 +83,6 @@ class Nulllike:
             raise NotImplementedError(
                 f"metric {metric!r}: supported metrics are Schwarzschild, "
                 "Kerr and KerrNewman")
-        if time_like:
-            raise NotImplementedError("only null geodesics are supported")
         spin = float(metric_params[0]) if metric_params else 0.0
         charge = (float(metric_params[1])
                   if metric == "KerrNewman" and len(metric_params) > 1
@@ -95,12 +99,22 @@ class Nulllike:
         self.omega = float(omega)
         self.order = int(order)
         self.return_cartesian = bool(return_cartesian)
+        self.time_like = bool(time_like)
         self.mass = float(mass)
 
         pos = np.asarray(position, dtype=np.float64)
         mom = np.asarray(momentum, dtype=np.float64)
-        # past-directed root, the EinsteinPy `_P()` choice
-        if metric in ("Kerr", "KerrNewman"):
+        # the EinsteinPy `_P()` root choice: p_t < 0, E = -p_t > 0
+        if self.time_like:
+            # mass shell g^ab p_a p_b = -1; (-B + disc)/(2 g^tt) is _P()'s
+            # branch (physics/timelike.py timelike_p_t future=True).
+            from ..physics.spacetime import kerr_g_inv
+            from ..physics.timelike import build_timelike_4momentum
+            p4 = np.asarray(build_timelike_4momentum(
+                jnp.asarray(mom), jnp.asarray(pos),
+                jnp.asarray([self.mass, self.spin, self.charge]),
+                kerr_g_inv, mu=1.0, future=True))
+        elif metric in ("Kerr", "KerrNewman"):
             from ..physics import spacetime
             p4 = np.asarray(spacetime.build_null_4momentum(
                 jnp.asarray(mom), jnp.asarray(pos),
@@ -170,5 +184,58 @@ class Nulllike:
         return np.arange(self.steps), data
 
     def __repr__(self):
-        return (f"Nulllike(metric={self.metric!r}, steps={self.steps}, "
-                f"delta={self.delta}, omega={self.omega})")
+        return (f"{type(self).__name__}(metric={self.metric!r}, "
+                f"steps={self.steps}, delta={self.delta}, "
+                f"omega={self.omega})")
+
+
+class Nulllike(Geodesic):
+    """einsteinpy.geodesic.Nulllike: a photon (mass shell = 0).
+
+    EinsteinPy's subclass pins time_like=False and does not expose it
+    in the signature; passing it here is a TypeError, as upstream.
+    """
+
+    def __init__(self, metric="Schwarzschild", metric_params=(0.0,),
+                 position=(10.0, np.pi / 2, 0.0),
+                 momentum=(1.0, 0.0, 1.0),
+                 steps=50, delta=0.5, omega=1.0, order=2,
+                 return_cartesian=True,
+                 suppress_warnings=False, mass=1.0):
+        super().__init__(metric=metric, metric_params=metric_params,
+                         position=position, momentum=momentum,
+                         steps=steps, delta=delta, omega=omega, order=order,
+                         return_cartesian=return_cartesian,
+                         suppress_warnings=suppress_warnings,
+                         time_like=False, mass=mass)
+
+
+class Timelike(Geodesic):
+    """einsteinpy.geodesic.Timelike: a unit-mass particle (mu = 1).
+
+    Bound orbits, plunges and precession on the same FANTASY kernels the
+    renderer runs; the conserved Hamiltonian is -1/2 instead of 0.
+
+    NOTE on `omega`: Tao's phase-space-doubling coupling must exceed a
+    problem-dependent bound for the two copies to stay bound over long
+    integrations.  Photon renders (capture/escape within ~1 period) run
+    fine at the reference's omega=0.01, but bound massive orbits
+    integrated over many radial periods blow up there — measured: a
+    mildly eccentric r in [15.7, 20] Schwarzschild orbit diverges to
+    r ~ -1e27 within 4000 steps at omega=0.01, while omega=1.0 (the
+    default here, as in EinsteinPy's Timelike) conserves the mass shell
+    to ~1e-7 over the same run (tests/test_compat_einsteinpy.py).
+    """
+
+    def __init__(self, metric="Schwarzschild", metric_params=(0.0,),
+                 position=(40.0, np.pi / 2, 0.0),
+                 momentum=(0.0, 0.0, 4.0),
+                 steps=50, delta=0.5, omega=1.0, order=2,
+                 return_cartesian=True,
+                 suppress_warnings=False, mass=1.0):
+        super().__init__(metric=metric, metric_params=metric_params,
+                         position=position, momentum=momentum,
+                         steps=steps, delta=delta, omega=omega, order=order,
+                         return_cartesian=return_cartesian,
+                         suppress_warnings=suppress_warnings,
+                         time_like=True, mass=mass)

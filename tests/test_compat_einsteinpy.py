@@ -15,7 +15,7 @@ import numpy as np
 import pandas as pd
 import pytest
 
-from grtrace.compat import Nulllike
+from grtrace.compat import Nulllike, Timelike
 
 GOLDEN = os.path.join(os.path.dirname(__file__), "golden",
                       "null_geodesic_r10_a60_b60.csv")
@@ -88,5 +88,90 @@ def test_nulllike_rejects_unsupported():
         Nulllike(metric="FRW")
     with pytest.raises(ValueError):
         Nulllike(metric="Schwarzschild", metric_params=(0.5,))
-    with pytest.raises(NotImplementedError):
+    # EinsteinPy's Nulllike subclass does not expose time_like at all
+    with pytest.raises(TypeError):
         Nulllike(time_like=True)
+
+
+# ---------------------------------------------------------------------------
+# Timelike: einsteinpy.geodesic.Timelike analog (massive particles on the
+# same FANTASY kernels; only the p_t closure differs).
+# ---------------------------------------------------------------------------
+
+def _schw_circular(r0, mass=1.0):
+    """Exact Schwarzschild circular-orbit Killing charges (E, L)."""
+    e = (1.0 - 2.0 * mass / r0) / np.sqrt(1.0 - 3.0 * mass / r0)
+    ell = np.sqrt(mass * r0) / np.sqrt(1.0 - 3.0 * mass / r0)
+    return e, ell
+
+
+def test_timelike_momentum_closure():
+    """p_t = -E from the mass shell g^ab p_a p_b = -1, _P() branch."""
+    r0 = 10.0
+    e, ell = _schw_circular(r0)
+    geod = Timelike(position=[r0, np.pi / 2, 0.0], momentum=[0.0, 0.0, ell],
+                    steps=1)
+    assert geod.time_like is True
+    np.testing.assert_allclose(geod.momentum[0], -e, rtol=1e-12)
+    # mass shell in the Schwarzschild contravariant metric
+    f = 1 - 2 / r0
+    p = geod.momentum
+    shell = (-1 / f) * p[0] ** 2 + f * p[1] ** 2 + p[2] ** 2 / r0 ** 2 \
+        + p[3] ** 2 / r0 ** 2
+    np.testing.assert_allclose(shell, -1.0, rtol=1e-12)
+
+
+def test_timelike_circular_orbit_stays_circular():
+    """The exact circular orbit is a fixed radius of the symplectic flow."""
+    r0 = 10.0
+    e, ell = _schw_circular(r0)
+    geod = Timelike(position=[r0, np.pi / 2, 0.0], momentum=[0.0, 0.0, ell],
+                    steps=2000, delta=0.1, omega=0.01,
+                    return_cartesian=False)
+    _, data = geod.trajectory
+    r = data[:, 1]
+    np.testing.assert_allclose(r, r0, rtol=1e-9)
+    # phi advances at the exact angular rate d(phi)/d(tau) = L / r^2
+    tau = 2000 * 0.1
+    dphi = data[-1, 3] - 0.0
+    np.testing.assert_allclose(dphi, ell / r0 ** 2 * tau, rtol=1e-6)
+
+
+def test_timelike_mass_shell_conserved_on_eccentric_orbit():
+    """H = 1/2 g^ab p_a p_b stays at -1/2 along a bound eccentric orbit."""
+    r0 = 20.0
+    # sub-circular angular momentum -> eccentric bound orbit
+    _, ell_circ = _schw_circular(r0)
+    ell = 0.95 * ell_circ
+    # omega=1.0 (EinsteinPy's default): bound orbits integrated over many
+    # periods need the full Tao coupling — omega=0.01 lets the two
+    # phase-space copies unbind and blow up (measured; see Timelike docs)
+    geod = Timelike(position=[r0, np.pi / 2, 0.0], momentum=[0.0, 0.0, ell],
+                    steps=4000, delta=0.2, omega=1.0,
+                    return_cartesian=False)
+    _, data = geod.trajectory
+    r, th = data[:, 1], data[:, 2]
+    p = data[:, 4:]
+    assert r.min() > 4.0  # bound, no plunge
+    assert r.max() > r0  # actually eccentric
+    f = 1 - 2 / r
+    shell = (-1 / f) * p[:, 0] ** 2 + f * p[:, 1] ** 2 \
+        + p[:, 2] ** 2 / r ** 2 + p[:, 3] ** 2 / (r * np.sin(th)) ** 2
+    np.testing.assert_allclose(shell, -1.0, atol=5e-7)
+
+
+def test_timelike_kerr_closure_and_energy():
+    """Kerr timelike: E = -p_t > 0 and the exact mass shell at the start."""
+    from grtrace.physics.spacetime import kerr_g_inv
+
+    import jax.numpy as jnp
+
+    pos = [12.0, np.pi / 2, 0.0]
+    geod = Timelike(metric="Kerr", metric_params=(0.7,),
+                    position=pos, momentum=[0.0, 0.0, 3.5], steps=1)
+    p = geod.momentum
+    assert p[0] < 0  # E = -p_t > 0
+    q4 = jnp.asarray([0.0, *pos])
+    g = np.asarray(kerr_g_inv(q4, jnp.asarray([1.0, 0.7, 0.0])))
+    shell = p @ g @ p
+    np.testing.assert_allclose(shell, -1.0, rtol=1e-12)
