@@ -67,14 +67,30 @@ def enable_compilation_cache(path=None):
     and loading a foreign one can SIGILL/segfault the process.
     Safe to call repeatedly; failures (read-only filesystem, old jax) are
     silently ignored — the cache is an optimization, never a requirement.
+
+    On the CPU backend the cache is OPT-IN (set $GRTRACE_COMPILE_CACHE):
+    XLA:CPU AOT executable (de)serialization has crashed the process in
+    both directions — loading a foreign-host entry SIGILLs (XLA logs
+    "machine type ... doesn't match" first), and executable.serialize()
+    itself segfaulted inside a long-lived process that had compiled a few
+    hundred CPU programs (observed at jax compilation_cache.py:265 during
+    a full-suite run; not reproducible in a fresh process).  A segfault in
+    native code cannot be caught from Python, so the only way the cache
+    can never take a CPU process down is to not touch it unless the user
+    explicitly asked.  Accelerator (TPU) executables serialize through a
+    separate, proven path and keep the cache by default — that is where
+    the minutes-long Mosaic compiles live anyway.
     """
     import os
+    explicit = path is not None or "GRTRACE_COMPILE_CACHE" in os.environ
     if path is None:
         path = os.environ.get(
             "GRTRACE_COMPILE_CACHE",
             os.path.join(os.path.expanduser("~"), ".cache", "grtrace-jax"))
     try:
         import jax
+        if not explicit and jax.default_backend() == "cpu":
+            return
         path = os.path.join(str(path), _cache_fingerprint())
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)

@@ -16,12 +16,21 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_enable_x64", True)
 
-# Persistent compile cache: CPU executables ARE served from it (unlike the
-# tunneled-TPU ones), so repeat suite runs skip most XLA compilation —
-# which dominates the slowest tests' wall time.
+# Persistent compile cache: NOT enabled for the suite by default.  CPU
+# executables are served from it and repeat runs would skip most XLA
+# compilation, but XLA:CPU executable (de)serialization has segfaulted
+# long-lived processes in both directions (foreign-host loads SIGILL;
+# executable.serialize() crashed a full-suite run after a few hundred
+# compiles) and a native crash cannot be caught — a correctness gate must
+# never be killable by an optimization.  Opt in for fast local reruns:
+#
+#     GRTRACE_COMPILE_CACHE=~/.cache/grtrace-jax pytest tests -q
+#
+# (grtrace.enable_compilation_cache honors the env var and salts the
+# directory per machine/toolchain so entries never cross hosts.)
 import grtrace  # noqa: E402
 
-grtrace.enable_compilation_cache()
+grtrace.enable_compilation_cache()  # no-op on CPU unless env opt-in
 
 # Asset resolution is env-driven (io.artifacts.resolve_background); this
 # build environment mounts the reference repo's panoramas at /root/reference.
