@@ -61,9 +61,12 @@ N_PSI = 8
 PSIS = np.linspace(0.0, 2 * np.pi, N_PSI, endpoint=False)
 # Probe-kernel unroll: base masked steps between early-exit checks (the
 # KS-family probes divide by their substep count, mirroring the production
-# default UNROLL // n_sub).  8 keeps the Mosaic body ~8x smaller than the
-# production 64 at <1 s of extra masked-step runtime on these tiny batches.
-PROBE_UNROLL = 8
+# default UNROLL // n_sub).  4 keeps the Mosaic body ~16x smaller than the
+# production 64 at <1 s of extra masked-step runtime on these tiny batches;
+# measured on chip (warm service): all four checks 14-45 s wall vs 87 s at
+# unroll 8, with bit-identical px errors and parity deltas (results are
+# unroll-invariant — see the module docstring).
+PROBE_UNROLL = 4
 
 
 def _pixel_positions(rho_px, psi):
