@@ -51,7 +51,36 @@ def _cache_fingerprint():
     return hashlib.sha256("|".join(parts).encode()).hexdigest()[:16]
 
 
-def enable_compilation_cache(path=None):
+def _configured_platform():
+    """Best-effort JAX platform name WITHOUT initializing any backend.
+
+    jax.default_backend() initializes the backends as a side effect, which
+    silently freezes jax_platforms / jax_num_cpu_devices for the rest of
+    the process — a library must never do that at import time (CLI drivers
+    set jax_platforms *after* importing grtrace.cli).  Order of preference:
+
+    1. the already-initialized backend (xla_bridge's cache), if any —
+       reading it is free and exact;
+    2. the jax_platforms config / JAX_PLATFORMS env (first entry);
+    3. None — unknowable without initializing; caller decides.
+    """
+    import os
+
+    try:
+        import jax
+        from jax._src import xla_bridge
+        if getattr(xla_bridge, "_backends", None):
+            return jax.default_backend()
+        plats = getattr(jax.config, "jax_platforms", None) \
+            or os.environ.get("JAX_PLATFORMS", "")
+        if plats:
+            return plats.split(",")[0].strip().lower()
+    except Exception:
+        pass
+    return None
+
+
+def enable_compilation_cache(path=None, allow_backend_init=False):
     """Turn on JAX's persistent compilation cache for this process.
 
     The deeply-unrolled Pallas kernels cost minutes of Mosaic compilation
@@ -67,6 +96,11 @@ def enable_compilation_cache(path=None):
     and loading a foreign one can SIGILL/segfault the process.
     Safe to call repeatedly; failures (read-only filesystem, old jax) are
     silently ignored — the cache is an optimization, never a requirement.
+    The call NEVER initializes a JAX backend unless allow_backend_init=True:
+    when the platform cannot be determined without initialization (backends
+    not yet up, jax_platforms/JAX_PLATFORMS unset) it simply defers — CLI
+    driver main()s re-call with allow_backend_init=True after making their
+    own platform decision (see grtrace/cli/__init__.py).
 
     On the CPU backend the cache is OPT-IN (set $GRTRACE_COMPILE_CACHE):
     XLA:CPU AOT executable (de)serialization has crashed the process in
@@ -82,15 +116,33 @@ def enable_compilation_cache(path=None):
     the minutes-long Mosaic compiles live anyway.
     """
     import os
-    explicit = path is not None or "GRTRACE_COMPILE_CACHE" in os.environ
+    # An empty env value is "unset", not "opt in with path ''" (which would
+    # create a bare fingerprint dir relative to the cwd).
+    explicit = path is not None or bool(os.environ.get("GRTRACE_COMPILE_CACHE"))
     if path is None:
-        path = os.environ.get(
-            "GRTRACE_COMPILE_CACHE",
-            os.path.join(os.path.expanduser("~"), ".cache", "grtrace-jax"))
+        path = os.environ.get("GRTRACE_COMPILE_CACHE") or \
+            os.path.join(os.path.expanduser("~"), ".cache", "grtrace-jax")
     try:
         import jax
-        if not explicit and jax.default_backend() == "cpu":
-            return
+        if not explicit:
+            plat = _configured_platform()
+            if plat is None:
+                # Unknowable without initializing a backend — which would
+                # freeze jax_platforms for the process.  allow_backend_init
+                # is passed by CLI driver main()s *after* their platform
+                # decision (initializing there is harmless: they are about
+                # to jit anyway); the import-time call defers instead.
+                if not allow_backend_init:
+                    return
+                plat = jax.default_backend()
+            if plat == "cpu":
+                # Authoritative: a CPU driver calling after its
+                # jax_platforms decision must also UNDO a cache enabled by
+                # the import-time call on a host whose config named an
+                # accelerator first (e.g. jax_platforms='axon,cpu').
+                if jax.config.jax_compilation_cache_dir is not None:
+                    jax.config.update("jax_compilation_cache_dir", None)
+                return
         path = os.path.join(str(path), _cache_fingerprint())
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)

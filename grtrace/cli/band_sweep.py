@@ -28,6 +28,8 @@ def main(argv=None):
     p.add_argument('--out-dir', type=str, default='images')
     p.add_argument('--seed', type=int, default=0)
     args = p.parse_args(argv)
+    from . import driver_startup
+    driver_startup()
 
     import jax.numpy as jnp
     from .. import IntegratorConfig, PatchConfig, SceneConfig

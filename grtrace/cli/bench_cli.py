@@ -34,6 +34,8 @@ def main(argv=None):
                    help="also write the JSON line to this file (the "
                         "driver-artifact pattern: BENCH4K_r*.json)")
     args = p.parse_args(argv)
+    from . import driver_startup
+    driver_startup()
 
     from grtrace import (DiskConfig, IntegratorConfig, PatchConfig,
                          SceneConfig, render, render_disk)

@@ -68,6 +68,8 @@ def main(argv=None):
     # underflow the f32 guards); without x64 its float64 requests would
     # silently downcast
     jax.config.update('jax_enable_x64', True)
+    from . import driver_startup
+    driver_startup()
 
     import numpy as np
 

@@ -88,6 +88,8 @@ def main(argv=None):
                         'have zero derivative a.e.)')
     p.add_argument('--out-dir', type=str, default='.')
     args = p.parse_args(argv)
+    from . import driver_startup
+    driver_startup()
     if (args.observed is None) == (args.synthesize is None):
         raise SystemExit("pass exactly one of --observed / --synthesize")
     probe_spins = list(args.spins) + (

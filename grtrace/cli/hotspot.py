@@ -70,6 +70,8 @@ def main(argv=None):
                         'shading throughput (compile-warm)')
     p.add_argument('--out-json', type=str, default=None)
     args = p.parse_args(argv)
+    from . import driver_startup
+    driver_startup()
 
     if args.spin and args.metric != 'kerr':
         raise SystemExit("--spin requires --metric kerr")

@@ -57,6 +57,8 @@ def main(argv=None):
         # JAX_PLATFORMS)
         jax.config.update('jax_platforms', 'cpu')
     jax.config.update('jax_enable_x64', True)
+    from . import driver_startup
+    driver_startup()
     import numpy as np
 
     from ..engine.images import find_images

@@ -65,6 +65,8 @@ def main(argv=None):
                    help='print one JSON line: compile-warm sweep wall time')
     p.add_argument('--out-json', type=str, default=None)
     args = p.parse_args(argv)
+    from . import driver_startup
+    driver_startup()
 
     for a in args.spins:
         if a * a + args.charge ** 2 > args.bh_mass ** 2:

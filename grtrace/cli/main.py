@@ -28,6 +28,8 @@ logging.basicConfig(level=logging.INFO,
 
 def main(argv=None):
     args = parse_args(argv)
+    from . import driver_startup
+    driver_startup()
     scene = scene_from_args(args)
     out = args.out_dir
     images_dir = os.path.join(out, "images")

@@ -78,6 +78,8 @@ def main(argv=None):
                    help='with --bench: also write the JSON line here '
                         '(the driver-artifact pattern: ORBIT_r*.json)')
     args = p.parse_args(argv)
+    from . import driver_startup
+    driver_startup()
 
     # same physics validation as the main CLI (cli/args.py)
     if args.spin and args.metric != 'kerr':

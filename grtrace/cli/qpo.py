@@ -49,6 +49,8 @@ def main(argv=None):
     p.add_argument('--n', type=int, default=256, help='radial samples')
     p.add_argument('--out-dir', type=str, default='.')
     args = p.parse_args(argv)
+    from . import driver_startup
+    driver_startup()
     if args.spin ** 2 + args.charge ** 2 > args.mass ** 2:
         raise SystemExit("naked singularity: need a^2 + Q^2 <= M^2")
     mass_msun = (QPO_PRESETS[args.preset] if args.preset

@@ -52,6 +52,8 @@ def main(argv=None):
                         'values write line_profile_q<q>.csv/.png each')
     p.add_argument('--out-dir', type=str, default='.')
     args = p.parse_args(argv)
+    from . import driver_startup
+    driver_startup()
 
     from ..engine.disk import save_disk_maps
     from ..io.transfer import TransferMap, reshade

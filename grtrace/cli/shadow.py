@@ -45,6 +45,8 @@ def main(argv=None):
     p.add_argument('--backend', type=str, default='auto')
     p.add_argument('--out-dir', type=str, default='.')
     args = p.parse_args(argv)
+    from . import driver_startup
+    driver_startup()
 
     if args.spin ** 2 + args.charge ** 2 > 1.0:
         raise SystemExit("naked singularity: need a^2 + Q^2 <= M^2")

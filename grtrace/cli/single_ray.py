@@ -43,6 +43,8 @@ def main(argv=None):
     if args.platform == "cpu":
         jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)  # float64 diagnostics
+    from . import driver_startup
+    driver_startup()
     import jax.numpy as jnp
     from ..engine.integrate import integrate_batch_full
     from ..io.artifacts import save_single_ray_csv

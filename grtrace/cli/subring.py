@@ -74,6 +74,8 @@ def main(argv=None):
                         'subring kernel on TPU, XLA elsewhere)')
     p.add_argument('--out-dir', type=str, default='.')
     args = p.parse_args(argv)
+    from . import driver_startup
+    driver_startup()
     if args.spin ** 2 + args.charge ** 2 > 1.0:
         raise SystemExit("naked singularity: need a^2 + Q^2 <= M^2")
 

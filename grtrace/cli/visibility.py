@@ -49,6 +49,8 @@ def main(argv=None):
                    help='source preset for mass/distance')
     p.add_argument('--out-dir', type=str, default='.')
     args = p.parse_args(argv)
+    from . import driver_startup
+    driver_startup()
 
     import numpy as np
 
