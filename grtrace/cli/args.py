@@ -63,11 +63,20 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument('--bh-mass', type=float, default=1.0,
                    help='Black hole mass')
     p.add_argument('--metric', type=str, default='schwarzschild',
-                   choices=['schwarzschild', 'kerr', 'kerr-bl'],
+                   choices=['schwarzschild', 'kerr', 'kerr-bl',
+                            'kottler', 'bardeen', 'hayward'],
                    help='Spacetime metric (beyond the reference, which is '
                         'Schwarzschild-only).  kerr = horizon-penetrating '
                         'Kerr-Schild chart (best numerics); kerr-bl = '
-                        'Boyer-Lindquist (physics cross-check engine)')
+                        'Boyer-Lindquist (physics cross-check engine); '
+                        'kottler = Schwarzschild-de Sitter, bardeen/'
+                        'hayward = regular (singularity-free) holes — '
+                        'static families whose parameter is --metric-param')
+    p.add_argument('--metric-param', type=float, default=0.0,
+                   help='Family parameter of the static beyond-Kerr '
+                        'metrics: cosmological constant Lambda (kottler, '
+                        'units 1/M^2), magnetic charge g (bardeen), core '
+                        'length l (hayward).  0 = Schwarzschild limit')
     p.add_argument('--spin', type=float, default=0.0,
                    help='Kerr spin a in [0, M] (requires --metric kerr)')
     p.add_argument('--charge', type=float, default=0.0,
@@ -194,16 +203,47 @@ def scene_from_args(args) -> SceneConfig:
         args.bg_patch_center_theta, args.bg_patch_center_phi,
         args.bg_patch_center_theta_relobs, args.bg_patch_center_phi_relobs)
     omega = args.omega if args.fix_omega else 1.0
+    static_metrics = ('kottler', 'bardeen', 'hayward')
     if args.spin and args.metric not in ('kerr', 'kerr-bl'):
         raise SystemExit("--spin requires --metric kerr (or kerr-bl)")
+    if args.metric in static_metrics:
+        if args.charge:
+            raise SystemExit(
+                "--charge applies to the Kerr-Newman family only; the "
+                "static families take --metric-param")
+        if args.metric_param < 0:
+            raise SystemExit("--metric-param must be >= 0")
+        if args.metric == 'kottler' and \
+                args.metric_param * args.bh_mass ** 2 >= 1.0 / 9.0:
+            raise SystemExit(
+                "Kottler needs Lambda M^2 < 1/9 (beyond that the black-"
+                "hole and cosmological horizons merge: no exterior)")
+        if args.metric == 'kottler' and args.metric_param > 0:
+            # static coordinates freeze at the cosmological horizon r_c
+            # (f -> 0, metric terms -1/f explode under fixed steps); the
+            # vacuum bound sqrt(3/Lambda) overestimates r_c by up to ~M,
+            # so demand a real margin
+            if args.boundary_radius >= 0.9 * np.sqrt(3.0 / args.metric_param):
+                raise SystemExit(
+                    "Kottler: the escape boundary must sit well inside "
+                    "the cosmological horizon — need boundary_radius < "
+                    "0.9 sqrt(3/Lambda) (static coordinates freeze at "
+                    "r_c and fixed steps explode on the -1/f terms)")
+    elif getattr(args, 'metric_param', 0.0):
+        raise SystemExit(
+            "--metric-param applies to the static families only "
+            "(kottler/bardeen/hayward)")
     if args.spin ** 2 + args.charge ** 2 > args.bh_mass ** 2:
         raise SystemExit("naked singularity: need a^2 + Q^2 <= M^2")
     # user string -> SceneConfig.metric (engine.render routing): 'kerr'
     # renders through the horizon-regular Kerr-Schild chart; 'kerr-bl'
     # keeps the Boyer-Lindquist chart (passed through verbatim so the
-    # routing in engine.render stays the single source of truth)
+    # routing in engine.render stays the single source of truth); the
+    # static beyond-Kerr names pass through lowercase (render routes them
+    # to the generic autodiff engine with metric_param in params[1])
     metric = {'schwarzschild': 'Schwarzschild', 'kerr': 'KerrSchild',
-              'kerr-bl': 'kerr-bl'}[args.metric]
+              'kerr-bl': 'kerr-bl', 'kottler': 'kottler',
+              'bardeen': 'bardeen', 'hayward': 'hayward'}[args.metric]
     return SceneConfig(
         size=args.size,
         fov_deg=args.fov,
@@ -212,6 +252,7 @@ def scene_from_args(args) -> SceneConfig:
         metric=metric,
         spin=args.spin,
         charge=args.charge,
+        metric_param=args.metric_param,
         boundary_radius=args.boundary_radius,
         observer_distance=args.observer_distance,
         integrator=IntegratorConfig(

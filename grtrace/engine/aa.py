@@ -123,9 +123,18 @@ def refine_edges_generic(cls, image, bg_array, obs_x, fov, mass, spin,
     i_f, j_f = _subpixel_indices(ii, jj, samples, dtype)
     pix = pixel_positions_fractional(obs_pos, fov, height, width, i_f, j_f,
                                      dtype=dtype)
+    from ..physics.static_metrics import STATIC_F as _STATIC_F
+    beta_fold = None
     if cartesian:
         q0, p0, _ = cartesian_ics_from_pixels(obs_pos, pix, params=params,
                                               g_inv_fn=g_inv_fn)
+    elif metric in _STATIC_F:
+        # folded equatorial camera, matching the base render
+        # (render_pixels_generic routes static metrics through it)
+        from ..physics.camera import folded_ics_from_pixels_static
+        q0, p0, _, beta_fold = folded_ics_from_pixels_static(
+            obs_pos, pix, params=params, g_inv_fn=g_inv_fn)
+        beta_fold = beta_fold.reshape(-1)
     else:
         q0, p0, _ = unfolded_ics_from_pixels(obs_pos, pix, params=params,
                                              g_inv_fn=g_inv_fn)
@@ -148,13 +157,21 @@ def refine_edges_generic(cls, image, bg_array, obs_x, fov, mass, spin,
         rho = jnp.where(status == STATUS_CAPTURED, jnp.zeros_like(rho), rho)
         final_q = jnp.stack([final_q[:, 0], rho, th, ph], axis=-1)
 
-    r_plus = horizon_radius("Kerr" if metric != "Schwarzschild" else metric,
-                            params[0], params[1], params[2])
+    from ..physics.static_metrics import STATIC_F, static_capture_radius
+    if metric in STATIC_F:
+        # same capture surface as the full-frame program
+        # (render_generic.render_pixels_generic / integrate_generic)
+        r_plus = static_capture_radius(metric, params) / 1.1
+    else:
+        r_plus = horizon_radius(
+            "Kerr" if metric != "Schwarzschild" else metric,
+            params[0], params[1], params[2])
     shell = 1.1 if metric != "KerrSchild" else 1.05
     rs_classify = (shell / 1.2) * r_plus
     sub_cls, _, _, u01, v01 = _classify.classify_rays(
         final_q, jnp.full(final_q.shape[:-1], jnp.pi, dtype),
-        jnp.zeros(final_q.shape[:-1], dtype),
+        (beta_fold if beta_fold is not None
+         else jnp.zeros(final_q.shape[:-1], dtype)),
         rs=rs_classify, r_obs_x=obs_x, boundary_radius=boundary_radius,
         patch_center_theta=patch_center_theta,
         patch_center_phi=patch_center_phi,

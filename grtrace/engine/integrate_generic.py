@@ -39,6 +39,12 @@ def _capture_radius(metric, params):
     if metric == "Kerr":
         return 1.1 * horizon_radius("Kerr", params[0], params[1],
                                     _charge(params))
+    from ..physics.static_metrics import STATIC_F, static_capture_radius
+    if metric in STATIC_F:
+        # 1.1 x the bisected outer horizon; horizonless super-critical
+        # regular holes get a small floor around the coordinate center
+        # (nothing is captured — rays traverse the core and escape)
+        return static_capture_radius(metric, params)
     return 1.1 * horizon_radius("Schwarzschild", params[0])
 
 

@@ -198,6 +198,18 @@ def render(scene: SceneConfig, *, bg_array=None, n_samples=None, seed=0,
     # coordinate singularity, Pallas fast path); 'kerr-bl' selects the
     # Boyer-Lindquist chart explicitly (near-axis rays there can be
     # flagged as numerical errors — the BL theta singularity).
+    # Beyond-Kerr static families ride the generic autodiff engine with
+    # the family parameter in the second params slot (see
+    # physics/static_metrics.py; scene.metric_param carries Lambda/g/l).
+    static_names = {"kottler": "Kottler", "sds": "Kottler",
+                    "bardeen": "Bardeen", "hayward": "Hayward"}
+    if scene_metric in static_names:
+        from .render_generic import render_generic
+        return render_generic(
+            scene, spin=float(getattr(scene, "metric_param", 0.0)),
+            metric=static_names[scene_metric], bg_array=bg_array,
+            dtype=dtype, n_samples=n_samples, seed=seed, metrics=metrics,
+            charge=0.0, aa_samples=aa_samples)
     if (scene_metric in ("kerr", "kerr-bl", "kerrbl", "kerrschild",
                          "kerr-schild") or charge != 0.0):
         from .render_generic import render_generic

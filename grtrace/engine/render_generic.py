@@ -51,9 +51,21 @@ def render_pixels_generic(bg_array, obs_x, fov, mass, spin, boundary_radius,
                         jnp.asarray(charge, dtype)])
 
     obs_pos = jnp.stack([obs_x, jnp.zeros_like(obs_x), jnp.zeros_like(obs_x)])
-    camera = camera_rays_cartesian if cartesian else camera_rays_unfolded
-    q0, p0, alpha0 = camera(obs_pos, fov, height, width, params=params,
-                            g_inv_fn=g_inv_fn, dtype=dtype)
+    from ..physics.static_metrics import STATIC_F
+    if metric in STATIC_F:
+        # spherically symmetric: the reference's equatorial beta-fold is
+        # exact, and folded rays (theta = pi/2, p_theta = 0) never
+        # approach the BL polar-axis stiffness that retires over-pole
+        # rays in the unfolded chart (physics.camera docstring)
+        from ..physics.camera import camera_rays_folded_static
+        q0, p0, alpha0, beta_fold = camera_rays_folded_static(
+            obs_pos, fov, height, width, params=params,
+            g_inv_fn=g_inv_fn, dtype=dtype)
+    else:
+        camera = camera_rays_cartesian if cartesian else camera_rays_unfolded
+        q0, p0, alpha0 = camera(obs_pos, fov, height, width, params=params,
+                                g_inv_fn=g_inv_fn, dtype=dtype)
+        beta_fold = None
 
     n = height * width
     if backend == "pallas" and metric == "KerrSchild":
@@ -96,11 +108,22 @@ def render_pixels_generic(bg_array, obs_x, fov, mass, spin, boundary_radius,
     # shell stays 'in_domain', matching the integrator's ALIVE verdict.
     # The sharded renderer (sharding.mesh.render_kerr_sharded) uses the
     # same formula so both paths classify identically.
-    r_plus = horizon_radius("Kerr" if metric != "Schwarzschild" else metric,
-                            params[0], params[1], params[2])
+    from ..physics.static_metrics import STATIC_F, static_capture_radius
+    if metric in STATIC_F:
+        # one source of truth with the integrator's capture surface
+        # (integrate_generic._capture_radius): 1.1 x the bisected outer
+        # horizon, or the small horizonless floor
+        r_plus = static_capture_radius(metric, params) / 1.1
+    else:
+        r_plus = horizon_radius(
+            "Kerr" if metric != "Schwarzschild" else metric,
+            params[0], params[1], params[2])
     shell = 1.1 if metric != "KerrSchild" else 1.05
     rs_classify = (shell / 1.2) * r_plus
-    beta0 = jnp.zeros((height, width), dtype)
+    # static (folded) rays un-fold by their real beta; unfolded charts
+    # classify in lab angles directly (beta = 0)
+    beta0 = (beta_fold if beta_fold is not None
+             else jnp.zeros((height, width), dtype))
     alpha_off = jnp.full((height, width), jnp.pi, dtype)
 
     cls, th_csv, ph_csv, u01, v01 = _classify.classify_rays(
@@ -133,6 +156,7 @@ def render_pixels_generic(bg_array, obs_x, fov, mass, spin, boundary_radius,
         "final_ph": ph_csv,
         "q0": q0,
         "p0": p0,
+        "beta": beta0,
         "alpha0": alpha0,
         "n_steps": n_steps.reshape(height, width),
         "status": status.reshape(height, width),
@@ -141,11 +165,14 @@ def render_pixels_generic(bg_array, obs_x, fov, mass, spin, boundary_radius,
 
 
 def _sample_trajectories_generic(q0, p0, scene, spin, metric, dtype, seed,
-                                 n_samples, charge=0.0):
+                                 n_samples, charge=0.0, beta=None):
     """Sampled-ray diagnostics for the generic path: (ij indices, list of
     (n_pts, 3) Cartesian arrays) — same surface as the Schwarzschild
-    sampler (engine.render._sample_trajectories)."""
-    from ..physics.coords import spherical_to_cartesian
+    sampler (engine.render._sample_trajectories).  beta: per-pixel fold
+    angles from the static folded camera (trajectories are integrated in
+    the equatorial plane and rotated back about +x here, reference
+    raytracing.py:138-159); None/zeros for the unfolded charts."""
+    from ..physics.coords import rotate_x, spherical_to_cartesian
     from .integrate_generic import trajectory_batch_decimated
     from .render import MAX_TRAJ_POINTS
 
@@ -165,6 +192,8 @@ def _sample_trajectories_generic(q0, p0, scene, spin, metric, dtype, seed,
         n_keep=min(MAX_TRAJ_POINTS, integ.steps))
     traj = np.asarray(traj, dtype=np.float64)
 
+    betas = (np.zeros(len(flat)) if beta is None
+             else np.asarray(beta).reshape(-1)[flat])
     out = []
     for k in range(traj.shape[0]):
         pts = traj[k]
@@ -172,6 +201,8 @@ def _sample_trajectories_generic(q0, p0, scene, spin, metric, dtype, seed,
             out.append(pts[:, 1:4])
         else:
             x, y, z = spherical_to_cartesian(pts[:, 1], pts[:, 2], pts[:, 3])
+            x, y, z = rotate_x(np.asarray(x), np.asarray(y), np.asarray(z),
+                               float(betas[k]))
             out.append(np.stack([np.asarray(x), np.asarray(y),
                                  np.asarray(z)], axis=-1))
     return sampled_ij, out
@@ -189,7 +220,11 @@ def render_generic(scene, *, spin=None, metric="Kerr", bg_array=None,
     overrides); `metric` names the chart ("Kerr" = Boyer-Lindquist,
     "KerrSchild" = the horizon-regular Cartesian production chart) and
     stays explicit — prefer the top-level grtrace.render, which routes
-    scene.metric to the right chart for you.
+    scene.metric to the right chart for you.  For the static beyond-Kerr
+    families ("Kottler"/"Bardeen"/"Hayward", physics/static_metrics.py)
+    the `spin` argument carries the family parameter (Lambda/g/l) — the
+    second metric-params slot — and charge must be 0; grtrace.render
+    routes scene.metric_param there automatically.
 
     aa_samples = s (>= 2) runs the adaptive edge-refinement pass
     (engine.aa): s x s stratified sub-rays re-traced for the top-scoring
@@ -274,8 +309,8 @@ def render_generic(scene, *, spin=None, metric="Kerr", bg_array=None,
     if want_metrics:
         metrics.geodesic_steps = int(np.asarray(out["n_steps"],
                                                 np.int64).sum())
-    # the folded-camera fields beta/heading do not exist on this path
-    out["beta"] = jnp.zeros((h, w), dtype)
+    # beta: real fold angles on the static (folded-camera) path, zeros on
+    # the unfolded charts; the heading field does not exist on this path
     out["heading"] = jnp.zeros((h, w, 3), dtype)
 
     n_samples = scene.n_samples if n_samples is None else n_samples
@@ -285,6 +320,7 @@ def render_generic(scene, *, spin=None, metric="Kerr", bg_array=None,
         with metrics.stage("sample_trajectories"):
             sampled_ij, sampled_trajs = _sample_trajectories_generic(
                 np.asarray(out["q0"]), np.asarray(out["p0"]), scene, spin,
-                metric, dtype, seed, n_samples, charge=charge)
+                metric, dtype, seed, n_samples, charge=charge,
+                beta=np.asarray(out["beta"]))
     return RenderResult(out, counts, sampled_indices=sampled_ij,
                         sampled_trajectories=sampled_trajs)

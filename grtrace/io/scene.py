@@ -104,6 +104,11 @@ class SceneConfig:
     metric: str = "Schwarzschild"
     spin: float = 0.0
     charge: float = 0.0
+    # beyond-Kerr static families (physics/static_metrics.py): the single
+    # family parameter — Lambda for metric='kottler' (Schwarzschild-de
+    # Sitter), magnetic charge g for 'bardeen', core length l for
+    # 'hayward'.  Ignored by the Kerr-Newman family (use spin/charge).
+    metric_param: float = 0.0
     boundary_radius: float = 31.0
     observer_distance: float = 30.0
     integrator: IntegratorConfig = dataclasses.field(default_factory=IntegratorConfig)

@@ -220,6 +220,73 @@ def initial_conditions(obs_pos, pixel_pos, *, mass_bh=1.0):
     return q0, p0, alpha0, heading, beta
 
 
+def folded_ics_from_pixels_static(obs, pix, *, params, g_inv_fn):
+    """Folded (equatorial) camera for SPHERICALLY-SYMMETRIC generic
+    metrics (the static beyond-Kerr families, physics/static_metrics.py).
+
+    Same beta-fold as the Schwarzschild camera (initial_conditions above;
+    reference utils.py:103-113): every ray is rotated about +x into the
+    x-y plane, so it integrates at theta = pi/2 with p_theta = 0 and the
+    BL polar-axis stiffness (the 1/sin theta metric terms that retire
+    over-pole rays in the unfolded chart) is never approached — the fold
+    is EXACT under spherical symmetry.  Differences from
+    initial_conditions: p_t closes the null condition in the actual
+    metric f (spacetime.null_p_t with g_inv_fn), not Schwarzschild; the
+    sqrt(1 - 2M/r) radial normalization is kept — it is the shared camera
+    convention (affine gauge) across every spherical chart, see
+    unfolded_ics_from_pixels.
+
+    Returns (q0, p0, alpha0, beta); classify_rays(beta) un-folds the hit
+    angles, and trajectory diagnostics rotate back by beta about +x.
+    """
+    from .spacetime import null_p_t as generic_null_p_t
+    import jax
+
+    obs = jnp.asarray(obs, dtype=pix.dtype)
+    ray = pix - obs
+    ray = ray / jnp.linalg.norm(ray, axis=-1, keepdims=True)
+    rx, ry, rz = ray[..., 0], ray[..., 1], ray[..., 2]
+
+    beta = jnp.arctan2(rz, ry)
+    xy_x, xy_y, _ = rotate_x(rx, ry, rz, -beta)
+
+    r_obs, th_obs, ph_obs = cartesian_to_spherical(
+        *[obs[..., a] for a in range(3)])
+
+    h_phi_xy = jnp.arctan2(xy_y, xy_x)
+    alpha_cam = jnp.pi - h_phi_xy
+
+    mass = jnp.asarray(params, pix.dtype)[0]
+    p_spatial = angles_to_p_sph(alpha_cam, 0.0, r_obs, mass_bh=mass)
+
+    zeros = jnp.zeros_like(beta)
+    q0 = jnp.stack([zeros, jnp.broadcast_to(r_obs, beta.shape),
+                    jnp.broadcast_to(th_obs, beta.shape),
+                    jnp.broadcast_to(ph_obs, beta.shape)], axis=-1)
+
+    params_arr = jnp.asarray(params, pix.dtype)
+    flat_p = p_spatial.reshape(-1, 3)
+    flat_q = q0.reshape(-1, 4)
+    p_t = jax.vmap(lambda p, q: generic_null_p_t(p, q, params_arr, g_inv_fn,
+                                                 future=True))(flat_p, flat_q)
+    p0 = jnp.concatenate([p_t.reshape(beta.shape)[..., None], p_spatial],
+                         axis=-1)
+
+    f_r = jnp.sqrt(1.0 - 2.0 * mass / r_obs)
+    alpha0 = jnp.arccos(jnp.clip(-p_spatial[..., 0] / f_r, -1.0, 1.0))
+    return q0, p0, alpha0, beta
+
+
+def camera_rays_folded_static(obs_pos, fov, height, width, *, params,
+                              g_inv_fn, dtype=jnp.float32):
+    """Full-grid folded camera for spherically-symmetric generic metrics:
+    pixel_grid -> folded_ics_from_pixels_static."""
+    pix = pixel_grid(obs_pos, fov, height, width, dtype=dtype)
+    return folded_ics_from_pixels_static(jnp.asarray(obs_pos, dtype=dtype),
+                                         pix, params=params,
+                                         g_inv_fn=g_inv_fn)
+
+
 def camera_rays_unfolded(obs_pos, fov, height, width, *, params, g_inv_fn,
                          dtype=jnp.float32):
     """General-metric camera: pixel grid -> ICs WITHOUT the equatorial fold.

@@ -139,10 +139,18 @@ def kerr_schild_g_inv(q, params):
     return eta - 2.0 * H * jnp.outer(l_up, l_up)
 
 
+from .static_metrics import (STATIC_F, bardeen_g_inv,  # noqa: E402
+                             hayward_g_inv, kottler_g_inv, outer_horizon)
+
 METRICS = {
     "Schwarzschild": schwarzschild_g_inv,
     "Kerr": kerr_g_inv,
     "KerrSchild": kerr_schild_g_inv,
+    # beyond-Kerr static families (physics/static_metrics.py): the second
+    # params slot carries the family's own parameter (Lambda, g, or l)
+    "Kottler": kottler_g_inv,
+    "Bardeen": bardeen_g_inv,
+    "Hayward": hayward_g_inv,
 }
 
 # coordinate chart per metric: 'spherical' q = (t, r, th, ph),
@@ -151,6 +159,9 @@ COORDS = {
     "Schwarzschild": "spherical",
     "Kerr": "spherical",
     "KerrSchild": "cartesian",
+    "Kottler": "spherical",
+    "Bardeen": "spherical",
+    "Hayward": "spherical",
 }
 
 
@@ -158,12 +169,19 @@ def horizon_radius(metric: str, mass, a=0.0, q=0.0):
     """Outer event-horizon radius r_+ (capture surface for classification).
 
     Kerr-Newman family: r_+ = M + sqrt(M^2 - a^2 - Q^2); a = Q = 0 gives
-    the Schwarzschild 2M."""
+    the Schwarzschild 2M.  Static beyond-Kerr families (Kottler/Bardeen/
+    Hayward): the largest root of f below the photon sphere, by autodiff
+    bisection (static_metrics.outer_horizon) — `a` carries the family
+    parameter there; NaN when no horizon exists (super-critical regular
+    holes)."""
     if metric == "Schwarzschild":
         return 2.0 * mass
     if metric in ("Kerr", "KerrSchild"):
         return mass + jnp.sqrt(
             jnp.maximum(mass * mass - a * a - q * q, 0.0))
+    if metric in STATIC_F:
+        return outer_horizon(STATIC_F[metric],
+                             (jnp.asarray(mass), jnp.asarray(a)))
     raise KeyError(metric)
 
 
