@@ -90,9 +90,28 @@ def main(argv=None):
             "contract — save the transfer from a non-AA run")
     with trace(os.path.join(out, "jax_trace") if args.profile else None):
         if disk_cfg is not None:
-            from ..engine.disk import render_disk
-            result = render_disk(scene, disk_cfg, bg_array=bg_array,
-                                 metrics=rm, aa_samples=args.aa or None)
+            if scene.metric.lower() in ("kottler", "sds", "bardeen",
+                                        "hayward"):
+                # beyond-Kerr static families: the planar-fold disk
+                # renderer (engine.disk_static); AA and transfer maps
+                # ride the Kerr-Schild path only
+                if args.aa:
+                    raise SystemExit(
+                        "--aa with --disk is implemented on the "
+                        "Kerr-family disk path; static-family disks "
+                        "render without edge refinement")
+                if args.save_transfer:
+                    raise SystemExit(
+                        "--save-transfer records Kerr-Schild chart "
+                        "crossings; not supported with static-family "
+                        "metrics")
+                from ..engine.disk_static import render_disk_static
+                result = render_disk_static(scene, disk_cfg,
+                                            bg_array=bg_array, metrics=rm)
+            else:
+                from ..engine.disk import render_disk
+                result = render_disk(scene, disk_cfg, bg_array=bg_array,
+                                     metrics=rm, aa_samples=args.aa or None)
         else:
             result = render(scene, bg_array=bg_array, seed=args.seed,
                             metrics=rm, aa_samples=args.aa or None)
@@ -111,9 +130,12 @@ def main(argv=None):
         # off-disk) and the BL emission radius — the disk mode's science
         # products (redshift maps are what thin-disk renders are FOR)
         from ..engine.disk import save_disk_maps
+        static_disk = scene.metric.lower() in ("kottler", "sds", "bardeen",
+                                               "hayward")
         save_disk_maps(result, out,
                        emissivity_index=disk_cfg.emissivity_index,
-                       spin=scene.spin)
+                       spin=scene.spin,
+                       chart="spherical" if static_disk else "ks")
         logging.info("Saved redshift_map.csv/.png + line_profile.csv/.png")
         if args.save_transfer:
             from ..io.transfer import TransferMap

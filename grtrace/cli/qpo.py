@@ -39,6 +39,15 @@ def main(argv=None):
                    help='geometrized mass M (code units)')
     p.add_argument('--spin', type=float, default=0.0)
     p.add_argument('--charge', type=float, default=0.0)
+    p.add_argument('--metric', type=str, default='kerr',
+                   choices=('kerr', 'kottler', 'sds', 'bardeen', 'hayward'),
+                   help='spacetime family: kerr (spin/charge) or a static '
+                        'beyond-Kerr family (physics/static_orbits; '
+                        '--metric-param carries Lambda/g/l)')
+    p.add_argument('--metric-param', type=float, default=0.0,
+                   help='static-family parameter: Lambda (kottler), '
+                        'magnetic charge g (bardeen), core length l '
+                        '(hayward)')
     p.add_argument('--retrograde', action='store_true')
     p.add_argument('--mass-msun', type=float, default=None,
                    help='physical mass in solar masses (for Hz axes)')
@@ -51,7 +60,8 @@ def main(argv=None):
     args = p.parse_args(argv)
     from . import driver_startup
     driver_startup()
-    if args.spin ** 2 + args.charge ** 2 > args.mass ** 2:
+    if args.metric == 'kerr' and \
+            args.spin ** 2 + args.charge ** 2 > args.mass ** 2:
         raise SystemExit("naked singularity: need a^2 + Q^2 <= M^2")
     mass_msun = (QPO_PRESETS[args.preset] if args.preset
                  else args.mass_msun)
@@ -59,16 +69,38 @@ def main(argv=None):
     import jax.numpy as jnp
     import numpy as np
 
-    from ..physics.epicyclic import (T_SUN_S, epicyclic_frequencies,
-                                     isco_from_kappa)
+    from ..physics.epicyclic import T_SUN_S
 
-    params = jnp.array([args.mass, args.spin, args.charge])
-    prograde = not args.retrograde
-    r_isco = float(isco_from_kappa(params, prograde))
-    r = jnp.linspace(r_isco, args.r_max * args.mass, args.n)
     import jax
-    om_phi, kappa, om_th = jax.vmap(
-        lambda rr: epicyclic_frequencies(rr, params, prograde))(r)
+
+    prograde = not args.retrograde
+    static_names = {"kottler": "Kottler", "sds": "Kottler",
+                    "bardeen": "Bardeen", "hayward": "Hayward"}
+    if args.metric in static_names:
+        # beyond-Kerr static families: the same observables from the
+        # lapse function alone (physics/static_orbits) — the nodal
+        # precession is identically zero, itself the discriminator
+        from ..physics.static_metrics import STATIC_F
+        from ..physics.static_orbits import epicyclic_static, isco_static
+        f_fn = STATIC_F[static_names[args.metric]]
+        params = jnp.array([args.mass, args.metric_param, 0.0])
+        r_isco = float(isco_static(f_fn, params))
+        if not np.isfinite(r_isco):
+            raise SystemExit(
+                f"{args.metric} with parameter {args.metric_param:g} has "
+                "no stable circular orbits — no QPO band")
+        r = jnp.linspace(r_isco, args.r_max * args.mass, args.n)
+        # spherical symmetry: retrograde orbits are the mirror image of
+        # prograde ones — identical |frequencies| (unlike Kerr)
+        om_phi, kappa, om_th = jax.vmap(
+            lambda rr: epicyclic_static(rr, f_fn, params))(r)
+    else:
+        from ..physics.epicyclic import epicyclic_frequencies, isco_from_kappa
+        params = jnp.array([args.mass, args.spin, args.charge])
+        r_isco = float(isco_from_kappa(params, prograde))
+        r = jnp.linspace(r_isco, args.r_max * args.mass, args.n)
+        om_phi, kappa, om_th = jax.vmap(
+            lambda rr: epicyclic_frequencies(rr, params, prograde))(r)
 
     # code units -> Hz (nu = Omega M_code / (2 pi M_phys); identity
     # scale when no physical mass is given, columns then in c^3/GM)
@@ -101,8 +133,12 @@ def main(argv=None):
     ax.set_ylabel(f"frequency [{unit}]")
     ax.set_yscale("log")
     sense = "prograde" if prograde else "retrograde"
-    ax.set_title(f"epicyclic frequencies  a={args.spin} Q={args.charge} "
-                 f"({sense})")
+    if args.metric in static_names:
+        ax.set_title(f"epicyclic frequencies  {static_names[args.metric]} "
+                     f"param={args.metric_param:g} ({sense})")
+    else:
+        ax.set_title(f"epicyclic frequencies  a={args.spin} "
+                     f"Q={args.charge} ({sense})")
     ax.legend(fontsize=8)
     fig.tight_layout()
     png_path = os.path.join(args.out_dir, "qpo_frequencies.png")
@@ -134,6 +170,7 @@ def main(argv=None):
         "nu_r_max": float(nu["nu_r"][i_max]),
         "r_nu_r_max_over_M": float(r_np[i_max] / args.mass),
         "unit": unit,
+        "metric": args.metric, "metric_param": args.metric_param,
         "spin": args.spin, "charge": args.charge, "prograde": prograde,
         "mass_msun": mass_msun,
         "csv": csv_path, "png": png_path,

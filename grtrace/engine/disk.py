@@ -649,7 +649,8 @@ def render_pixels_disk(bg_array, obs_pos, fov, mass, spin, charge,
     }
 
 
-def save_disk_maps(result, out_dir, emissivity_index=3.0, spin=0.0):
+def save_disk_maps(result, out_dir, emissivity_index=3.0, spin=0.0,
+                   chart="ks"):
     """Write the disk mode's science products from a render_disk result:
 
     redshift_map.csv — one row per DISK pixel: i, j, g (= nu_obs/nu_em,
@@ -675,10 +676,15 @@ def save_disk_maps(result, out_dir, emissivity_index=3.0, spin=0.0):
     hq = np.asarray(result.device("hit_q"))
     dm = status == STATUS_DISK
     ii, jj = np.nonzero(dm)
-    # BL radius of the Kerr-Schild crossing point — NOT the Euclidean
-    # norm, which overshoots by ~a^2/2r on spinning holes (the shading
-    # itself always used ks_radius; callers pass the scene's spin)
-    r_em = np.asarray(ks_radius(hq[dm, 1], hq[dm, 2], hq[dm, 3], spin))
+    if chart == "spherical":
+        # static-family planar-fold crossings (engine.disk_static) store
+        # spherical (t, r, theta, phi): the areal radius is hit_q[..., 1]
+        r_em = hq[dm, 1]
+    else:
+        # BL radius of the Kerr-Schild crossing point — NOT the Euclidean
+        # norm, which overshoots by ~a^2/2r on spinning holes (the shading
+        # itself always used ks_radius; callers pass the scene's spin)
+        r_em = np.asarray(ks_radius(hq[dm, 1], hq[dm, 2], hq[dm, 3], spin))
     rows = np.column_stack([ii, jj, g[dm], r_em])
     header = "i,j,redshift_g,r_emission"
     np.savetxt(os.path.join(out_dir, "redshift_map.csv"), rows,
