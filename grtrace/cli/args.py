@@ -64,19 +64,24 @@ def build_parser() -> argparse.ArgumentParser:
                    help='Black hole mass')
     p.add_argument('--metric', type=str, default='schwarzschild',
                    choices=['schwarzschild', 'kerr', 'kerr-bl',
-                            'kottler', 'bardeen', 'hayward'],
+                            'kottler', 'bardeen', 'hayward',
+                            'rotating-bardeen', 'rotating-hayward'],
                    help='Spacetime metric (beyond the reference, which is '
                         'Schwarzschild-only).  kerr = horizon-penetrating '
                         'Kerr-Schild chart (best numerics); kerr-bl = '
                         'Boyer-Lindquist (physics cross-check engine); '
                         'kottler = Schwarzschild-de Sitter, bardeen/'
                         'hayward = regular (singularity-free) holes — '
-                        'static families whose parameter is --metric-param')
+                        'static families whose parameter is --metric-param;'
+                        ' rotating-bardeen/rotating-hayward = spinning '
+                        'regular holes (Kerr-Schild mass-function chart, '
+                        '--spin + --metric-param)')
     p.add_argument('--metric-param', type=float, default=0.0,
-                   help='Family parameter of the static beyond-Kerr '
-                        'metrics: cosmological constant Lambda (kottler, '
-                        'units 1/M^2), magnetic charge g (bardeen), core '
-                        'length l (hayward).  0 = Schwarzschild limit')
+                   help='Family parameter of the beyond-Kerr metrics: '
+                        'cosmological constant Lambda (kottler, units '
+                        '1/M^2), magnetic charge g (bardeen / '
+                        'rotating-bardeen), core length l (hayward / '
+                        'rotating-hayward).  0 = Schwarzschild/Kerr limit')
     p.add_argument('--spin', type=float, default=0.0,
                    help='Kerr spin a in [0, M] (requires --metric kerr)')
     p.add_argument('--charge', type=float, default=0.0,
@@ -204,9 +209,24 @@ def scene_from_args(args) -> SceneConfig:
         args.bg_patch_center_theta_relobs, args.bg_patch_center_phi_relobs)
     omega = args.omega if args.fix_omega else 1.0
     static_metrics = ('kottler', 'bardeen', 'hayward')
-    if args.spin and args.metric not in ('kerr', 'kerr-bl'):
-        raise SystemExit("--spin requires --metric kerr (or kerr-bl)")
-    if args.metric in static_metrics:
+    rotating_regular = ('rotating-bardeen', 'rotating-hayward')
+    if args.spin and args.metric not in ('kerr', 'kerr-bl') + \
+            rotating_regular:
+        raise SystemExit("--spin requires --metric kerr, kerr-bl, or a "
+                         "rotating regular family")
+    if args.metric in rotating_regular:
+        if args.charge:
+            raise SystemExit(
+                "--charge applies to the Kerr-Newman family only; the "
+                "rotating regular families take --metric-param")
+        if args.metric_param < 0:
+            raise SystemExit("--metric-param must be >= 0")
+        if not abs(args.spin) < args.bh_mass:
+            raise SystemExit("rotating regular families need |a| < M")
+        # horizonless super-critical points are allowed (the regular core
+        # replaces the shadow) — no existence validation here; the render
+        # falls back to the capture floor (physics/rotating_regular.py)
+    elif args.metric in static_metrics:
         if args.charge:
             raise SystemExit(
                 "--charge applies to the Kerr-Newman family only; the "
@@ -243,7 +263,9 @@ def scene_from_args(args) -> SceneConfig:
     # to the generic autodiff engine with metric_param in params[1])
     metric = {'schwarzschild': 'Schwarzschild', 'kerr': 'KerrSchild',
               'kerr-bl': 'kerr-bl', 'kottler': 'kottler',
-              'bardeen': 'bardeen', 'hayward': 'hayward'}[args.metric]
+              'bardeen': 'bardeen', 'hayward': 'hayward',
+              'rotating-bardeen': 'rotating-bardeen',
+              'rotating-hayward': 'rotating-hayward'}[args.metric]
     return SceneConfig(
         size=args.size,
         fov_deg=args.fov,

@@ -45,6 +45,11 @@ def _capture_radius(metric, params):
         # regular holes get a small floor around the coordinate center
         # (nothing is captured — rays traverse the core and escape)
         return static_capture_radius(metric, params)
+    if metric in ("RotatingBardeen", "RotatingHayward"):
+        # Kerr-Schild chart: the thin 1.05 shell over the bisected
+        # Delta-root, or the horizonless floor (rotating_regular)
+        from ..physics.rotating_regular import rotating_capture_radius
+        return rotating_capture_radius(metric, params)
     return 1.1 * horizon_radius("Schwarzschild", params[0])
 
 
@@ -262,6 +267,20 @@ def integrate_batch_generic(q0s, p0s, steps, delta, params, r_max, omega,
         return apply_bardeen_rescue_bl(
             q1, p1, ns, q2, q0s, p0s, params[0], params[1],
             _charge(params), r_cap, r_max)
+    if metric in ("RotatingBardeen", "RotatingHayward"):
+        # mass-function families keep the Carter constant (m(r) lives
+        # entirely inside Delta), so guard-parked photon-shell winders
+        # get the same exact conserved-quantity reclassification as
+        # Kerr-Newman — without it they all default to captured and the
+        # shadow limb overshoots the true critical curve (the bisection
+        # test in tests/test_rotating_regular.py pins this)
+        from ..physics.rotating_regular import escape_pred_rotating
+        from ..physics.spacetime import _charge
+        from .integrate_ks import apply_bardeen_rescue
+        pred = escape_pred_rotating(metric, q0s, p0s, params)
+        return apply_bardeen_rescue(
+            q1, p1, ns, q2[:, 1:], q0s, p0s, params[0], params[1],
+            _charge(params), r_cap, r_max, pred=pred)
 
     ns = jnp.abs(ns)
     status = jnp.where(cap_radius(q1) <= r_cap, STATUS_CAPTURED,

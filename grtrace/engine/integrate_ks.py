@@ -400,7 +400,8 @@ def apply_bardeen_rescue_bl(final_q, final_p, n_steps_signed, q2,
 
 
 def apply_bardeen_rescue(final_q, final_p, n_steps_signed, q2_spatial,
-                         q0s, p0s, mass, a, charge, r_cap, r_max):
+                         q0s, p0s, mass, a, charge, r_cap, r_max,
+                         pred=None):
     """Reclassify guard-parked rays by the exact Bardeen predicate.
 
     n_steps_signed: per-ray step counts with guard-parked rays encoded as
@@ -424,7 +425,11 @@ def apply_bardeen_rescue(final_q, final_p, n_steps_signed, q2_spatial,
     """
     parked = n_steps_signed < 0
     n_steps = jnp.abs(n_steps_signed)
-    pred = bardeen_escape_pred(q0s, p0s, mass, a, charge)
+    if pred is None:
+        pred = bardeen_escape_pred(q0s, p0s, mass, a, charge)
+    # else: a caller-supplied exact predicate — the mass-function families
+    # pass physics.rotating_regular.escape_pred_rotating (same park
+    # semantics, generalized Delta(r) in the radial potential)
 
     esc_r = parked & pred
     cap_r = parked & ~pred

@@ -201,6 +201,21 @@ def render(scene: SceneConfig, *, bg_array=None, n_samples=None, seed=0,
     # Beyond-Kerr static families ride the generic autodiff engine with
     # the family parameter in the second params slot (see
     # physics/static_metrics.py; scene.metric_param carries Lambda/g/l).
+    # Rotating regular families (physics/rotating_regular.py): Kerr-Schild
+    # with a mass function — spin in the second params slot (as Kerr), the
+    # regular charge g/l in the third (scene.metric_param).
+    rotating_names = {"rotating-bardeen": "RotatingBardeen",
+                      "rotatingbardeen": "RotatingBardeen",
+                      "rotating-hayward": "RotatingHayward",
+                      "rotatinghayward": "RotatingHayward"}
+    if scene_metric in rotating_names:
+        from .render_generic import render_generic
+        return render_generic(
+            scene, spin=scene.spin, metric=rotating_names[scene_metric],
+            bg_array=bg_array, dtype=dtype, n_samples=n_samples,
+            seed=seed, metrics=metrics,
+            charge=float(getattr(scene, "metric_param", 0.0)),
+            aa_samples=aa_samples)
     static_names = {"kottler": "Kottler", "sds": "Kottler",
                     "bardeen": "Bardeen", "hayward": "Hayward"}
     if scene_metric in static_names:

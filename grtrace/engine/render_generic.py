@@ -114,11 +114,18 @@ def render_pixels_generic(bg_array, obs_x, fov, mass, spin, boundary_radius,
         # (integrate_generic._capture_radius): 1.1 x the bisected outer
         # horizon, or the small horizonless floor
         r_plus = static_capture_radius(metric, params) / 1.1
+    elif metric in ("RotatingBardeen", "RotatingHayward"):
+        # same single-source rule on the rotating-regular families: the
+        # classifier's radius test fires exactly at the integrator's
+        # 1.05-shell over the bisected Delta-root (or horizonless floor)
+        from ..physics.rotating_regular import rotating_capture_radius
+        r_plus = rotating_capture_radius(metric, params) / 1.05
     else:
         r_plus = horizon_radius(
             "Kerr" if metric != "Schwarzschild" else metric,
             params[0], params[1], params[2])
-    shell = 1.1 if metric != "KerrSchild" else 1.05
+    shell = 1.1 if metric not in ("KerrSchild", "RotatingBardeen",
+                                  "RotatingHayward") else 1.05
     rs_classify = (shell / 1.2) * r_plus
     # static (folded) rays un-fold by their real beta; unfolded charts
     # classify in lab angles directly (beta = 0)

@@ -139,6 +139,8 @@ def kerr_schild_g_inv(q, params):
     return eta - 2.0 * H * jnp.outer(l_up, l_up)
 
 
+from .rotating_regular import (rotating_bardeen_g_inv,  # noqa: E402
+                               rotating_hayward_g_inv, rotating_horizon)
 from .static_metrics import (STATIC_F, bardeen_g_inv,  # noqa: E402
                              hayward_g_inv, kottler_g_inv, outer_horizon)
 
@@ -151,6 +153,10 @@ METRICS = {
     "Kottler": kottler_g_inv,
     "Bardeen": bardeen_g_inv,
     "Hayward": hayward_g_inv,
+    # rotating regular families (physics/rotating_regular.py): Kerr-Schild
+    # with a mass function; params = (M, a, g-or-l)
+    "RotatingBardeen": rotating_bardeen_g_inv,
+    "RotatingHayward": rotating_hayward_g_inv,
 }
 
 # coordinate chart per metric: 'spherical' q = (t, r, th, ph),
@@ -162,6 +168,8 @@ COORDS = {
     "Kottler": "spherical",
     "Bardeen": "spherical",
     "Hayward": "spherical",
+    "RotatingBardeen": "cartesian",
+    "RotatingHayward": "cartesian",
 }
 
 
@@ -182,6 +190,12 @@ def horizon_radius(metric: str, mass, a=0.0, q=0.0):
     if metric in STATIC_F:
         return outer_horizon(STATIC_F[metric],
                              (jnp.asarray(mass), jnp.asarray(a)))
+    if metric in ("RotatingBardeen", "RotatingHayward"):
+        # a = spin, q = the family parameter (g or l); NaN when the
+        # (a, q) point is super-critical (no horizon)
+        return rotating_horizon(
+            metric, jnp.stack([jnp.asarray(mass), jnp.asarray(a),
+                               jnp.asarray(q)]))
     raise KeyError(metric)
 
 
