@@ -90,8 +90,8 @@ def main(argv=None):
             "contract — save the transfer from a non-AA run")
     with trace(os.path.join(out, "jax_trace") if args.profile else None):
         if disk_cfg is not None:
-            if scene.metric.lower() in ("kottler", "sds", "bardeen",
-                                        "hayward"):
+            metric_lc = scene.metric.lower()
+            if metric_lc in ("kottler", "sds", "bardeen", "hayward"):
                 # beyond-Kerr static families: the planar-fold disk
                 # renderer (engine.disk_static); AA and transfer maps
                 # ride the Kerr-Schild path only
@@ -109,6 +109,14 @@ def main(argv=None):
                 result = render_disk_static(scene, disk_cfg,
                                             bg_array=bg_array, metrics=rm)
             else:
+                # Kerr-Newman family AND the rotating regular families
+                # (render_disk routes on scene.metric; the family
+                # parameter rides the charge slot)
+                if args.save_transfer and metric_lc.startswith("rotating"):
+                    raise SystemExit(
+                        "--save-transfer reshading is wired for the "
+                        "Kerr-Newman family; not supported with rotating "
+                        "regular metrics")
                 from ..engine.disk import render_disk
                 result = render_disk(scene, disk_cfg, bg_array=bg_array,
                                      metrics=rm, aa_samples=args.aa or None)

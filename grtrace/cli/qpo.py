@@ -40,10 +40,12 @@ def main(argv=None):
     p.add_argument('--spin', type=float, default=0.0)
     p.add_argument('--charge', type=float, default=0.0)
     p.add_argument('--metric', type=str, default='kerr',
-                   choices=('kerr', 'kottler', 'sds', 'bardeen', 'hayward'),
-                   help='spacetime family: kerr (spin/charge) or a static '
-                        'beyond-Kerr family (physics/static_orbits; '
-                        '--metric-param carries Lambda/g/l)')
+                   choices=('kerr', 'kottler', 'sds', 'bardeen', 'hayward',
+                            'rotating-bardeen', 'rotating-hayward'),
+                   help='spacetime family: kerr (spin/charge), a static '
+                        'beyond-Kerr family (physics/static_orbits), or a '
+                        'rotating regular family (physics/rotating_orbits; '
+                        '--spin + --metric-param)')
     p.add_argument('--metric-param', type=float, default=0.0,
                    help='static-family parameter: Lambda (kottler), '
                         'magnetic charge g (bardeen), core length l '
@@ -76,7 +78,27 @@ def main(argv=None):
     prograde = not args.retrograde
     static_names = {"kottler": "Kottler", "sds": "Kottler",
                     "bardeen": "Bardeen", "hayward": "Hayward"}
-    if args.metric in static_names:
+    rotating_names = {"rotating-bardeen": "RotatingBardeen",
+                      "rotating-hayward": "RotatingHayward"}
+    if args.metric in rotating_names:
+        # rotating regular families: the mass-function epicyclic layer —
+        # Lense-Thirring nodal precession survives but is weakened by
+        # the regular core's smaller enclosed mass
+        from ..physics.rotating_orbits import (epicyclic_rotating,
+                                               isco_rotating)
+        from ..physics.rotating_regular import MASS_FN
+        m_fn = MASS_FN[rotating_names[args.metric]]
+        params = jnp.array([args.mass, args.spin, args.metric_param])
+        r_isco = float(isco_rotating(params, m_fn, prograde))
+        if not np.isfinite(r_isco):
+            raise SystemExit(
+                f"{args.metric} at (a, p) = ({args.spin:g}, "
+                f"{args.metric_param:g}) has no stable circular orbits "
+                "— no QPO band")
+        r = jnp.linspace(r_isco, args.r_max * args.mass, args.n)
+        om_phi, kappa, om_th = jax.vmap(
+            lambda rr: epicyclic_rotating(rr, params, m_fn, prograde))(r)
+    elif args.metric in static_names:
         # beyond-Kerr static families: the same observables from the
         # lapse function alone (physics/static_orbits) — the nodal
         # precession is identically zero, itself the discriminator
@@ -135,6 +157,10 @@ def main(argv=None):
     sense = "prograde" if prograde else "retrograde"
     if args.metric in static_names:
         ax.set_title(f"epicyclic frequencies  {static_names[args.metric]} "
+                     f"param={args.metric_param:g} ({sense})")
+    elif args.metric in rotating_names:
+        ax.set_title(f"epicyclic frequencies  "
+                     f"{rotating_names[args.metric]} a={args.spin} "
                      f"param={args.metric_param:g} ({sense})")
     else:
         ax.set_title(f"epicyclic frequencies  a={args.spin} "

@@ -109,9 +109,9 @@ class DiskConfig:
         return float(isco_radius(mass, a, self.prograde))
 
 
-@partial(jax.jit, static_argnames=("steps", "order"))
+@partial(jax.jit, static_argnames=("steps", "order", "metric"))
 def integrate_batch_disk(q0s, p0s, steps, delta, params, r_max, omega,
-                         r_in, r_out, order=2):
+                         r_in, r_out, order=2, metric="KerrSchild"):
     """Kerr-Schild batch integration with first-equatorial-crossing capture.
 
     Same early-exit/guard semantics as integrate_batch_generic on the
@@ -119,9 +119,14 @@ def integrate_batch_disk(q0s, p0s, steps, delta, params, r_max, omega,
     interpolated Boyer-Lindquist radius inside [r_in, r_out], the ray
     freezes with STATUS_DISK and (hit_q, hit_p) record the crossing.
 
+    `metric` selects the Cartesian KS chart's mass function: 'KerrSchild'
+    (the Kerr-Newman family, default) or a rotating regular family
+    ('RotatingBardeen'/'RotatingHayward', physics/rotating_regular.py) —
+    the chart radius, the crossing detector and the guards are all
+    mass-function-blind, so the whole crossing machinery is shared.
+
     Returns (final_q, final_p, status, n_steps, hit_q, hit_p).
     """
-    metric = "KerrSchild"
     g_inv_fn = METRICS[metric]
     step1 = make_step(g_inv_fn)
 
@@ -190,11 +195,18 @@ def integrate_batch_disk(q0s, p0s, steps, delta, params, r_max, omega,
     q1, p1, q2, _, ns, _, hit, hq, hp = jax.lax.while_loop(cond, body, carry0)
 
     # non-disk rays: the standard KS classification incl. the exact
-    # Bardeen rescue of guard-parked rays (integrate_generic tail)
+    # conserved-quantity rescue of guard-parked rays (integrate_generic
+    # tail) — the quartic Kerr-Newman predicate on the Kerr chart, the
+    # golden-section mass-function predicate on the rotating families
     from .integrate_ks import apply_bardeen_rescue
+    if metric == "KerrSchild":
+        pred = None
+    else:
+        from ..physics.rotating_regular import escape_pred_rotating
+        pred = escape_pred_rotating(metric, q0s, p0s, params)
     q1, p1, status, n_steps = apply_bardeen_rescue(
         q1, p1, ns, q2[:, 1:], q0s, p0s, params[0], params[1],
-        _charge(params), r_cap, r_max)
+        _charge(params), r_cap, r_max, pred=pred)
     status = jnp.where(hit, STATUS_DISK, status)
     return q1, p1, status, n_steps, hq, hp
 
@@ -235,24 +247,33 @@ def _temp_profile(r, r_in):
 _NT_TABLE_N = 384      # radial quadrature/interp grid for the NT profile
 
 
-def _nt_temp_table(r_in, r_out, params, prograde, dtype):
+def _nt_temp_table(r_in, r_out, params, prograde, dtype,
+                   metric="KerrSchild"):
     """Peak-normalized Novikov-Thorne temperature T(r) ~ F(r)^(1/4) on a
     geometric radial grid over the disk annulus, from the Page-Thorne
-    quadrature (physics.orbits.page_thorne_flux).  Static shape — the
-    table builds inside the jitted render program; shading interpolates
+    quadrature (physics.orbits.page_thorne_flux, or its mass-function
+    twin for the rotating regular families).  Static shape — the table
+    builds inside the jitted render program; shading interpolates
     per-pixel with jnp.interp."""
-    from ..physics.orbits import page_thorne_flux
     lo = r_in * (1.0 + 1e-5)
     u = jnp.linspace(0.0, 1.0, _NT_TABLE_N, dtype=dtype)
     r_grid = lo * (r_out / lo) ** u
-    flux = page_thorne_flux(r_grid, params, prograde)
+    if metric == "KerrSchild":
+        from ..physics.orbits import page_thorne_flux
+        flux = page_thorne_flux(r_grid, params, prograde)
+    else:
+        from ..physics.rotating_orbits import page_thorne_flux_rotating
+        from ..physics.rotating_regular import MASS_FN
+        flux = page_thorne_flux_rotating(r_grid, params, MASS_FN[metric],
+                                         prograde)
     t = flux ** 0.25
     return r_grid, t / jnp.maximum(jnp.max(t), 1e-30)
 
 
 def shade_disk(hit_q, hit_p, params, r_obs, r_in, *, prograde=True,
                t_peak=9000.0, exposure=2.5, theta_obs=jnp.pi / 2,
-               profile="shakura", r_out=14.0, omega_obs=0.0):
+               profile="shakura", r_out=14.0, omega_obs=0.0,
+               metric="KerrSchild"):
     """(N, 4) crossings -> (g, rgb01): per-ray redshift factor and shaded
     color.  Physics: I_obs = g^4 I_em (Liouville), blackbody color at the
     observed temperature g * T_em(r), tone-mapped 1 - exp(-exposure * I).
@@ -270,25 +291,38 @@ def shade_disk(hit_q, hit_p, params, r_obs, r_in, *, prograde=True,
     return shade_disk_constants(
         energy, l_z, r_em, params, r_obs, r_in, prograde=prograde,
         t_peak=t_peak, exposure=exposure, theta_obs=theta_obs,
-        profile=profile, r_out=r_out, omega_obs=omega_obs)
+        profile=profile, r_out=r_out, omega_obs=omega_obs, metric=metric)
 
 
 def shade_disk_constants(energy, l_z, r_em, params, r_obs, r_in, *,
                          prograde=True, t_peak=9000.0, exposure=2.5,
                          theta_obs=jnp.pi / 2, profile="shakura",
-                         r_out=14.0, omega_obs=0.0):
+                         r_out=14.0, omega_obs=0.0, metric="KerrSchild"):
     """shade_disk's core on the Killing constants directly: (E, L_z,
     r_em) is ALL the shading physics needs (the redshift is a ratio of
     Killing-energy projections, so E's scale and sign cancel) — which
     lets the semi-analytic renderer (engine/render_exact.py) shade
-    crossings it never traced."""
-    g = jax.vmap(lambda e, l, r: redshift_factor(
-        e, l, r, r_obs, params, prograde, theta_obs,
-        omega_obs))(energy, l_z, r_em)
+    crossings it never traced.
+
+    metric != 'KerrSchild' selects the mass-function emitter algebra
+    (physics/rotating_orbits; static receiver only — render_disk rejects
+    moving cameras for those families before tracing)."""
+    if metric == "KerrSchild":
+        g = jax.vmap(lambda e, l, r: redshift_factor(
+            e, l, r, r_obs, params, prograde, theta_obs,
+            omega_obs))(energy, l_z, r_em)
+    else:
+        from ..physics.rotating_orbits import redshift_factor_rotating
+        from ..physics.rotating_regular import MASS_FN
+        m_fn = MASS_FN[metric]
+        g = jax.vmap(lambda e, l, r: redshift_factor_rotating(
+            e, l, r, r_obs, params, m_fn, prograde,
+            theta_obs))(energy, l_z, r_em)
 
     if profile == "novikov":
         r_grid, t_tab = _nt_temp_table(r_in, jnp.asarray(r_out, r_em.dtype),
-                                       params, prograde, r_em.dtype)
+                                       params, prograde, r_em.dtype,
+                                       metric=metric)
         t_norm = jnp.interp(r_em, r_grid, t_tab)
     else:
         t_norm = _temp_profile(r_em, r_in)      # [0, 1]
@@ -341,7 +375,7 @@ def polarization_fields(hit_q, hit_p, q0f, p0f, obs_pos, fov, height, width,
 
 @functools.lru_cache(maxsize=None)
 def shading_program(height, width, profile, prograde, bfield,
-                    camera_moving=False):
+                    camera_moving=False, metric="KerrSchild"):
     """THE jitted disk-shading program — one executable shared by the
     full-frame render (render_disk) and transfer-map reshading
     (io.transfer.reshade).
@@ -378,7 +412,7 @@ def shading_program(height, width, profile, prograde, bfield,
                               prograde=prograde, t_peak=t_peak,
                               exposure=exposure, theta_obs=th_obs,
                               profile=profile, r_out=r_out,
-                              omega_obs=omega_obs)
+                              omega_obs=omega_obs, metric=metric)
         disk_u8 = jnp.clip(rgb01 * 255.0 + 0.5, 0.0,
                            255.0).astype(jnp.uint8)
         out_img = jnp.where(disk_mask[:, None], disk_u8,
@@ -420,13 +454,14 @@ def shading_program(height, width, profile, prograde, bfield,
 
 def run_shading(result_arrays, *, height, width, profile, prograde, bfield,
                 params, obs_pos, fov, r_in, r_out, t_peak, exposure,
-                camera_omega, dtype, camera_moving=False):
+                camera_omega, dtype, camera_moving=False,
+                metric="KerrSchild"):
     """Invoke shading_program with the canonical host->device argument
     casting.  BOTH call sites (render_disk and io.transfer.reshade) build
     their traced arguments through this function, so the executable sees
     bitwise-identical scalars regardless of which path supplied them."""
     run = shading_program(height, width, profile, prograde, bfield,
-                          camera_moving)
+                          camera_moving, metric)
     hit_q, hit_p, status, image = result_arrays
     return run(jnp.asarray(hit_q), jnp.asarray(hit_p),
                jnp.asarray(status), jnp.asarray(image),
@@ -496,7 +531,7 @@ def _trace_shade_flat(q0f, p0f, bg_array, params, r_obs, r_obs_bl, th_obs,
                       t_peak, exposure, patch_center_theta, patch_center_phi,
                       patch_size_theta, patch_size_phi, *, order, backend,
                       dtype, prograde, profile, flip_theta, flip_phi,
-                      has_background, omega_obs=None):
+                      has_background, omega_obs=None, metric="KerrSchild"):
     """The per-ray disk chain on FLAT (N, 4) phase points: integrate with
     crossing capture -> shade -> classify non-disk -> composite + opaque
     overlay.  Shared verbatim by the full-frame program and the adaptive
@@ -506,7 +541,9 @@ def _trace_shade_flat(q0f, p0f, bg_array, params, r_obs, r_obs_bl, th_obs,
     from . import classify as _classify
 
     n = q0f.shape[0]
-    if backend == "pallas":
+    if backend == "pallas" and metric == "KerrSchild":
+        # the tuned Pallas disk kernel hand-inlines the Kerr-Newman H;
+        # the mass-function families ride the autodiff XLA twin
         from .integrate_pallas_ks import integrate_batch_pallas_disk
         final_q, final_p, status, n_steps, hit_q, hit_p = \
             integrate_batch_pallas_disk(
@@ -516,7 +553,7 @@ def _trace_shade_flat(q0f, p0f, bg_array, params, r_obs, r_obs_bl, th_obs,
         final_q, final_p, status, n_steps, hit_q, hit_p = \
             integrate_batch_disk(
                 q0f, p0f, steps, delta, params, boundary_radius, omega,
-                r_in, r_out, order=order)
+                r_in, r_out, order=order, metric=metric)
 
     disk_mask = status == STATUS_DISK
     if omega_obs is None:
@@ -525,14 +562,21 @@ def _trace_shade_flat(q0f, p0f, bg_array, params, r_obs, r_obs_bl, th_obs,
                                    prograde=prograde, t_peak=t_peak,
                                    exposure=exposure, theta_obs=th_obs,
                                    profile=profile, r_out=r_out,
-                                   omega_obs=omega_obs)
+                                   omega_obs=omega_obs, metric=metric)
 
     rho, th, ph = cartesian_to_spherical(final_q[:, 1], final_q[:, 2],
                                          final_q[:, 3])
     rho = jnp.where(status == STATUS_CAPTURED, jnp.zeros_like(rho), rho)
     fq_sph = jnp.stack([final_q[:, 0], rho, th, ph], axis=-1)
 
-    r_plus = horizon_radius("Kerr", params[0], params[1], params[2])
+    if metric == "KerrSchild":
+        r_plus = horizon_radius("Kerr", params[0], params[1], params[2])
+    else:
+        # rotating regular families: classifier fires exactly at the
+        # integrator's 1.05-shell over the bisected Delta-root (or the
+        # horizonless floor) — same single-source rule as render_generic
+        from ..physics.rotating_regular import rotating_capture_radius
+        r_plus = rotating_capture_radius(metric, params) / 1.05
     rs_classify = (1.05 / 1.2) * r_plus
     cls, th_csv, ph_csv, u01, v01 = _classify.classify_rays(
         fq_sph, jnp.full((n,), jnp.pi, dtype), jnp.zeros((n,), dtype),
@@ -560,7 +604,7 @@ def _trace_shade_flat(q0f, p0f, bg_array, params, r_obs, r_obs_bl, th_obs,
 @partial(jax.jit,
          static_argnames=("height", "width", "steps", "order", "flip_theta",
                           "flip_phi", "has_background", "dtype", "prograde",
-                          "backend", "profile", "camera_moving"))
+                          "backend", "profile", "camera_moving", "metric"))
 def render_pixels_disk(bg_array, obs_pos, fov, mass, spin, charge,
                        boundary_radius, steps, delta, omega,
                        r_in, r_out, t_peak, exposure,
@@ -570,7 +614,8 @@ def render_pixels_disk(bg_array, obs_pos, fov, mass, spin, charge,
                        *, height, width, order=2, flip_theta=False,
                        flip_phi=False, has_background=True,
                        dtype=jnp.float32, prograde=True, backend="xla",
-                       profile="shakura", camera_moving=False):
+                       profile="shakura", camera_moving=False,
+                       metric="KerrSchild"):
     """One compiled program: camera -> disk integration -> shade + classify
     -> RGB.  Mirrors render_pixels_generic with the disk overlay on top;
     obs_pos is a full (3,) position (the disk camera may sit above the
@@ -583,7 +628,9 @@ def render_pixels_disk(bg_array, obs_pos, fov, mass, spin, charge,
     from ..physics.camera import cartesian_ics_from_pixels, pixel_grid_lookat
     from . import classify as _classify
 
-    g_inv_fn = METRICS["KerrSchild"]
+    # 'charge' doubles as the family parameter (g / l) for the rotating
+    # regular metrics — both live in the third params slot
+    g_inv_fn = METRICS[metric]
     params = jnp.stack([jnp.asarray(mass, dtype), jnp.asarray(spin, dtype),
                         jnp.asarray(charge, dtype)])
     obs_pos = jnp.asarray(obs_pos, dtype)
@@ -611,7 +658,8 @@ def render_pixels_disk(bg_array, obs_pos, fov, mass, spin, charge,
         dtype=dtype, prograde=prograde, profile=profile,
         flip_theta=flip_theta, flip_phi=flip_phi,
         has_background=has_background,
-        omega_obs=camera_omega if camera_moving else None)
+        omega_obs=camera_omega if camera_moving else None,
+        metric=metric)
     status, n_steps = flat["status"], flat["n_steps"]
     hit_q, hit_p = flat["hit_q"], flat["hit_p"]
     g_fac = flat["g_fac"]
@@ -825,9 +873,45 @@ def render_disk(scene, disk: DiskConfig = None, *, bg_array=None, dtype=None,
     has_bg = bg_array is not None and disk.show_background
     bg_dev = (jnp.asarray(bg_array, dtype=jnp.uint8) if has_bg
               else jnp.zeros((1, 1, 3), dtype=jnp.uint8))
-    r_in = disk.inner_edge(scene.bh_mass, scene.spin, scene.charge)
+
+    # rotating regular families share the whole pipeline — the family
+    # parameter rides the charge slot, the emitter algebra comes from
+    # physics/rotating_orbits, everything else is mass-function-blind
+    rotating_names = {"rotating-bardeen": "RotatingBardeen",
+                      "rotatingbardeen": "RotatingBardeen",
+                      "rotating-hayward": "RotatingHayward",
+                      "rotatinghayward": "RotatingHayward"}
+    metric = rotating_names.get(
+        getattr(scene, "metric", "Schwarzschild").lower(), "KerrSchild")
+    if metric == "KerrSchild":
+        charge_slot = scene.charge
+        r_in = disk.inner_edge(scene.bh_mass, scene.spin, scene.charge)
+        camera_moving, camera_omega = resolve_camera_omega(scene, disk)
+    else:
+        if disk.bfield is not None:
+            raise NotImplementedError(
+                "polarized imaging (DiskConfig.bfield) requires the "
+                "Walker-Penrose constant of the exact Kerr-Newman "
+                "family — not wired for the mass-function metrics")
+        if disk.camera_omega is not None:
+            raise NotImplementedError(
+                "orbiting cameras (DiskConfig.camera_omega) are wired "
+                "for the Kerr-Newman disk path only")
+        if aa_samples:
+            raise NotImplementedError(
+                "--aa on the disk mode rides the Kerr-Newman sub-ray "
+                "chain; rotating regular disks render without edge "
+                "refinement")
+        charge_slot = scene.metric_param
+        if disk.r_in is not None:
+            r_in = disk.r_in
+        else:
+            from ..physics.rotating_orbits import rotating_disk_inner_edge
+            r_in = rotating_disk_inner_edge(metric, scene.bh_mass,
+                                            scene.spin, charge_slot,
+                                            disk.prograde)
+        camera_moving, camera_omega = False, 0.0
     obs_pos = disk_observer_position(scene, disk)
-    camera_moving, camera_omega = resolve_camera_omega(scene, disk)
 
     with metrics.stage("device_pipeline"):
         out = render_pixels_disk(
@@ -836,7 +920,7 @@ def render_disk(scene, disk: DiskConfig = None, *, bg_array=None, dtype=None,
             jnp.asarray(scene.fov, dtype),
             jnp.asarray(scene.bh_mass, dtype),
             jnp.asarray(scene.spin, dtype),
-            jnp.asarray(scene.charge, dtype),
+            jnp.asarray(charge_slot, dtype),
             jnp.asarray(scene.boundary_radius, dtype),
             integ.steps,
             jnp.asarray(integ.delta, dtype),
@@ -855,7 +939,7 @@ def render_disk(scene, disk: DiskConfig = None, *, bg_array=None, dtype=None,
             flip_phi=scene.patch.flip_phi,
             has_background=has_bg, dtype=dtype, prograde=disk.prograde,
             backend=backend, profile=disk.profile,
-            camera_moving=camera_moving)
+            camera_moving=camera_moving, metric=metric)
 
         # Re-shade the disk pixels through THE shared shading executable
         # (shading_program): the same program io.transfer.reshade runs, so
@@ -868,11 +952,11 @@ def render_disk(scene, disk: DiskConfig = None, *, bg_array=None, dtype=None,
             (out["hit_q"], out["hit_p"], out["status"], out["image"]),
             height=h, width=w, profile=disk.profile, prograde=disk.prograde,
             bfield=disk.bfield,
-            params=[scene.bh_mass, scene.spin, scene.charge],
+            params=[scene.bh_mass, scene.spin, charge_slot],
             obs_pos=obs_pos, fov=scene.fov, r_in=r_in, r_out=disk.r_out,
             t_peak=disk.t_peak, exposure=disk.exposure,
             camera_omega=camera_omega, dtype=dtype,
-            camera_moving=camera_moving)
+            camera_moving=camera_moving, metric=metric)
         out["image"] = shaded["image"]
         out["redshift"] = shaded["redshift"]
         for key in ("evpa", "pol_weight", "pol_check"):
