@@ -57,9 +57,17 @@ def main(argv=None):
                    choices=sorted(QPO_PRESETS))
     p.add_argument('--r-max', type=float, default=20.0,
                    help='outer sweep radius in units of M')
+    p.add_argument('--platform', type=str, default='cpu',
+                   choices=('cpu', 'default'),
+                   help="backend: 'cpu' (default — the sweeps are a few "
+                        "hundred scalar orbits, far below accelerator "
+                        "compile cost) or 'default' (whatever jax picks)")
     p.add_argument('--n', type=int, default=256, help='radial samples')
     p.add_argument('--out-dir', type=str, default='.')
     args = p.parse_args(argv)
+    import jax
+    if args.platform == 'cpu':
+        jax.config.update('jax_platforms', 'cpu')
     from . import driver_startup
     driver_startup()
     if args.metric == 'kerr' and \

@@ -167,7 +167,13 @@ def render_kerr_sharded(mesh, bg_array, obs_x, fov, mass, spin,
     from ..physics.coords import cartesian_to_spherical
     from ..physics.spacetime import METRICS, horizon_radius
 
-    assert metric == "KerrSchild", "sharded Kerr uses the Cartesian chart"
+    from ..physics.spacetime import COORDS
+    assert COORDS[metric] == "cartesian", \
+        "sharded Kerr-family frames use the Cartesian chart (KerrSchild " \
+        "or a rotating regular family)"
+    assert backend == "xla" or metric == "KerrSchild", \
+        "the Pallas kernel hand-inlines the Kerr-Newman H; mass-function " \
+        "metrics ride the autodiff XLA engine"
     g_inv_fn = METRICS[metric]
     n = height * width
     n_ray_shards = mesh.shape["rays"]
@@ -177,9 +183,15 @@ def render_kerr_sharded(mesh, bg_array, obs_x, fov, mass, spin,
     params = jnp.stack([jnp.asarray(mass, dtype), jnp.asarray(spin, dtype),
                         jnp.asarray(charge, dtype)])
     # same threshold formula as render_pixels_generic: the radius test
-    # fires exactly at the Kerr-Schild capture shell 1.05 r_+
-    rs_classify = (1.05 / 1.2) * horizon_radius("Kerr", params[0],
-                                                params[1], params[2])
+    # fires exactly at the Kerr-Schild capture shell 1.05 r_+ (the
+    # bisected Delta-root shell for the mass-function families — the
+    # orbit trick itself only needs axisymmetry, which they share)
+    if metric == "KerrSchild":
+        rs_classify = (1.05 / 1.2) * horizon_radius("Kerr", params[0],
+                                                    params[1], params[2])
+    else:
+        from ..physics.rotating_regular import rotating_capture_radius
+        rs_classify = rotating_capture_radius(metric, params) / 1.2
 
     def frame_body(obs_x_f, patch_phi_f, bg):
         flat_idx = _local_ray_indices(n, n_ray_shards)

@@ -246,3 +246,41 @@ def test_render_disk_sharded_boosted_camera_matches_single_device():
     assert (np.asarray(out["cls"][0]) == 5).sum() > 5
     assert (np.asarray(out["cls"][0]) == np.asarray(res.cls)).all()
     assert (np.asarray(out["image"][0]) == np.asarray(res.image)).all()
+
+
+def test_render_rotating_regular_sharded_matches_single_device():
+    """Rotating-Bardeen frames over the full 8-device mesh == the
+    unsharded generic render — the mass-function families shard through
+    the identical Cartesian-chart machinery (axisymmetry is all the
+    orbit trick needs)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from grtrace.engine.render import render
+    from grtrace.io.scene import IntegratorConfig, PatchConfig, SceneConfig
+    from grtrace.sharding.mesh import make_mesh, render_kerr_sharded
+
+    size, steps, delta, spin, g_reg = 16, 1200, 0.05, 0.8, 0.25
+    rng = np.random.default_rng(5)
+    bg = rng.integers(0, 255, (size, size, 3), dtype=np.uint8)
+
+    mesh = make_mesh(2, 4)
+    f64 = jnp.float64
+    out = render_kerr_sharded(
+        mesh, jnp.asarray(bg), jnp.full(2, 30.0, jnp.float64),
+        f64(np.radians(80.0)), f64(1.0), f64(spin), f64(31.0), steps,
+        f64(delta), f64(1.0), f64(np.pi / 2),
+        jnp.full(2, np.pi, jnp.float64), f64(np.pi), f64(2 * np.pi),
+        height=size, width=size, dtype=jnp.float64, charge=g_reg,
+        metric="RotatingBardeen")
+    assert out["image"].shape == (2, size, size, 3)
+
+    scene = SceneConfig(
+        size=size, fov_deg=80.0, observer_distance=30.0,
+        boundary_radius=31.0, metric="rotating-bardeen", spin=spin,
+        metric_param=g_reg,
+        integrator=IntegratorConfig(steps=steps, delta=delta, omega=1.0,
+                                    backend="xla", dtype="float64"),
+        patch=PatchConfig(), n_samples=0)
+    res = render(scene, bg_array=bg)
+    assert (np.asarray(out["cls"][0]) == np.asarray(res.cls)).all()
+    assert (np.asarray(out["image"][0]) == np.asarray(res.image)).all()
