@@ -26,6 +26,14 @@ def main(argv=None):
     p = argparse.ArgumentParser(description="black-hole shadow analysis")
     p.add_argument('--spin', type=float, default=0.0)
     p.add_argument('--charge', type=float, default=0.0)
+    p.add_argument('--metric', type=str, default='kerr',
+                   choices=('kerr', 'rotating-bardeen', 'rotating-hayward'),
+                   help='Kerr-Newman (closed-form Bardeen curve) or a '
+                        'rotating regular family (the exact conserved-'
+                        'quantity predicate curve; --metric-param = g/l)')
+    p.add_argument('--metric-param', type=float, default=0.0,
+                   help='regular charge g (rotating-bardeen) / core '
+                        'length l (rotating-hayward)')
     p.add_argument('--azimuths', type=int, default=64)
     p.add_argument('--render', action='store_true',
                    help='render the scene and write the critical-curve '
@@ -48,19 +56,36 @@ def main(argv=None):
     from . import driver_startup
     driver_startup()
 
-    if args.spin ** 2 + args.charge ** 2 > 1.0:
+    if args.metric == 'kerr' and args.spin ** 2 + args.charge ** 2 > 1.0:
         raise SystemExit("naked singularity: need a^2 + Q^2 <= M^2")
+    if args.metric != 'kerr' and args.charge:
+        raise SystemExit("--charge is Kerr-Newman-only; rotating regular "
+                         "families take --metric-param")
 
     import numpy as np
 
-    from ..engine.shadow import (analytic_boundary, numeric_boundary,
-                                 overlay_png, px_to_alpha_deg,
-                                 shadow_metrics)
+    from ..engine.shadow import (analytic_boundary,
+                                 analytic_boundary_rotating,
+                                 numeric_boundary, overlay_png,
+                                 px_to_alpha_deg, shadow_metrics)
 
+    rotating = {'rotating-bardeen': 'RotatingBardeen',
+                'rotating-hayward': 'RotatingHayward'}.get(args.metric)
     os.makedirs(args.out_dir, exist_ok=True)
-    psis, rho = analytic_boundary(args.spin, args.charge, args.azimuths)
+    if rotating:
+        psis, rho = analytic_boundary_rotating(
+            args.spin, args.metric_param, rotating, args.azimuths)
+        if not np.isfinite(rho).all():
+            raise SystemExit(
+                f"{args.metric} at (a, p) = ({args.spin:g}, "
+                f"{args.metric_param:g}) is horizonless — no shadow "
+                "boundary to extract")
+    else:
+        psis, rho = analytic_boundary(args.spin, args.charge,
+                                      args.azimuths)
     metrics = shadow_metrics(psis, rho)
     metrics |= {"spin": args.spin, "charge": args.charge,
+                "metric": args.metric, "metric_param": args.metric_param,
                 "azimuths": args.azimuths}
 
     alpha_deg = px_to_alpha_deg(rho)
@@ -69,11 +94,19 @@ def main(argv=None):
 
     if args.numeric:
         npsis, nrho, bracket = numeric_boundary(
-            args.spin, args.charge, n_psi=args.numeric_azimuths,
+            args.spin,
+            args.metric_param if rotating else args.charge,
+            n_psi=args.numeric_azimuths,
             steps=args.steps, delta=args.delta, order=args.order,
-            backend=args.backend)
-        _, ana_at_n = analytic_boundary(args.spin, args.charge,
-                                        args.numeric_azimuths)
+            backend=args.backend,
+            metric=rotating or "KerrSchild")
+        if rotating:
+            _, ana_at_n = analytic_boundary_rotating(
+                args.spin, args.metric_param, rotating,
+                args.numeric_azimuths)
+        else:
+            _, ana_at_n = analytic_boundary(args.spin, args.charge,
+                                            args.numeric_azimuths)
         err = np.abs(nrho - ana_at_n)
         metrics |= {
             "numeric_px_err_max": float(err.max()),
@@ -98,8 +131,12 @@ def main(argv=None):
         from .. import IntegratorConfig, PatchConfig, SceneConfig, render
         from ..io import textures
         scene = SceneConfig(
-            size=args.size, metric='kerr' if (args.spin or args.charge)
-            else 'schwarzschild', spin=args.spin, charge=args.charge,
+            size=args.size,
+            metric=args.metric if rotating
+            else ('kerr' if (args.spin or args.charge)
+                  else 'Schwarzschild'),
+            spin=args.spin, charge=args.charge,
+            metric_param=args.metric_param,
             n_samples=0,
             integrator=IntegratorConfig(steps=args.steps,
                                         delta=args.delta,
@@ -108,9 +145,12 @@ def main(argv=None):
             patch=PatchConfig())
         res = render(scene,
                      bg_array=textures.starfield(args.size, args.size))
+        title = (f"{args.metric} a = {args.spin:g}, "
+                 f"p = {args.metric_param:g}" if rotating
+                 else f"a = {args.spin:g}, Q = {args.charge:g}")
         overlay_png(res, psis, rho,
                     os.path.join(args.out_dir, "shadow_overlay.png"),
-                    title=f"a = {args.spin:g}, Q = {args.charge:g}")
+                    title=title)
 
     print(f"shadow: mean diameter {metrics['mean_diameter_px']:.3f} px "
           f"({2 * metrics['mean_radius_deg']:.3f} deg), centroid shift "

@@ -56,6 +56,50 @@ def analytic_boundary(spin, charge=0.0, n_psi=64, rounds=6):
     return psis, rho
 
 
+def analytic_boundary_rotating(spin, p1, metric="RotatingBardeen",
+                               n_psi=64, rounds=6):
+    """(psis, rho_px): the EXACT critical curve of a rotating regular
+    family, by radial bisection of the conserved-quantity escape
+    predicate (physics.rotating_regular.escape_pred_rotating) evaluated
+    on real camera rays — no closed form exists for these metrics, but
+    the Hamilton-Jacobi separation makes the per-ray predicate exact, so
+    this is still milliseconds of host work and zero tracing (the same
+    design as the Kerr-Newman analytic_boundary, with the golden-section
+    min-R test replacing the Bardeen quartic).  Returns NaN radii when
+    the (a, p1) point is horizonless (no shadow to bound)."""
+    import jax.numpy as jnp
+
+    from ..physics.camera import cartesian_ics_from_pixels
+    from ..physics.rotating_regular import escape_pred_rotating
+    from ..physics.spacetime import METRICS
+    from .validate import _pixel_positions
+
+    psis = np.linspace(0.0, 2.0 * np.pi, n_psi, endpoint=False)
+    params = jnp.asarray([1.0, spin, p1], jnp.float64)
+
+    from ..physics.rotating_regular import rotating_horizon
+    if not np.isfinite(float(rotating_horizon(metric, params))):
+        # horizonless super-critical point: the predicate reports escape
+        # everywhere (nothing is captured), so there is no boundary to
+        # bisect — NaN radii, decided BEFORE the bisection would trip on
+        # its bracket check
+        return psis, np.full(n_psi, np.nan)
+
+    def escape(rhos):
+        pix = jnp.asarray(_pixel_positions(rhos, psis[:, None]),
+                          jnp.float64)
+        q0, p0, _ = cartesian_ics_from_pixels(
+            jnp.asarray([30.0, 0.0, 0.0], jnp.float64), pix,
+            params=params, g_inv_fn=METRICS[metric])
+        pred = escape_pred_rotating(metric, q0.reshape(-1, 4),
+                                    p0.reshape(-1, 4), params)
+        return np.asarray(pred).reshape(rhos.shape)
+
+    rho, _ = bisect_boundary(escape, 2.0, 40.0, rounds=rounds,
+                             n_psi=n_psi)
+    return psis, rho
+
+
 def shadow_metrics(psis, rho_px):
     """Standard shape observables from a boundary curve (pixel units).
 
@@ -95,15 +139,18 @@ def shadow_metrics(psis, rho_px):
 
 
 def numeric_boundary(spin, charge=0.0, n_psi=16, steps=8_000, delta=0.02,
-                     order=4, backend="auto", dtype=None, rounds=3):
+                     order=4, backend="auto", dtype=None, rounds=3,
+                     metric="KerrSchild"):
     """(psis, rho_px, bracket): the REAL integrator's shadow boundary at
     n_psi azimuths (the production compensated f32 Kerr-Schild path on
     TPU, its XLA twin elsewhere) — engine.validate.kerr_shadow_errors
-    generalized to an arbitrary azimuth fan."""
+    generalized to an arbitrary azimuth fan.  For the rotating regular
+    families (`metric`, with the family parameter in `charge`'s slot)
+    the fan rides the generic autodiff engine."""
     import jax.numpy as jnp
 
     from ..physics.camera import cartesian_ics_from_pixels
-    from ..physics.spacetime import kerr_schild_g_inv
+    from ..physics.spacetime import METRICS
     from .integrate import STATUS_ESCAPED, resolve_backend
     from .validate import BOUNDARY, _pixel_positions
 
@@ -112,15 +159,22 @@ def numeric_boundary(spin, charge=0.0, n_psi=16, steps=8_000, delta=0.02,
     psis = np.linspace(0.0, 2.0 * np.pi, n_psi, endpoint=False)
     params = jnp.asarray([1.0, spin, charge], dtype)
     backend = resolve_backend(backend)
+    g_inv_fn = METRICS[metric]
 
     def escape(rhos):
         pix = jnp.asarray(_pixel_positions(rhos, psis[:, None]), dtype)
         q0, p0, _ = cartesian_ics_from_pixels(
             jnp.asarray([30.0, 0.0, 0.0], dtype), pix, params=params,
-            g_inv_fn=kerr_schild_g_inv)
+            g_inv_fn=g_inv_fn)
         q0 = q0.reshape(-1, 4)
         p0 = p0.reshape(-1, 4)
-        if backend == "xla":
+        if metric != "KerrSchild":
+            from .integrate_generic import integrate_batch_generic
+            _, _, status, _ = integrate_batch_generic(
+                q0, p0, steps, jnp.asarray(delta, dtype), params,
+                jnp.asarray(BOUNDARY, dtype), jnp.asarray(1.0, dtype),
+                order=order, metric=metric)
+        elif backend == "xla":
             from .integrate_ks import integrate_batch_ksc
             _, _, status, _ = integrate_batch_ksc(
                 q0, p0, steps, jnp.asarray(delta, dtype), params,

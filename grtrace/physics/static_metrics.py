@@ -240,3 +240,32 @@ def static_capture_radius(metric, params):
     only guards the r = 0 coordinate center)."""
     r_h = outer_horizon(STATIC_F[metric], params)
     return jnp.where(jnp.isnan(r_h), 1e-2 * params[0], 1.1 * r_h)
+
+
+def lyapunov_static(f_fn, params, **kw):
+    """Lyapunov exponent gamma of the unstable circular photon orbit, per
+    RADIAN of azimuthal winding — the photon-ring demagnification rate:
+    consecutive image orders (half-orbits) dim by e^(pi gamma).
+
+    With u = 1/r the orbital equation is (du/dphi)^2 = P(u) =
+    1/b_c^2 - u^2 f(1/u); at the unstable orbit P = P' = 0 and
+    perturbations grow as e^(gamma phi) with gamma = sqrt(P''(u_ph)/2),
+    computed here by AUTODIFF of the same lapse everything else uses.
+
+    Exact facts pinned in tests/test_static_disk.py: Schwarzschild gives
+    gamma = 1 exactly (P'' = -2 + 12 M u = 2 at u = 1/3M — the classic
+    e^pi ~ 23x per-order dimming), and Kottler's gamma is
+    Lambda-INDEPENDENT (u^2 f = u^2 - 2 M u^3 - Lambda/3: the
+    cosmological term is a constant in u, invisible to P'').  The
+    regular families wind faster (smaller gamma -> brighter subrings) as
+    the deformation grows — a photon-ring observable of the core.
+    """
+    r_ph = photon_sphere(f_fn, params, **kw)
+    b_c = b_critical(f_fn, params, **kw)
+    u_ph = 1.0 / r_ph
+
+    def p_of_u(u):
+        return 1.0 / (b_c * b_c) - u * u * f_fn(1.0 / u, params)
+
+    p2 = jax.grad(jax.grad(p_of_u))(u_ph)
+    return jnp.sqrt(jnp.maximum(0.5 * p2, 0.0))

@@ -260,3 +260,38 @@ def test_cli_scene_roundtrip():
     # plain kerr still rejects a spin above M (unchanged behavior)
     with pytest.raises(SystemExit):
         scene_from_args(parse_args(["--metric", "kerr", "--spin", "1.2"]))
+
+
+def test_rotating_boundary_matches_kerr_curve_at_zero_param():
+    """The predicate-based critical curve reduces to the closed-form
+    Bardeen curve at zero deformation (different bisection brackets, so
+    agreement to the sub-pixel bisection resolution)."""
+    from grtrace.engine.shadow import (analytic_boundary,
+                                       analytic_boundary_rotating)
+
+    _, rho_kerr = analytic_boundary(0.9, 0.0, n_psi=16, rounds=8)
+    _, rho_rot = analytic_boundary_rotating(0.9, 0.0, "RotatingBardeen",
+                                            n_psi=16, rounds=8)
+    np.testing.assert_allclose(rho_rot, rho_kerr, atol=0.05)
+
+
+def test_shadow_cli_rotating_family(tmp_path):
+    """Shadow analysis for a spinning regular hole: the D-shaped curve
+    survives (finite circularity deviation), the mean radius shrinks
+    against Kerr at the same spin, and horizonless points are refused."""
+    from grtrace.cli.shadow import main
+
+    m_rot = main(["--metric", "rotating-bardeen", "--spin", "0.9",
+                  "--metric-param", "0.26", "--azimuths", "32",
+                  "--out-dir", str(tmp_path / "rot")])
+    m_kerr = main(["--spin", "0.9", "--azimuths", "32",
+                   "--out-dir", str(tmp_path / "kerr")])
+    assert m_rot["mean_radius_px"] < m_kerr["mean_radius_px"]
+    assert m_rot["circularity_deviation"] > 0.005   # still D-shaped
+    import os
+    assert os.path.exists(str(tmp_path / "rot" / "shadow_boundary.csv"))
+
+    with pytest.raises(SystemExit, match="horizonless"):
+        main(["--metric", "rotating-bardeen", "--spin", "0.9",
+              "--metric-param", "0.4", "--azimuths", "8",
+              "--out-dir", str(tmp_path / "bad")])

@@ -431,3 +431,38 @@ def test_qpo_cli_static_family(tmp_path):
     import os
     assert os.path.exists(os.path.join(str(tmp_path),
                                        "qpo_frequencies.csv"))
+
+
+def test_lyapunov_static_closed_forms():
+    """Photon-ring demagnification theory for the static families:
+    Schwarzschild gamma = 1 exactly; Kottler gamma is Lambda-independent
+    (the cosmological term is constant in u = 1/r); the regular cores
+    LOWER gamma (brighter subrings); SciPy finite differences of the
+    hand-derived P(u) confirm the autodiff value."""
+    from grtrace.physics.static_metrics import (b_critical, lyapunov_static,
+                                                photon_sphere)
+
+    p0 = jnp.array([M, 0.0, 0.0])
+    assert float(lyapunov_static(kottler_f, p0)) == pytest.approx(
+        1.0, abs=1e-9)
+    # Lambda-independence, to roundoff
+    for lam in (1e-4, 1e-3):
+        g = float(lyapunov_static(kottler_f, jnp.array([M, lam, 0.0])))
+        assert g == pytest.approx(1.0, abs=1e-7)
+    # regular cores wind tighter: gamma drops with the deformation
+    g_b = float(lyapunov_static(bardeen_f, jnp.array([M, 0.5, 0.0])))
+    g_h = float(lyapunov_static(hayward_f, jnp.array([M, 0.65, 0.0])))
+    assert g_b < 1.0 and g_h < 1.0
+    # independent finite-difference oracle on the hand-derived P(u)
+    f, _ = _NP_F["Bardeen"]
+    pj = jnp.array([M, 0.5, 0.0])
+    r_ph = float(photon_sphere(bardeen_f, pj))
+    b_c = float(b_critical(bardeen_f, pj))
+    u = 1.0 / r_ph
+    h = 1e-5
+
+    def P(uu):
+        return 1.0 / b_c ** 2 - uu ** 2 * f(1.0 / uu, 0.5)
+
+    p2_fd = (P(u + h) - 2 * P(u) + P(u - h)) / h ** 2
+    assert g_b == pytest.approx(np.sqrt(p2_fd / 2), rel=1e-5)
