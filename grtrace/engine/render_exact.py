@@ -38,6 +38,7 @@ simulation/raytracing.py renders background lensing only).
 from __future__ import annotations
 
 import jax
+from functools import partial
 import jax.numpy as jnp
 import numpy as np
 
@@ -220,3 +221,101 @@ def render_disk_exact(scene, disk: DiskConfig = None, *, n_orders=3):
     out["image_u8"] = (np.clip(img, 0.0, 1.0) * 255).astype(np.uint8)
     out["shape"] = hw
     return out
+
+
+@partial(jax.jit,
+         static_argnames=("height", "width", "flip_theta", "flip_phi",
+                          "has_background", "metric", "dtype"))
+def render_pixels_background_exact_static(bg_array, obs_x, fov, mass,
+                                          metric_param, boundary_radius,
+                                          patch_center_theta,
+                                          patch_center_phi,
+                                          patch_size_theta,
+                                          patch_size_phi,
+                                          *, height, width,
+                                          flip_theta=False,
+                                          flip_phi=False,
+                                          has_background=True,
+                                          metric="Bardeen",
+                                          dtype=jnp.float64):
+    """Background-lensing render of a STATIC beyond-Kerr family with NO
+    integration — the exact twin of render_pixels_generic's folded
+    branch.  Capture/escape is the closed predicate b vs b_critical;
+    every escape azimuth comes from the planar quadrature
+    (physics/static_exact): exit sweep = 2 phi_periapsis + the leg from
+    the observer radius out to the boundary sphere.  'in_domain' and
+    'numerical error' cannot occur; the shadow boundary is analytic at
+    any resolution.
+    """
+    from ..physics.camera import camera_rays_folded_static
+    from ..physics.static_exact import _phi_leg, turning_point_static
+    from ..physics.static_metrics import (STATIC_F, b_critical,
+                                          static_capture_radius)
+    from . import classify as _classify
+
+    f_fn = STATIC_F[metric]
+    params = jnp.stack([jnp.asarray(mass, dtype),
+                        jnp.asarray(metric_param, dtype),
+                        jnp.zeros((), dtype)])
+    obs_x = jnp.asarray(obs_x, dtype)
+    obs_pos = jnp.stack([obs_x, jnp.zeros_like(obs_x),
+                         jnp.zeros_like(obs_x)])
+    q0, p0, alpha0, beta = camera_rays_folded_static(
+        obs_pos, fov, height, width, params=params,
+        g_inv_fn=METRICS[metric], dtype=dtype)
+    n = height * width
+    p0f = p0.reshape(n, 4)
+    # |b| = |L/E| as a ratio of covector components — sign-proof against
+    # the backward-ray convention (the folded camera stores p_t > 0)
+    b = jnp.abs(p0f[:, 3] / p0f[:, 0])
+    b_c = b_critical(f_fn, params)
+    escaped = b > b_c
+
+    u_obs = 1.0 / obs_x
+    u_bnd = 1.0 / jnp.asarray(boundary_radius, dtype)
+    b_safe = jnp.where(escaped, b, 2.0 * b_c)   # keep quadratures finite
+
+    def exit_sweep(bi):
+        u_t = turning_point_static(bi, f_fn, params, u_obs, 1.0)
+        phi_t = _phi_leg(u_obs, u_t, u_t, bi, f_fn, params)
+        leg_out = _phi_leg(u_bnd, u_obs, u_t, bi, f_fn, params)
+        return 2.0 * phi_t + leg_out
+
+    sweep = jax.vmap(exit_sweep)(b_safe)
+    phi_exit = jnp.sign(p0f[:, 3]) * sweep
+
+    rho = jnp.asarray(boundary_radius, dtype)
+    final_q = jnp.stack([
+        jnp.zeros_like(phi_exit),
+        jnp.where(escaped, rho, 0.0),
+        jnp.full_like(phi_exit, 0.5 * jnp.pi),
+        jnp.where(escaped, phi_exit, 0.0),
+    ], axis=-1).reshape(height, width, 4)
+
+    r_plus = static_capture_radius(metric, params) / 1.1
+    rs_classify = (1.1 / 1.2) * r_plus
+    cls, th_csv, ph_csv, u01, v01 = _classify.classify_rays(
+        final_q, jnp.full((height, width), jnp.pi, dtype), beta,
+        rs=rs_classify, r_obs_x=obs_x, boundary_radius=boundary_radius,
+        patch_center_theta=patch_center_theta,
+        patch_center_phi=patch_center_phi,
+        patch_size_theta=patch_size_theta,
+        patch_size_phi=patch_size_phi,
+        flip_theta=flip_theta, flip_phi=flip_phi,
+        has_background=has_background)
+    image = _classify.composite(
+        cls, u01, v01, bg_array if has_background
+        else jnp.zeros((1, 1, 3), dtype=jnp.uint8))
+    count_vec = jnp.stack([
+        jnp.sum(cls == _classify.CLS_BH),
+        jnp.sum(cls == _classify.CLS_IN_DOMAIN),
+        jnp.sum((cls == _classify.CLS_ESCAPE_NO_PATCH)
+                | (cls == _classify.CLS_ESCAPE_BG)),
+        jnp.sum(cls == _classify.CLS_ESCAPE_BG),
+        jnp.sum(cls == _classify.CLS_NUMERICAL),
+    ])
+    status = jnp.where(escaped, 2, 1).reshape(height, width)
+    return {"image": image, "cls": cls, "final_q": final_q,
+            "final_th": th_csv, "final_ph": ph_csv, "q0": q0, "p0": p0,
+            "alpha0": alpha0, "beta": beta, "status": status,
+            "count_vec": count_vec}

@@ -163,10 +163,10 @@ def disk_crossing_exact(p0, beta, elevation, metric, params, r_obs, k=0):
     from .static_metrics import STATIC_F
     f_fn = STATIC_F[metric]
 
-    # b = L/E from the Killing charges E = -p_t, L = p_phi (the camera's
-    # affine gauge cancels in the ratio)
-    energy = -p0[0]
-    b = jnp.abs(p0[3]) / energy
+    # |b| = |L/E| as a ratio of covector components — sign-proof against
+    # the backward-ray convention (the folded camera stores p_t > 0; the
+    # radial potential is even in b anyway)
+    b = jnp.abs(p0[3] / p0[0])
 
     c1 = jnp.sin(elevation)
     c2 = jnp.sin(beta) * jnp.cos(elevation)

@@ -142,3 +142,58 @@ def test_u_at_phi_roundtrip():
     # beyond the total sweep: NaN
     u = u_at_phi_static(jnp.asarray(2.1 * phi_t), b, bardeen_f, p, R_OBS)
     assert np.isnan(float(u))
+
+
+def test_exact_static_render_matches_integrator():
+    """Full-frame oracle: the stepping-free static render agrees with
+    the FANTASY folded render pixel-for-pixel away from the shadow
+    boundary (where the integrator's finite delta owns the error), and
+    the escape azimuths match to the boundary-overshoot tolerance."""
+    from grtrace.engine.render import render
+    from grtrace.engine.render_exact import (
+        render_pixels_background_exact_static)
+    from grtrace.io.scene import IntegratorConfig, PatchConfig, SceneConfig
+
+    size = 32
+    rng = np.random.default_rng(11)
+    bg = rng.integers(0, 255, (size, size, 3), dtype=np.uint8)
+    p1 = 0.5
+
+    out = render_pixels_background_exact_static(
+        jnp.asarray(bg), jnp.asarray(30.0, jnp.float64),
+        jnp.asarray(np.radians(80.0), jnp.float64),
+        jnp.asarray(1.0, jnp.float64), jnp.asarray(p1, jnp.float64),
+        jnp.asarray(31.0, jnp.float64),
+        jnp.asarray(np.pi / 2, jnp.float64),
+        jnp.asarray(np.pi, jnp.float64),
+        jnp.asarray(np.pi, jnp.float64),
+        jnp.asarray(2 * np.pi, jnp.float64),
+        height=size, width=size, metric="Bardeen")
+
+    scene = SceneConfig(size=size, fov_deg=80.0, metric="bardeen",
+                        metric_param=p1, n_samples=0,
+                        integrator=IntegratorConfig(steps=30000,
+                                                    delta=0.02,
+                                                    dtype="float64",
+                                                    order=4),
+                        patch=PatchConfig())
+    res = render(scene, bg_array=bg)
+
+    cls_exact = np.asarray(out["cls"])
+    cls_num = np.asarray(res.cls)
+    # no step budget, no guards: these classes cannot occur
+    assert not (cls_exact == 1).any() and not (cls_exact == 4).any()
+    mismatch = (cls_exact != cls_num).mean()
+    assert mismatch < 0.02, f"cls mismatch {mismatch:.1%}"
+
+    # matched escaped pixels: the classifier azimuths agree to the
+    # integrator's one-step boundary overshoot (~5e-3 rad at delta=0.02)
+    esc = (np.asarray(out["status"]) == 2) & (np.asarray(res.status) == 2)
+    ph_e = np.asarray(out["final_ph"])[esc]
+    ph_n = np.asarray(res.final_ph)[esc]
+    dph = np.abs(np.angle(np.exp(1j * (ph_e - ph_n))))
+    assert np.median(dph) < 2e-3
+    assert np.quantile(dph, 0.95) < 2e-2
+    # photon summary counts agree to the boundary-pixel flicker
+    cv = np.asarray(out["count_vec"])
+    assert abs(int(cv[0]) - res.counts["captured"]) <= 3
