@@ -65,7 +65,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument('--metric', type=str, default='schwarzschild',
                    choices=['schwarzschild', 'kerr', 'kerr-bl',
                             'kottler', 'bardeen', 'hayward',
-                            'rotating-bardeen', 'rotating-hayward'],
+                            'rotating-bardeen', 'rotating-hayward',
+                            'kerr-ds'],
                    help='Spacetime metric (beyond the reference, which is '
                         'Schwarzschild-only).  kerr = horizon-penetrating '
                         'Kerr-Schild chart (best numerics); kerr-bl = '
@@ -210,11 +211,30 @@ def scene_from_args(args) -> SceneConfig:
     omega = args.omega if args.fix_omega else 1.0
     static_metrics = ('kottler', 'bardeen', 'hayward')
     rotating_regular = ('rotating-bardeen', 'rotating-hayward')
-    if args.spin and args.metric not in ('kerr', 'kerr-bl') + \
+    if args.spin and args.metric not in ('kerr', 'kerr-bl', 'kerr-ds') + \
             rotating_regular:
-        raise SystemExit("--spin requires --metric kerr, kerr-bl, or a "
-                         "rotating regular family")
-    if args.metric in rotating_regular:
+        raise SystemExit("--spin requires --metric kerr, kerr-bl, "
+                         "kerr-ds, or a rotating regular family")
+    if args.metric == 'kerr-ds':
+        if args.charge:
+            raise SystemExit(
+                "--charge applies to the Kerr-Newman family only; "
+                "kerr-ds takes --metric-param (Lambda)")
+        if args.metric_param < 0:
+            raise SystemExit("--metric-param (Lambda) must be >= 0")
+        if not abs(args.spin) < args.bh_mass:
+            raise SystemExit("kerr-ds needs |a| < M")
+        if args.metric_param > 0:
+            # same freeze constraint as Kottler: the static coordinates
+            # explode at the cosmological horizon; the vacuum bound
+            # sqrt(3/Lambda) overestimates r_c by up to ~M, demand margin
+            if args.boundary_radius >= 0.9 * np.sqrt(
+                    3.0 / args.metric_param):
+                raise SystemExit(
+                    "kerr-ds: the escape boundary must sit well inside "
+                    "the cosmological horizon — need boundary_radius < "
+                    "0.9 sqrt(3/Lambda)")
+    elif args.metric in rotating_regular:
         if args.charge:
             raise SystemExit(
                 "--charge applies to the Kerr-Newman family only; the "
@@ -265,7 +285,8 @@ def scene_from_args(args) -> SceneConfig:
               'kerr-bl': 'kerr-bl', 'kottler': 'kottler',
               'bardeen': 'bardeen', 'hayward': 'hayward',
               'rotating-bardeen': 'rotating-bardeen',
-              'rotating-hayward': 'rotating-hayward'}[args.metric]
+              'rotating-hayward': 'rotating-hayward',
+              'kerr-ds': 'kerr-ds'}[args.metric]
     return SceneConfig(
         size=args.size,
         fov_deg=args.fov,

@@ -50,6 +50,10 @@ def _capture_radius(metric, params):
         # Delta-root, or the horizonless floor (rotating_regular)
         from ..physics.rotating_regular import rotating_capture_radius
         return rotating_capture_radius(metric, params)
+    if metric == "KerrDS":
+        # BL-like chart: 1.1 over the bisected Delta_r root
+        from ..physics.kerr_de_sitter import kds_capture_radius
+        return kds_capture_radius(params)
     return 1.1 * horizon_radius("Schwarzschild", params[0])
 
 
@@ -280,6 +284,17 @@ def integrate_batch_generic(q0s, p0s, steps, delta, params, r_max, omega,
         pred = escape_pred_rotating(metric, q0s, p0s, params)
         return apply_bardeen_rescue(
             q1, p1, ns, q2[:, 1:], q0s, p0s, params[0], params[1],
+            _charge(params), r_cap, r_max, pred=pred)
+    if metric == "KerrDS":
+        # Kerr-de Sitter separates too: exact rescue on the BL-like
+        # chart (settles the polar-stripe explosions identically to
+        # kerr-bl; reduces to the quartic predicate at Lambda = 0)
+        from ..physics.kerr_de_sitter import kds_escape_pred
+        from ..physics.spacetime import _charge
+        from .integrate_ks import apply_bardeen_rescue_bl
+        pred = kds_escape_pred(q0s, p0s, params)
+        return apply_bardeen_rescue_bl(
+            q1, p1, ns, q2, q0s, p0s, params[0], params[1],
             _charge(params), r_cap, r_max, pred=pred)
 
     ns = jnp.abs(ns)

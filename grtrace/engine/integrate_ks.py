@@ -374,7 +374,8 @@ def _bardeen_min_R(E, L, Q, r0_bl, mass, a, charge):
 
 
 def apply_bardeen_rescue_bl(final_q, final_p, n_steps_signed, q2,
-                            q0s, p0s, mass, a, charge, r_cap, r_max):
+                            q0s, p0s, mass, a, charge, r_cap, r_max,
+                            pred=None):
     """Boyer-Lindquist-chart twin of apply_bardeen_rescue: same exact
     reclassification of guard-parked rays (incl. the BL polar-stripe
     explosions, which previously surfaced as 'numerical error' pixels),
@@ -383,7 +384,10 @@ def apply_bardeen_rescue_bl(final_q, final_p, n_steps_signed, q2,
     at radius 1.001 r_max; a rescued capture parks at 0.99 r_cap."""
     parked = n_steps_signed < 0
     n_steps = jnp.abs(n_steps_signed)
-    pred = bardeen_escape_pred_bl(q0s, p0s, mass, a, charge)
+    if pred is None:
+        pred = bardeen_escape_pred_bl(q0s, p0s, mass, a, charge)
+    # else: caller-supplied exact predicate (Kerr-de Sitter passes
+    # physics.kerr_de_sitter.kds_escape_pred — same park semantics)
 
     esc_r = parked & pred
     cap_r = parked & ~pred

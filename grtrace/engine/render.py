@@ -216,6 +216,16 @@ def render(scene: SceneConfig, *, bg_array=None, n_samples=None, seed=0,
             seed=seed, metrics=metrics,
             charge=float(getattr(scene, "metric_param", 0.0)),
             aa_samples=aa_samples)
+    if scene_metric in ("kerr-ds", "kerrds", "kerr-de-sitter"):
+        # Kerr-de Sitter: spin + Lambda on the BL-like chart
+        # (physics/kerr_de_sitter.py; Lambda rides the third params slot)
+        from .render_generic import render_generic
+        return render_generic(
+            scene, spin=scene.spin, metric="KerrDS",
+            bg_array=bg_array, dtype=dtype, n_samples=n_samples,
+            seed=seed, metrics=metrics,
+            charge=float(getattr(scene, "metric_param", 0.0)),
+            aa_samples=aa_samples)
     static_names = {"kottler": "Kottler", "sds": "Kottler",
                     "bardeen": "Bardeen", "hayward": "Hayward"}
     if scene_metric in static_names:

@@ -120,6 +120,9 @@ def render_pixels_generic(bg_array, obs_x, fov, mass, spin, boundary_radius,
         # 1.05-shell over the bisected Delta-root (or horizonless floor)
         from ..physics.rotating_regular import rotating_capture_radius
         r_plus = rotating_capture_radius(metric, params) / 1.05
+    elif metric == "KerrDS":
+        from ..physics.kerr_de_sitter import kds_capture_radius
+        r_plus = kds_capture_radius(params) / 1.1
     else:
         r_plus = horizon_radius(
             "Kerr" if metric != "Schwarzschild" else metric,

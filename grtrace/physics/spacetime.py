@@ -139,6 +139,8 @@ def kerr_schild_g_inv(q, params):
     return eta - 2.0 * H * jnp.outer(l_up, l_up)
 
 
+from .kerr_de_sitter import (kds_outer_horizon,  # noqa: E402
+                             kerr_de_sitter_g_inv)
 from .rotating_regular import (rotating_bardeen_g_inv,  # noqa: E402
                                rotating_hayward_g_inv, rotating_horizon)
 from .static_metrics import (STATIC_F, bardeen_g_inv,  # noqa: E402
@@ -157,6 +159,9 @@ METRICS = {
     # with a mass function; params = (M, a, g-or-l)
     "RotatingBardeen": rotating_bardeen_g_inv,
     "RotatingHayward": rotating_hayward_g_inv,
+    # Kerr-de Sitter (physics/kerr_de_sitter.py): spin + cosmological
+    # constant; params = (M, a, Lambda)
+    "KerrDS": kerr_de_sitter_g_inv,
 }
 
 # coordinate chart per metric: 'spherical' q = (t, r, th, ph),
@@ -170,6 +175,7 @@ COORDS = {
     "Hayward": "spherical",
     "RotatingBardeen": "cartesian",
     "RotatingHayward": "cartesian",
+    "KerrDS": "spherical",
 }
 
 
@@ -196,6 +202,11 @@ def horizon_radius(metric: str, mass, a=0.0, q=0.0):
         return rotating_horizon(
             metric, jnp.stack([jnp.asarray(mass), jnp.asarray(a),
                                jnp.asarray(q)]))
+    if metric == "KerrDS":
+        # a = spin, q = Lambda
+        return kds_outer_horizon(
+            jnp.stack([jnp.asarray(mass), jnp.asarray(a),
+                       jnp.asarray(q)]))
     raise KeyError(metric)
 
 

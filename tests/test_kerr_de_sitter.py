@@ -1,0 +1,147 @@
+"""Kerr-de Sitter: spin + cosmological constant.
+
+physics/kerr_de_sitter.py plugs the Carter solution into the generic
+autodiff engine with one g_inv.  Oracles, all independent:
+
+  * exact limits: Lambda -> 0 == spacetime.kerr_g_inv component-for-
+    component; a -> 0 == static_metrics.kottler_g_inv;
+  * horizons vs np.roots of the Delta_r quartic;
+  * the full render at Lambda = 0 must equal the kerr-bl render
+    EXACTLY (same chart, same engine, and the KdS conserved-quantity
+    rescue reduces to the Kerr quartic predicate);
+  * the Kottler shadow phenomenology survives rotation: Lambda shrinks
+    the static observer's apparent shadow (sin(alpha) carries
+    sqrt(f(r_obs))).
+
+No reference counterpart (Schwarzschild-only reference).
+"""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from grtrace.engine.render import render
+from grtrace.io.scene import IntegratorConfig, SceneConfig
+from grtrace.physics import kerr_de_sitter as kds
+from grtrace.physics.spacetime import (COORDS, METRICS, horizon_radius,
+                                       kerr_g_inv)
+from grtrace.physics.static_metrics import kottler_g_inv
+
+M = 1.0
+
+
+def _rand_q(n, seed=2):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(np.stack([
+        rng.uniform(0, 5, n), rng.uniform(2.5, 20, n),
+        rng.uniform(0.3, 2.8, n), rng.uniform(0, 6, n)], axis=1))
+
+
+def test_kerr_limit_exact():
+    p = jnp.array([M, 0.8, 0.0])
+    for q in _rand_q(8):
+        np.testing.assert_allclose(
+            np.asarray(kds.kerr_de_sitter_g_inv(q, p)),
+            np.asarray(kerr_g_inv(q, p)), rtol=1e-12, atol=1e-14)
+
+
+def test_kottler_limit_exact():
+    lam = 1e-3
+    p = jnp.array([M, 0.0, lam])
+    for q in _rand_q(8, seed=4):
+        np.testing.assert_allclose(
+            np.asarray(kds.kerr_de_sitter_g_inv(q, p)),
+            np.asarray(kottler_g_inv(q, jnp.array([M, lam, 0.0]))),
+            rtol=1e-12, atol=1e-14)
+
+
+def test_horizons_vs_quartic_roots():
+    a, lam = 0.8, 1e-3
+    p = jnp.array([M, a, lam])
+    roots = np.roots([-lam / 3, 0.0, 1 - lam * a * a / 3, -2 * M, a * a])
+    real = np.sort([r.real for r in roots
+                    if abs(r.imag) < 1e-10 and r.real > 0])
+    assert len(real) == 3           # r_-, r_+, r_c
+    assert float(kds.kds_outer_horizon(p)) == pytest.approx(real[1],
+                                                            abs=1e-6)
+    assert float(kds.kds_cosmological_horizon(p)) == pytest.approx(
+        real[2], abs=1e-6)
+    # registry dispatch
+    assert float(horizon_radius("KerrDS", M, a, lam)) == pytest.approx(
+        real[1], abs=1e-6)
+    assert "KerrDS" in METRICS and COORDS["KerrDS"] == "spherical"
+
+
+def test_escape_pred_reduces_to_kerr_quartic():
+    """Lambda = 0: the KdS predicate must agree ray-for-ray with the
+    Kerr-Newman BL quartic predicate on real camera rays."""
+    from grtrace.engine.integrate_ks import bardeen_escape_pred_bl
+    from grtrace.physics.camera import camera_rays_unfolded
+
+    p = jnp.array([M, 0.8, 0.0], jnp.float64)
+    q0, p0, _ = camera_rays_unfolded(
+        jnp.array([30.0, 0.0, 0.0], jnp.float64), jnp.radians(80.0),
+        12, 12, params=p, g_inv_fn=METRICS["KerrDS"], dtype=jnp.float64)
+    q0f, p0f = q0.reshape(-1, 4), p0.reshape(-1, 4)
+    pred_kds = np.asarray(kds.kds_escape_pred(q0f, p0f, p))
+    pred_kerr = np.asarray(bardeen_escape_pred_bl(
+        q0f, p0f, p[0], p[1], jnp.zeros(())))
+    np.testing.assert_array_equal(pred_kds, pred_kerr)
+
+
+def _render(metric, spin, p1, size=32):
+    scene = SceneConfig(size=size, metric=metric, spin=spin,
+                        metric_param=p1, n_samples=0,
+                        integrator=IntegratorConfig(steps=2500, delta=0.05,
+                                                    dtype="float64"))
+    bg = np.full((16, 16, 3), 100, np.uint8)
+    return render(scene, bg_array=bg)
+
+
+def test_render_matches_kerr_bl_at_zero_lambda():
+    """Same chart, same engine, and the rescue reduces exactly: the
+    Lambda = 0 KdS render equals the kerr-bl render pixel-for-pixel."""
+    res_kds = _render("kerr-ds", 0.8, 0.0)
+    scene_bl = SceneConfig(size=32, metric="kerr-bl", spin=0.8,
+                           n_samples=0,
+                           integrator=IntegratorConfig(steps=2500,
+                                                       delta=0.05,
+                                                       dtype="float64"))
+    res_bl = render(scene_bl, bg_array=np.full((16, 16, 3), 100,
+                                               np.uint8))
+    assert res_kds.counts == res_bl.counts
+    assert (np.asarray(res_kds.device("status"))
+            == np.asarray(res_bl.device("status"))).all()
+    assert (res_kds.image == res_bl.image).all()
+
+
+def test_render_lambda_shrinks_apparent_shadow():
+    """The static observer's clock runs slow toward the cosmological
+    horizon: sin(alpha_shadow) carries sqrt(f(r_obs)), so Lambda SHRINKS
+    the apparent shadow at fixed observer radius (the Kottler
+    phenomenology, surviving rotation)."""
+    res_l = _render("kerr-ds", 0.8, 1e-3)
+    res_0 = _render("kerr-ds", 0.8, 0.0)
+    assert res_l.counts["numerical_error"] == 0
+    assert 0 < res_l.counts["captured"] < res_0.counts["captured"]
+
+
+def test_cli_roundtrip_and_validation():
+    from grtrace.cli.args import parse_args, scene_from_args
+
+    scene = scene_from_args(parse_args(
+        ["--metric", "kerr-ds", "--spin", "0.7",
+         "--metric-param", "1e-3"]))
+    assert scene.metric == "kerr-ds"
+    assert scene.spin == 0.7 and scene.metric_param == 1e-3
+
+    with pytest.raises(SystemExit):     # charge is KN-only
+        scene_from_args(parse_args(
+            ["--metric", "kerr-ds", "--charge", "0.3"]))
+    with pytest.raises(SystemExit):     # boundary vs cosmological horizon
+        scene_from_args(parse_args(
+            ["--metric", "kerr-ds", "--spin", "0.5",
+             "--metric-param", "0.01"]))
+    with pytest.raises(SystemExit):     # over-spun
+        scene_from_args(parse_args(
+            ["--metric", "kerr-ds", "--spin", "1.2"]))
