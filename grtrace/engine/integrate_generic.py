@@ -66,7 +66,11 @@ def _domain_tools(metric, params, delta, r_max, dtype, g_inv_fn):
     functions take/return (N, ...) batches.
     """
     cartesian = COORDS[metric] == "cartesian"
-    r_cap = _capture_radius(metric, params)
+    # cast to the ray dtype: the bisected capture radii (static/rotating
+    # families) compute in result_type(float), which is float64 whenever
+    # x64 is enabled even for an f32 render — left uncast it promotes the
+    # guard's park scatter and trips the dtype-promotion FutureWarning
+    r_cap = jnp.asarray(_capture_radius(metric, params), dtype)
 
     def cap_radius(q1):
         """Chart radius used for the capture test."""
