@@ -27,13 +27,16 @@ def main(argv=None):
     p.add_argument('--spin', type=float, default=0.0)
     p.add_argument('--charge', type=float, default=0.0)
     p.add_argument('--metric', type=str, default='kerr',
-                   choices=('kerr', 'rotating-bardeen', 'rotating-hayward'),
-                   help='Kerr-Newman (closed-form Bardeen curve) or a '
-                        'rotating regular family (the exact conserved-'
-                        'quantity predicate curve; --metric-param = g/l)')
+                   choices=('kerr', 'rotating-bardeen', 'rotating-hayward',
+                            'kerr-ds'),
+                   help='Kerr-Newman (closed-form Bardeen curve), a '
+                        'rotating regular family, or Kerr-de Sitter — '
+                        'the beyond-Kerr curves come from the exact '
+                        'conserved-quantity predicates '
+                        '(--metric-param = g/l/Lambda)')
     p.add_argument('--metric-param', type=float, default=0.0,
                    help='regular charge g (rotating-bardeen) / core '
-                        'length l (rotating-hayward)')
+                        'length l (rotating-hayward) / Lambda (kerr-ds)')
     p.add_argument('--azimuths', type=int, default=64)
     p.add_argument('--render', action='store_true',
                    help='render the scene and write the critical-curve '
@@ -65,6 +68,7 @@ def main(argv=None):
     import numpy as np
 
     from ..engine.shadow import (analytic_boundary,
+                                 analytic_boundary_kds,
                                  analytic_boundary_rotating,
                                  numeric_boundary, overlay_png,
                                  px_to_alpha_deg, shadow_metrics)
@@ -80,6 +84,20 @@ def main(argv=None):
                 f"{args.metric} at (a, p) = ({args.spin:g}, "
                 f"{args.metric_param:g}) is horizonless — no shadow "
                 "boundary to extract")
+    elif args.metric == 'kerr-ds':
+        if args.metric_param > 0 and \
+                30.0 >= 0.9 * np.sqrt(3.0 / args.metric_param):
+            raise SystemExit(
+                "kerr-ds shadow: the r_obs = 30 M camera must sit well "
+                "inside the cosmological horizon — need Lambda < "
+                "0.0027/M^2 (0.9 sqrt(3/Lambda) > 30)")
+        psis, rho = analytic_boundary_kds(args.spin, args.metric_param,
+                                          args.azimuths)
+        if not np.isfinite(rho).all():
+            raise SystemExit(
+                f"kerr-ds at (a, Lambda) = ({args.spin:g}, "
+                f"{args.metric_param:g}) has no black-hole horizon — "
+                "no shadow boundary to extract")
     else:
         psis, rho = analytic_boundary(args.spin, args.charge,
                                       args.azimuths)
@@ -92,18 +110,22 @@ def main(argv=None):
     cols = [psis, rho, alpha_deg]
     header = "psi_rad,rho_px,alpha_deg"
 
+    beyond = rotating or ("KerrDS" if args.metric == 'kerr-ds' else None)
     if args.numeric:
         npsis, nrho, bracket = numeric_boundary(
             args.spin,
-            args.metric_param if rotating else args.charge,
+            args.metric_param if beyond else args.charge,
             n_psi=args.numeric_azimuths,
             steps=args.steps, delta=args.delta, order=args.order,
             backend=args.backend,
-            metric=rotating or "KerrSchild")
+            metric=beyond or "KerrSchild")
         if rotating:
             _, ana_at_n = analytic_boundary_rotating(
                 args.spin, args.metric_param, rotating,
                 args.numeric_azimuths)
+        elif args.metric == 'kerr-ds':
+            _, ana_at_n = analytic_boundary_kds(
+                args.spin, args.metric_param, args.numeric_azimuths)
         else:
             _, ana_at_n = analytic_boundary(args.spin, args.charge,
                                             args.numeric_azimuths)
@@ -132,7 +154,7 @@ def main(argv=None):
         from ..io import textures
         scene = SceneConfig(
             size=args.size,
-            metric=args.metric if rotating
+            metric=args.metric if (rotating or args.metric == 'kerr-ds')
             else ('kerr' if (args.spin or args.charge)
                   else 'Schwarzschild'),
             spin=args.spin, charge=args.charge,
@@ -146,7 +168,8 @@ def main(argv=None):
         res = render(scene,
                      bg_array=textures.starfield(args.size, args.size))
         title = (f"{args.metric} a = {args.spin:g}, "
-                 f"p = {args.metric_param:g}" if rotating
+                 f"p = {args.metric_param:g}"
+                 if (rotating or args.metric == 'kerr-ds')
                  else f"a = {args.spin:g}, Q = {args.charge:g}")
         overlay_png(res, psis, rho,
                     os.path.join(args.out_dir, "shadow_overlay.png"),

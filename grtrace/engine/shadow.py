@@ -100,6 +100,43 @@ def analytic_boundary_rotating(spin, p1, metric="RotatingBardeen",
     return psis, rho
 
 
+def analytic_boundary_kds(spin, lam, n_psi=64, rounds=6):
+    """(psis, rho_px): the EXACT Kerr-de Sitter critical curve through
+    the unfolded spherical camera — radial bisection of the
+    conserved-quantity predicate (physics.kerr_de_sitter.kds_escape_pred;
+    the Carter bracket carries the Delta_theta/chi factors).  NaN radii
+    when the (a, Lambda) point has no black-hole horizon.  NB the
+    spherical camera's pixel gauge differs from the Kerr-Schild
+    camera's by the documented O(2M/r_obs) chart factor
+    (physics/camera.py:386-400) — compare kerr-ds curves against
+    kerr-bl numerics, not against analytic_boundary."""
+    import jax.numpy as jnp
+
+    from ..physics.camera import unfolded_ics_from_pixels
+    from ..physics.kerr_de_sitter import kds_escape_pred, kds_outer_horizon
+    from ..physics.spacetime import METRICS
+    from .validate import _pixel_positions
+
+    psis = np.linspace(0.0, 2.0 * np.pi, n_psi, endpoint=False)
+    params = jnp.asarray([1.0, spin, lam], jnp.float64)
+    if not np.isfinite(float(kds_outer_horizon(params))):
+        return psis, np.full(n_psi, np.nan)
+
+    def escape(rhos):
+        pix = jnp.asarray(_pixel_positions(rhos, psis[:, None]),
+                          jnp.float64)
+        q0, p0, _ = unfolded_ics_from_pixels(
+            jnp.asarray([30.0, 0.0, 0.0], jnp.float64), pix,
+            params=params, g_inv_fn=METRICS["KerrDS"])
+        pred = kds_escape_pred(q0.reshape(-1, 4), p0.reshape(-1, 4),
+                               params)
+        return np.asarray(pred).reshape(rhos.shape)
+
+    rho, _ = bisect_boundary(escape, 2.0, 40.0, rounds=rounds,
+                             n_psi=n_psi)
+    return psis, rho
+
+
 def shadow_metrics(psis, rho_px):
     """Standard shape observables from a boundary curve (pixel units).
 
@@ -163,9 +200,16 @@ def numeric_boundary(spin, charge=0.0, n_psi=16, steps=8_000, delta=0.02,
 
     def escape(rhos):
         pix = jnp.asarray(_pixel_positions(rhos, psis[:, None]), dtype)
-        q0, p0, _ = cartesian_ics_from_pixels(
-            jnp.asarray([30.0, 0.0, 0.0], dtype), pix, params=params,
-            g_inv_fn=g_inv_fn)
+        if metric == "KerrDS":
+            # spherical chart: the unfolded camera, like the renderer
+            from ..physics.camera import unfolded_ics_from_pixels
+            q0, p0, _ = unfolded_ics_from_pixels(
+                jnp.asarray([30.0, 0.0, 0.0], dtype), pix,
+                params=params, g_inv_fn=g_inv_fn)
+        else:
+            q0, p0, _ = cartesian_ics_from_pixels(
+                jnp.asarray([30.0, 0.0, 0.0], dtype), pix, params=params,
+                g_inv_fn=g_inv_fn)
         q0 = q0.reshape(-1, 4)
         p0 = p0.reshape(-1, 4)
         if metric != "KerrSchild":

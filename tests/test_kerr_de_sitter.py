@@ -145,3 +145,29 @@ def test_cli_roundtrip_and_validation():
     with pytest.raises(SystemExit):     # over-spun
         scene_from_args(parse_args(
             ["--metric", "kerr-ds", "--spin", "1.2"]))
+
+
+def test_shadow_cli_kerr_ds(tmp_path):
+    """Shadow analysis for Kerr-de Sitter: the predicate-bisected curve
+    through the unfolded spherical camera.  Lambda shrinks the apparent
+    mean radius (the sqrt(f(r_obs)) clock factor); horizon-merged
+    parameters are refused."""
+    from grtrace.cli.shadow import main
+
+    m_l = main(["--metric", "kerr-ds", "--spin", "0.8",
+                "--metric-param", "1e-3", "--azimuths", "24",
+                "--out-dir", str(tmp_path / "l")])
+    m_0 = main(["--metric", "kerr-ds", "--spin", "0.8",
+                "--metric-param", "0", "--azimuths", "24",
+                "--out-dir", str(tmp_path / "zero")])
+    assert m_l["mean_radius_px"] < m_0["mean_radius_px"]
+    assert m_l["circularity_deviation"] > 0.005    # still D-shaped
+    import os
+    assert os.path.exists(str(tmp_path / "l" / "shadow_boundary.csv"))
+
+    # strong Lambda: the fixed camera would sit outside the cosmological
+    # horizon (r_c = sqrt(3/Lambda) ~ 5 M << 30 M) — refused up front
+    with pytest.raises(SystemExit, match="cosmological horizon"):
+        main(["--metric", "kerr-ds", "--spin", "0.5",
+              "--metric-param", "0.12", "--azimuths", "8",
+              "--out-dir", str(tmp_path / "bad")])
