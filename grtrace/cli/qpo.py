@@ -41,10 +41,12 @@ def main(argv=None):
     p.add_argument('--charge', type=float, default=0.0)
     p.add_argument('--metric', type=str, default='kerr',
                    choices=('kerr', 'kottler', 'sds', 'bardeen', 'hayward',
-                            'rotating-bardeen', 'rotating-hayward'),
+                            'rotating-bardeen', 'rotating-hayward',
+                            'kerr-ds'),
                    help='spacetime family: kerr (spin/charge), a static '
-                        'beyond-Kerr family (physics/static_orbits), or a '
-                        'rotating regular family (physics/rotating_orbits; '
+                        'beyond-Kerr family (physics/static_orbits), a '
+                        'rotating regular family (physics/rotating_orbits) '
+                        'or Kerr-de Sitter (physics/kerr_de_sitter; '
                         '--spin + --metric-param)')
     p.add_argument('--metric-param', type=float, default=0.0,
                    help='static-family parameter: Lambda (kottler), '
@@ -88,7 +90,27 @@ def main(argv=None):
                     "bardeen": "Bardeen", "hayward": "Hayward"}
     rotating_names = {"rotating-bardeen": "RotatingBardeen",
                       "rotating-hayward": "RotatingHayward"}
-    if args.metric in rotating_names:
+    if args.metric == 'kerr-ds':
+        # spin + cosmological constant: the orbit band is FINITE on both
+        # ends (ISCO inside, the Lambda tide's OSCO outside) — the sweep
+        # clips r_max to the outer stability edge
+        from ..physics.kerr_de_sitter import (epicyclic_kds, isco_kds,
+                                              osco_kds)
+        params = jnp.array([args.mass, args.spin, args.metric_param])
+        r_isco = float(isco_kds(params, prograde))
+        if not np.isfinite(r_isco):
+            raise SystemExit(
+                f"kerr-ds at (a, Lambda) = ({args.spin:g}, "
+                f"{args.metric_param:g}) has no stable circular orbits "
+                "— no QPO band")
+        r_top = args.r_max * args.mass
+        r_osco = float(osco_kds(params, prograde))
+        if np.isfinite(r_osco):
+            r_top = min(r_top, r_osco)
+        r = jnp.linspace(r_isco, r_top, args.n)
+        om_phi, kappa, om_th = jax.vmap(
+            lambda rr: epicyclic_kds(rr, params, prograde))(r)
+    elif args.metric in rotating_names:
         # rotating regular families: the mass-function epicyclic layer —
         # Lense-Thirring nodal precession survives but is weakened by
         # the regular core's smaller enclosed mass

@@ -193,3 +193,135 @@ def kds_escape_pred(q0s, p0s, params, n_grid=192, iters=30):
     gl, gh = jax.lax.fori_loop(0, iters, golden, (gl, gh))
     R_min = jnp.minimum(R_grid_min, R(0.5 * (gl + gh))[:, 0])
     return has_horizon & (R_min <= 0.0)
+
+
+# ---------------------------------------------------------------------------
+# Equatorial circular orbits / QPO observables
+# ---------------------------------------------------------------------------
+
+def kds_equatorial_cov(r, params):
+    """(g_tt, g_tph, g_phph) of the covariant equatorial block, from the
+    Carter line element at theta = pi/2 (Sigma = r^2, Delta_th = 1):
+
+        ds^2|_eq = -Delta_r/(chi^2 r^2) (dt - a dphi)^2
+                   + 1/(chi^2 r^2) (a dt - (r^2+a^2) dphi)^2 + ...
+    """
+    a = params[1]
+    delta_r = _delta_r(r, params)
+    chi = 1.0 + params[2] * a * a / 3.0
+    r2a2 = r * r + a * a
+    inv = 1.0 / (chi * chi * r * r)
+    g_tt = (-delta_r + a * a) * inv
+    g_tph = (delta_r * a - a * r2a2) * inv
+    g_phph = (-delta_r * a * a + r2a2 * r2a2) * inv
+    return g_tt, g_tph, g_phph
+
+
+def keplerian_omega_kds(r, params, prograde=True):
+    """Circular-geodesic angular velocity from the metric-derivative
+    quadratic (the same construction as physics/rotating_orbits — valid
+    for any stationary axisymmetric metric):
+    Omega = (-g_tph,r +- sqrt(g_tph,r^2 - g_tt,r g_phph,r))/g_phph,r.
+    Kottler limit: Omega^2 = M/r^3 - Lambda/3 (the cosmological term
+    brakes distant orbits — and kills them at the static radius)."""
+    d_tt, d_tph, d_phph = [
+        jax.grad(lambda rr, i=i: kds_equatorial_cov(rr, params)[i])(r)
+        for i in range(3)]
+    disc = jnp.sqrt(jnp.maximum(d_tph * d_tph - d_tt * d_phph, 0.0))
+    sign = 1.0 if prograde else -1.0
+    return (-d_tph + sign * disc) / d_phph
+
+
+def circular_u_t_kds(r, params, prograde=True):
+    omega = keplerian_omega_kds(r, params, prograde)
+    g_tt, g_tph, g_phph = kds_equatorial_cov(r, params)
+    norm = -(g_tt + 2.0 * omega * g_tph + omega * omega * g_phph)
+    return 1.0 / jnp.sqrt(norm), omega
+
+
+def circular_e_l_kds(r, params, prograde=True):
+    u_t, omega = circular_u_t_kds(r, params, prograde)
+    g_tt, g_tph, g_phph = kds_equatorial_cov(r, params)
+    return (-(g_tt + omega * g_tph) * u_t,
+            (g_tph + omega * g_phph) * u_t)
+
+
+def _stability_scan_kds(params, prograde, rising, r_lo, r_hi,
+                        n_scan=512, iters=60):
+    de = jax.grad(lambda r: circular_e_l_kds(r, params, prograde)[0])
+    u = jnp.linspace(0.0, 1.0, n_scan)
+    rs = r_lo * (r_hi / r_lo) ** u
+    sl = jax.vmap(de)(rs)
+    want = ((sl[:-1] < 0.0) & (sl[1:] > 0.0) if rising
+            else (sl[:-1] > 0.0) & (sl[1:] < 0.0))
+    has = jnp.any(want)
+    idx = jnp.argmax(want)
+    lo, hi = rs[idx], rs[idx + 1]
+
+    def bisect(_, lh):
+        lo, hi = lh
+        mid = 0.5 * (lo + hi)
+        neg = (de(mid) < 0.0) == rising
+        return jnp.where(neg, mid, lo), jnp.where(neg, hi, mid)
+
+    lo, hi = jax.lax.fori_loop(0, iters, bisect, (lo, hi))
+    return jnp.where(has, 0.5 * (lo + hi), jnp.nan)
+
+
+def isco_kds(params, prograde=True):
+    """ISCO: the inner minimum of E(r) — scan+bisection on dE/dr between
+    just outside r_+ and the static-radius ballpark.  NaN when Lambda is
+    strong enough to erase all stable orbits (ISCO/OSCO merged)."""
+    mass, lam = params[0], params[2]
+    r_hi = jnp.where(lam > 0.0,
+                     0.9 * (3.0 * mass / jnp.maximum(lam, 1e-30))
+                     ** (1.0 / 3.0), 40.0 * mass)
+    r_lo = 1.02 * kds_outer_horizon(params)
+    return _stability_scan_kds(params, prograde, True, r_lo, r_hi)
+
+
+def osco_kds(params, prograde=True):
+    """OUTERMOST stable circular orbit (the cosmological tide's outer
+    stability edge, as in Kottler); NaN for Lambda = 0."""
+    mass, lam = params[0], params[2]
+    r_hi = jnp.where(lam > 0.0,
+                     0.98 * (3.0 * mass / jnp.maximum(lam, 1e-30))
+                     ** (1.0 / 3.0), 40.0 * mass)
+    r_lo = 1.02 * kds_outer_horizon(params)
+    return _stability_scan_kds(params, prograde, False, r_lo, r_hi)
+
+
+def epicyclic_kds(r, params, prograde=True):
+    """(Omega_phi, kappa, Omega_theta) — physics/epicyclic's potential
+    construction with the Kerr-de Sitter g_inv and this module's
+    circular-orbit Killing charges.  Lambda = 0 reduces to the Kerr
+    epicyclic layer; a = 0 to the static Kottler one."""
+    r = jnp.asarray(r)
+    half_pi = jnp.full_like(r, 0.5 * jnp.pi)
+    energy, l_z = circular_e_l_kds(r, params, prograde)
+    u_t, omega = circular_u_t_kds(r, params, prograde)
+
+    def w_quad(rr, th):
+        zero = jnp.zeros_like(rr)
+        g = kerr_de_sitter_g_inv(jnp.stack([zero, rr, th, zero]), params)
+        return (g[0, 0] * energy * energy
+                - 2.0 * g[0, 3] * energy * l_z
+                + g[3, 3] * l_z * l_z)
+
+    def rad_pot(rr):
+        zero = jnp.zeros_like(rr)
+        g = kerr_de_sitter_g_inv(jnp.stack([zero, rr,
+                                            0.5 * jnp.pi + zero, zero]),
+                                 params)
+        return -g[1, 1] * (1.0 + w_quad(rr, 0.5 * jnp.pi + zero))
+
+    def pol_pot(th):
+        g = kerr_de_sitter_g_inv(jnp.stack([jnp.zeros_like(th),
+                                            r + 0.0 * th, th,
+                                            jnp.zeros_like(th)]), params)
+        return -g[2, 2] * (1.0 + w_quad(r + 0.0 * th, th))
+
+    kappa2 = -0.5 * jax.grad(jax.grad(rad_pot))(r) / (u_t * u_t)
+    vert2 = -0.5 * jax.grad(jax.grad(pol_pot))(half_pi) / (u_t * u_t)
+    return (jnp.abs(omega), jnp.sqrt(jnp.maximum(kappa2, 0.0)),
+            jnp.sqrt(jnp.maximum(vert2, 0.0)))

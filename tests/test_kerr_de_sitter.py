@@ -171,3 +171,69 @@ def test_shadow_cli_kerr_ds(tmp_path):
         main(["--metric", "kerr-ds", "--spin", "0.5",
               "--metric-param", "0.12", "--azimuths", "8",
               "--out-dir", str(tmp_path / "bad")])
+
+
+def test_orbits_reduce_to_kerr_layer():
+    """Lambda = 0: Omega, E, L and all three epicyclic frequencies must
+    equal the independent Kerr-Newman layer to roundoff."""
+    from grtrace.physics import orbits
+    from grtrace.physics.epicyclic import epicyclic_frequencies
+
+    p = jnp.array([M, 0.8, 0.0])
+    for r in (3.0, 6.0, 10.0):
+        om = kds.keplerian_omega_kds(r, p, True)
+        assert float(om) == pytest.approx(
+            float(orbits.keplerian_omega(r, M, 0.8, 0.0, True)),
+            rel=1e-13)
+        e, l = kds.circular_e_l_kds(r, p, True)
+        ek, lk = orbits.circular_e_lz(jnp.asarray(r), p, True)
+        assert float(e) == pytest.approx(float(ek), rel=1e-13)
+        assert float(l) == pytest.approx(float(lk), rel=1e-13)
+        trip = kds.epicyclic_kds(r, p, True)
+        trip_k = epicyclic_frequencies(jnp.asarray(r), p, True)
+        for x, y in zip(trip, trip_k):
+            assert float(x) == pytest.approx(float(y), abs=1e-12)
+    assert float(kds.isco_kds(p)) == pytest.approx(
+        float(orbits.isco_radius(M, 0.8, True)), abs=1e-8)
+
+
+def test_orbits_reduce_to_kottler_layer():
+    """a = 0: the Kottler closed form Omega^2 = M/r^3 - Lambda/3 and the
+    static-family ISCO/OSCO/epicyclics."""
+    from grtrace.physics.static_metrics import kottler_f
+    from grtrace.physics.static_orbits import (epicyclic_static,
+                                               isco_static, osco_static)
+
+    lam = 1e-4
+    p = jnp.array([M, 0.0, lam])
+    ps = jnp.array([M, lam, 0.0])
+    for r in (8.0, 12.0):
+        om = float(kds.keplerian_omega_kds(r, p, True))
+        assert om == pytest.approx(np.sqrt(M / r ** 3 - lam / 3),
+                                   rel=1e-13)
+        for x, y in zip(kds.epicyclic_kds(r, p, True),
+                        epicyclic_static(r, kottler_f, ps)):
+            assert float(x) == pytest.approx(float(y), abs=1e-12)
+    assert float(kds.isco_kds(p)) == pytest.approx(
+        float(isco_static(kottler_f, ps)), abs=1e-8)
+    assert float(kds.osco_kds(p)) == pytest.approx(
+        float(osco_static(kottler_f, ps,
+                          r_hi=0.98 * (3 / lam) ** (1 / 3))), abs=1e-6)
+
+
+def test_qpo_cli_kerr_ds(tmp_path):
+    from grtrace.cli.qpo import main
+
+    out = main(["--metric", "kerr-ds", "--spin", "0.8",
+                "--metric-param", "1e-4", "--mass-msun", "10",
+                "--n", "64", "--r-max", "40", "--out-dir", str(tmp_path)])
+    assert out["metric"] == "kerr-ds"
+    # band clipped at the Lambda tide's OSCO, not at --r-max
+    assert out["nu_phi_isco"] > 0
+    import os
+    rows = np.loadtxt(os.path.join(str(tmp_path), "qpo_frequencies.csv"),
+                      delimiter=",", skiprows=1, ndmin=2)
+    assert rows[-1, 0] < 19.5          # OSCO ~ 18.98 M << 40 M
+    # rotation splits nu_theta from nu_phi (nonzero nodal precession)
+    nodal = rows[1:, 1] - rows[1:, 3]
+    assert (nodal > 0).all()
