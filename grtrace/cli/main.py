@@ -108,6 +108,19 @@ def main(argv=None):
                 from ..engine.disk_static import render_disk_static
                 result = render_disk_static(scene, disk_cfg,
                                             bg_array=bg_array, metrics=rm)
+            elif metric_lc in ("kerr-ds", "kerrds"):
+                # Kerr-de Sitter: BL-chart theta-crossing disk renderer
+                if args.aa:
+                    raise SystemExit(
+                        "--aa with --disk rides the Kerr-family path; "
+                        "kerr-ds disks render without edge refinement")
+                if args.save_transfer:
+                    raise SystemExit(
+                        "--save-transfer records Kerr-Schild chart "
+                        "crossings; not supported with kerr-ds")
+                from ..engine.disk_kds import render_disk_kds
+                result = render_disk_kds(scene, disk_cfg,
+                                         bg_array=bg_array, metrics=rm)
             else:
                 # Kerr-Newman family AND the rotating regular families
                 # (render_disk routes on scene.metric; the family
@@ -138,12 +151,14 @@ def main(argv=None):
         # off-disk) and the BL emission radius — the disk mode's science
         # products (redshift maps are what thin-disk renders are FOR)
         from ..engine.disk import save_disk_maps
-        static_disk = scene.metric.lower() in ("kottler", "sds", "bardeen",
-                                               "hayward")
+        # spherical-chart crossings: the planar-fold static families AND
+        # the BL-chart kerr-ds disk store (t, r, theta, phi) hits
+        spherical_disk = scene.metric.lower() in (
+            "kottler", "sds", "bardeen", "hayward", "kerr-ds", "kerrds")
         save_disk_maps(result, out,
                        emissivity_index=disk_cfg.emissivity_index,
                        spin=scene.spin,
-                       chart="spherical" if static_disk else "ks")
+                       chart="spherical" if spherical_disk else "ks")
         logging.info("Saved redshift_map.csv/.png + line_profile.csv/.png")
         if args.save_transfer:
             from ..io.transfer import TransferMap

@@ -237,3 +237,75 @@ def test_qpo_cli_kerr_ds(tmp_path):
     # rotation splits nu_theta from nu_phi (nonzero nodal precession)
     nodal = rows[1:, 1] - rows[1:, 3]
     assert (nodal > 0).all()
+
+
+def test_render_disk_kds_end_to_end():
+    """Thin disk around a Kerr-de Sitter hole: theta-crossing capture on
+    the BL chart, KdS Keplerian shading, Lambda-tide OSCO validation."""
+    from grtrace.engine.disk import STATUS_DISK, DiskConfig
+    from grtrace.engine.disk_kds import kds_disk_bounds, render_disk_kds
+
+    bg = np.full((16, 16, 3), 90, np.uint8)
+    integ = IntegratorConfig(steps=2500, delta=0.06, dtype="float64")
+    sc = SceneConfig(size=40, metric="kerr-ds", spin=0.8,
+                     metric_param=1e-4, n_samples=0, integrator=integ)
+    res = render_disk_kds(sc, DiskConfig(), bg_array=bg)
+    assert res.counts["disk"] > 50
+    assert res.counts["numerical_error"] == 0
+    assert res.counts["captured"] > 0
+    dm = np.asarray(res.device("status")) == STATUS_DISK
+    g = np.asarray(res.device("redshift"))[dm]
+    assert g.max() > 1.2 and g.min() < 0.5
+    # inner edge = the KdS ISCO (3.03 at a = 0.8), crossings inside it
+    r_em = np.asarray(res.device("hit_q"))[dm, 1]
+    r_in, _ = kds_disk_bounds(M, 0.8, 1e-4, None, 14.0, 30.0)
+    assert (r_em >= r_in - 1e-6).all()
+
+    # the Lambda tide forbids disks beyond the OSCO
+    with pytest.raises(ValueError, match="outermost stable"):
+        kds_disk_bounds(M, 0.8, 1e-3, None, 25.0, 30.0)
+
+
+def test_render_disk_kds_lambda_zero_matches_kerr_distribution():
+    """Lambda = 0 vs the Kerr-Schild disk pipeline: different charts and
+    cameras (the documented O(2M/r_obs) pixel gauge), same physics — the
+    redshift distributions on the disk must agree at the quantile level,
+    and the disk pixel counts in the f^-2 solid-angle ratio."""
+    from grtrace.engine.disk import STATUS_DISK, DiskConfig, render_disk
+    from grtrace.engine.disk_kds import render_disk_kds
+
+    bg = np.full((16, 16, 3), 90, np.uint8)
+    integ = IntegratorConfig(steps=2500, delta=0.06, dtype="float64")
+    r0 = render_disk_kds(
+        SceneConfig(size=40, metric="kerr-ds", spin=0.8, metric_param=0.0,
+                    n_samples=0, integrator=integ),
+        DiskConfig(), bg_array=bg)
+    rk = render_disk(
+        SceneConfig(size=40, metric="kerr", spin=0.8, n_samples=0,
+                    integrator=integ),
+        DiskConfig(), bg_array=bg)
+    d0 = np.asarray(r0.device("status")) == STATUS_DISK
+    dk = np.asarray(rk.device("status")) == STATUS_DISK
+    f = 1.0 - 2.0 * M / 30.0
+    assert d0.sum() == pytest.approx(dk.sum() / f ** 2, rel=0.12)
+    g0 = np.asarray(r0.device("redshift"))[d0]
+    gk = np.asarray(rk.device("redshift"))[dk]
+    np.testing.assert_allclose(np.quantile(g0, [0.1, 0.5, 0.9]),
+                               np.quantile(gk, [0.1, 0.5, 0.9]),
+                               atol=0.04)
+
+
+def test_disk_cli_kerr_ds(tmp_path):
+    from grtrace.cli.main import main
+
+    out = str(tmp_path / "kds_disk")
+    main(["--size", "24", "--metric", "kerr-ds", "--spin", "0.8",
+          "--metric-param", "1e-4", "--disk", "--steps", "1500",
+          "--delta", "0.06", "--out-dir", out, "--no-plots", "--no-flat",
+          "--n-samples", "0"])
+    import os
+    rows = np.loadtxt(os.path.join(out, "redshift_map.csv"),
+                      delimiter=",", skiprows=1, ndmin=2)
+    assert rows.shape[0] > 3 and rows.shape[1] == 4
+    # areal BL emission radii: inside the annulus, outside the ISCO
+    assert (rows[:, 3] >= 3.0).all() and (rows[:, 3] <= 14.1).all()
